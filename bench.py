@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query runs twice: a warm-up is NOT used — cold numbers are what the
+driver compares — but the session/JVM start is excluded (measured after
+``getOrCreate``). Results are forced with ``df.write.format("noop")``
+so the full plan executes without driver-side collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries benchmarked per round (a representative slice of the
+#: registry: flagship aggregate, count-window pipeline, full alert
+#: pipeline, plus extension workloads as they land).
+HEADLINE = [
+    "measures_agg",
+    "measures_window",
+    "alerts_batch",
+    "alert_counts",
+    "portfolio_projection",
+    "value_histogram",
+]
+
+
+def main() -> None:
+    from psd_project_spark.session import get_spark
+    from psd_project_spark.registry import queries
+
+    spark = get_spark(app_name="psd-bench")
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE
+    ]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from psd_project_spark.sources.registry import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]

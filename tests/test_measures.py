@@ -1,0 +1,103 @@
+"""Golden-window measure tests (FIXTURES.md F3) + scale-path equivalence.
+
+Expected values pin the SURVEY.md §2.8 semantic decisions: median = avg
+of 15th/16th order stats, q10 = 4th smallest (index n/10), tail mean =
+mean of 3 smallest, SM1 = mean − Σ|mean−x|/(2n), SM2 = mean −
+ΣΣ|xj−xk|/(2n²) — reference StreamingJob.java:184-234.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from psd_project_spark.functions.measures import (
+    grouped_measures,
+    sorted_array_measures,
+)
+
+
+def numpy_reference(values):
+    """Straightforward O(n²) reference implementation of all six measures."""
+    xs = sorted(values)
+    n = len(xs)
+    mean = sum(xs) / n
+    median = (xs[n // 2 - 1] + xs[n // 2]) / 2 if n % 2 == 0 else xs[n // 2]
+    q10 = xs[n // 10]  # 0-indexed n/10 == (n/10 + 1)-th smallest
+    k = max(n // 10, 1)
+    tail = sum(xs[:k]) / k
+    sm1 = mean - sum(abs(mean - x) for x in xs) / (2 * n)
+    sm2 = mean - sum(abs(a - b) for a in xs for b in xs) / (2 * n * n)
+    return dict(mean=mean, median=median, q10=q10, tail_mean=tail, sm1=sm1, sm2=sm2)
+
+
+GOLDEN_RAMP = [float(i) for i in range(1, 31)]
+GOLDEN_RAMP_EXPECTED = dict(
+    mean=15.5,
+    median=15.5,
+    q10=4.0,
+    tail_mean=2.0,
+    sm1=11.75,
+    sm2=15.5 - 8990.0 / 1800.0,
+)
+GOLDEN_CONST = [0.005] * 30
+
+
+def _run_array_measures(spark, values):
+    df = spark.createDataFrame([(values,)], "arr array<double>")
+    ms = sorted_array_measures(F.sort_array(F.col("arr")), len(values))
+    row = df.select(*[c.alias(k) for k, c in ms.items()]).collect()[0]
+    return row.asDict()
+
+
+def _run_grouped_measures(spark, values):
+    df = spark.createDataFrame([(1, v) for v in values], "g int, v double")
+    row = grouped_measures(df, ["g"], "v", digits=9).collect()[0]
+    return row.asDict()
+
+
+@pytest.mark.parametrize("values,expected", [
+    (GOLDEN_RAMP, GOLDEN_RAMP_EXPECTED),
+    (GOLDEN_CONST, dict(mean=0.005, median=0.005, q10=0.005,
+                        tail_mean=0.005, sm1=0.005, sm2=0.005)),
+])
+def test_golden_windows_array_path(spark, values, expected):
+    got = _run_array_measures(spark, values)
+    for k, v in expected.items():
+        assert math.isclose(got[k], v, rel_tol=0, abs_tol=1e-12), (k, got[k], v)
+
+
+@pytest.mark.parametrize("values,expected", [
+    (GOLDEN_RAMP, GOLDEN_RAMP_EXPECTED),
+])
+def test_golden_windows_grouped_path(spark, values, expected):
+    got = _run_grouped_measures(spark, values)
+    assert got["n_rows"] == len(values)
+    for k, v in expected.items():
+        assert math.isclose(got[k], v, rel_tol=0, abs_tol=1e-9), (k, got[k], v)
+
+
+def test_random_windows_match_reference(spark):
+    rng = random.Random(7)
+    values = [rng.uniform(-0.1, 0.1) for _ in range(30)]
+    expected = numpy_reference(values)
+    arr_got = _run_array_measures(spark, values)
+    grp_got = _run_grouped_measures(spark, values)
+    for k, v in expected.items():
+        assert math.isclose(arr_got[k], v, rel_tol=1e-12, abs_tol=1e-12), (
+            "array", k, arr_got[k], v)
+        assert math.isclose(grp_got[k], v, rel_tol=1e-9, abs_tol=1e-9), (
+            "grouped", k, grp_got[k], v)
+
+
+def test_measure_invariants(spark):
+    """SM1 ≤ mean, SM2 ≤ mean, tail_mean ≤ q10 ≤ median (property test)."""
+    rng = random.Random(99)
+    for trial in range(5):
+        values = [rng.gauss(0.002, 0.02) for _ in range(30)]
+        got = _run_array_measures(spark, values)
+        assert got["sm1"] <= got["mean"] + 1e-12
+        assert got["sm2"] <= got["mean"] + 1e-12
+        assert got["tail_mean"] <= got["q10"] + 1e-12
+        assert got["q10"] <= got["median"] + 1e-12
