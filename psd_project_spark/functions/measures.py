@@ -170,17 +170,27 @@ GROUP BY {g}
     return q
 
 
-def sorted_array_measures(arr: Column, n: int, digits: int | None = None) -> dict[str, Column]:
+def sorted_array_measures(
+    arr: Column,
+    n: int,
+    digits: int | None = None,
+    mean_col: Column | None = None,
+) -> dict[str, Column]:
     """All six measures from a pre-sorted array of exactly ``n`` doubles.
 
     Pure JVM higher-order functions — used by the count-window operator
     (reference window size n = 30) where the window array is tiny and
     already materialized per row. Summation runs in ascending value
     order, so results are deterministic for a given window.
+
+    Pass ``mean_col`` (a column holding ``sum(arr)/n``) to avoid
+    re-evaluating the mean aggregate inside sm1's per-element lambda —
+    without it Catalyst inlines the mean into the closure, turning sm1
+    into O(n²) per row.
     """
     dbl = F.lit(0.0)
     total = F.aggregate(arr, dbl, lambda a, x: a + x)
-    mean = total / F.lit(float(n))
+    mean = mean_col if mean_col is not None else total / F.lit(float(n))
     if n % 2 == 0:
         median = (F.element_at(arr, n // 2) + F.element_at(arr, n // 2 + 1)) / 2
     else:
@@ -230,11 +240,18 @@ def windowed_measures(
     worder = Window.partitionBy(*keys).orderBy(order_col)
     wframe = worder.rowsBetween(-(window_size - 1), 0)
     arr = F.sort_array(F.collect_list(F.col(value_col).cast("double")).over(wframe))
-    measures = sorted_array_measures(F.col("_arr"), window_size, digits=digits)
+    measures = sorted_array_measures(
+        F.col("_arr"), window_size, digits=digits, mean_col=F.col("_mean")
+    )
     out = (
         df.withColumn(seq_col, F.row_number().over(worder))
         .withColumn("_arr", arr)
         .filter(F.col(seq_col) >= window_size)
+        .withColumn(
+            "_mean",
+            F.aggregate(F.col("_arr"), F.lit(0.0), lambda a, x: a + x)
+            / F.lit(float(window_size)),
+        )
         .select(
             *keys,
             seq_col,

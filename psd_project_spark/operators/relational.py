@@ -1,0 +1,428 @@
+"""Relational operator battery (SURVEY.md §2.9 extension surface).
+
+The reference has no joins/set-ops/grouping-sets (its stats lookup is a
+positional array read standing in for a broadcast equi-join,
+StreamingJob.java:369-385). The driver contract exercises the full
+relational surface over the TPC-H-ish tables; everything here is
+built-in Catalyst territory — the engineering is in *plan shape*:
+
+- small dims (`region``nation``customer`-sized) are broadcast, never
+  shuffled;
+- aggregates sum in DECIMAL so results are order-independent and
+  bit-identical to the DuckDB oracle;
+- every top-k / limit has a total deterministic ordering (ties broken
+  by key columns);
+- the as-of join is the union + last-non-null window trick — one
+  shuffle on (key, time), no per-group pandas, no range explosion —
+  the plan that survives 100 TB of events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from psd_project_spark.sources.registry import load_table
+
+_DEC = "decimal(27,15)"
+
+
+def _dsum(col) -> F.Column:
+    return F.sum(col.cast(_DEC)).cast("double")
+
+
+# --- q1_pricing_summary (TPC-H Q1 shape) ------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    out = (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_dsum(F.col("l_quantity")), 6).alias("sum_qty"),
+            F.round(_dsum(F.col("l_extendedprice")), 6).alias("sum_base_price"),
+            F.round(_dsum(disc_price), 6).alias("sum_disc_price"),
+            F.round(_dsum(charge), 6).alias("sum_charge"),
+            F.round(_dsum(F.col("l_quantity")) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(_dsum(F.col("l_extendedprice")) / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(_dsum(F.col("l_discount")) / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- top_orders_by_revenue (TPC-H Q3 shape: 3-way join + top-N) -------------
+
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, revenue per order, deterministic top 10.
+
+    customer is broadcast (small dim); lineitem⋈orders shuffles on the
+    join key with AQE handling skew. Top-N via global sort on
+    (revenue DESC, o_orderkey) — ties cannot reorder results.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(_dsum(revenue), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+TOP_ORDERS_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- region_nation_rollup (multi-join + ROLLUP) ------------------------------
+
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(_dsum(F.col("c_acctbal")), 6).alias("total_acctbal"),
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --- cube_orders (CUBE) ------------------------------------------------------
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(_dsum(F.col("o_totalprice")), 6).alias("total_price"),
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- semi / anti joins -------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who never placed a top-decile (>450k) order — left-anti
+    join (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+"""
+
+
+def big_spenders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one order above 100k (left-semi join)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+SEMI_ORACLE = """
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+"""
+
+
+# --- set operations ----------------------------------------------------------
+
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION of customer vs supplier nation keys,
+    tagged and unioned into one result."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("op", F.lit("intersect"))
+    only_c = c.subtract(s).withColumn("op", F.lit("except"))
+    union_d = c.union(s).distinct().withColumn("op", F.lit("union"))
+    return both.unionByName(only_c).unionByName(union_d)
+
+
+SET_OPS_ORACLE = """
+SELECT nationkey, 'intersect' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'except' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   EXCEPT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'union' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   UNION SELECT s_nationkey FROM supplier)
+"""
+
+
+# --- ranking windows / bounded top-k (SURVEY §2.5 O3) ------------------------
+
+def top3_cheapest_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's bounded top-k-minima buffer (StreamingJob.java:319-344)
+    as a ranking window: 3 cheapest lineitems per returnflag,
+    deterministic tiebreak."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        l.withColumn("rank_in_flag", F.row_number().over(w))
+        .filter(F.col("rank_in_flag") <= 3)
+        .select(
+            "l_returnflag",
+            "rank_in_flag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+        )
+    )
+
+
+TOP3_ORACLE = """
+SELECT l_returnflag, rank_in_flag, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS rank_in_flag
+  FROM lineitem
+)
+WHERE rank_in_flag <= 3
+"""
+
+
+# --- running windowed sum (cumulative state per key) -------------------------
+
+def running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double"), 6
+        ).alias("running_value"),
+    )
+
+
+RUNNING_ORACLE = """
+SELECT user_id, event_id,
+       round(CAST(sum(CAST(value AS DECIMAL(27,15))) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS running_value
+FROM events
+"""
+
+
+# --- as-of join --------------------------------------------------------------
+
+def purchases_asof_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the most recent view event at-or-before
+    it for the same user (as-of backward join, inclusive).
+
+    Spark lacks a native as-of join. This is the scalable composition:
+    tag both sides, union, sort once per user on (ts_ns, side, event_id)
+    and carry the last view via ``last(..., ignorenulls)`` — one shuffle
+    total, no range cross-product, no per-group pandas
+    (cf. pd.merge_asof semantics; DuckDB oracle uses native ASOF JOIN).
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_ns",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_view_id"),
+        F.lit(None).cast("double").alias("_view_value"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts_ns",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.lit(0).alias("_side"),
+        F.col("event_id").alias("_view_id"),
+        F.col("value").alias("_view_value"),
+    )
+    unioned = purchases.unionByName(views)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "_side", "_view_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn("view_id", F.last("_view_id", ignorenulls=True).over(w))
+        .withColumn("view_value", F.last("_view_value", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_value",
+            "view_id",
+            "view_value",
+        )
+    )
+
+
+ASOF_ORACLE = """
+WITH e AS (
+  SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type, value FROM events
+),
+p AS (SELECT user_id, ts_ns, event_id AS purchase_id, value AS purchase_value
+      FROM e WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts_ns, event_id AS view_id, value AS view_value
+      FROM e WHERE event_type = 'view')
+SELECT p.user_id, p.purchase_id, p.purchase_value, v.view_id, v.view_value
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts_ns >= v.ts_ns
+"""
+
+
+# --- sessionization ----------------------------------------------------------
+
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 minutes
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    > 30 min. lag + conditional cumsum — pure integer arithmetic, one
+    shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        e.withColumn("_prev", F.lag("ts_ns").over(wo))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("ts_ns") - F.col("_prev") > SESSION_GAP_NS),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("_new").over(wrun))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ns").alias("session_start_ns"),
+        F.max("ts_ns").alias("session_end_ns"),
+    )
+
+
+SESSIONIZE_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, epoch_ns(ts) AS ts_ns, user_id FROM events
+), lagd AS (
+  SELECT *, lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev
+  FROM e
+), marked AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts_ns - prev > {SESSION_GAP_NS}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM lagd
+), sessions AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_ns) AS session_start_ns, max(ts_ns) AS session_end_ns
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "top_orders_by_revenue": (top_orders_by_revenue, TOP_ORDERS_ORACLE),
+    "region_nation_rollup": (region_nation_rollup, ROLLUP_ORACLE),
+    "cube_orders": (cube_orders, CUBE_ORACLE),
+    "customers_without_orders": (customers_without_orders, ANTI_ORACLE),
+    "big_spenders_semi": (big_spenders_semi, SEMI_ORACLE),
+    "nation_set_ops": (nation_set_ops, SET_OPS_ORACLE),
+    "top3_cheapest_per_flag": (top3_cheapest_per_flag, TOP3_ORACLE),
+    "running_user_spend": (running_user_spend, RUNNING_ORACLE),
+    "purchases_asof_views": (purchases_asof_views, ASOF_ORACLE),
+    "sessionize_events": (sessionize_events, SESSIONIZE_ORACLE),
+}

@@ -16,6 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (
     "psd_project_spark.operators.risk",
+    "psd_project_spark.operators.relational",
 )
 
 

@@ -43,9 +43,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Raw ns epoch → µs TimestampType; integer DIV avoids the double
         # round-trip that loses precision above 2^53 ns.
+        # ts_ns is truncated to µs-aligned ns: DuckDB (the oracle) reads
+        # TIMESTAMP(NANOS) parquet at µs precision, so exact-parity
+        # arithmetic must not see sub-µs digits either.
         df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.expr("timestamp_micros(ts_ns DIV 1000)"))
+            df.withColumnRenamed("ts", "_raw_ns")
+            .withColumn("ts", F.expr("timestamp_micros(_raw_ns DIV 1000)"))
+            .withColumn("ts_ns", F.expr("(_raw_ns DIV 1000) * 1000"))
             .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
         )
     return df
