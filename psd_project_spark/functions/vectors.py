@@ -1,0 +1,131 @@
+"""Vector primitives for embedding similarity / near-dup operators.
+
+Exact-parity cosine at vectorized speed
+---------------------------------------
+Float summation order differs between engines, so every sum is made
+**order-independent** by quantizing each term to an integer:
+
+    q(t) = floor(t * 1e12 + 0.5)        (same definition in both engines)
+
+Integer sums are exact and commutative, so Spark and the DuckDB oracle
+produce bit-identical results. Products of identical doubles are
+IEEE-identical in both engines, and ``floor`` is exact, so q(t) agrees
+everywhere. Magnitudes: |t| ≤ 0.3 ⇒ |q| ≤ 3e11; 64 terms ⇒ ≤ 2e13,
+far inside int64. The final 6-digit rounding uses the same quantizer
+(``floor(c*1e6 + 0.5)/1e6``) instead of engine-native ``round`` whose
+half-way rules differ.
+
+The Spark side computes this in **Arrow-batched pandas UDFs** (numpy,
+one batch at a time) — the earlier pure-HOF implementation was exact
+but ~50µs/element in Catalyst's lambda interpreter (500s for a 250k ×
+64-dim pair set); the vectorized form is ~3 orders faster and this is
+precisely the "UDFs only where built-ins genuinely can't express it
+efficiently" case. DuckDB mirrors with list lambdas (the oracle only
+runs at sf0.01).
+
+Scale notes (100 TB): brute-force pair forms are correctness baselines;
+the scale path buckets vectors by deterministic ±1 random-hyperplane
+signs (:func:`bucket_udf`) so candidate generation is an equi-join on
+the bucket key — one shuffle, no cross product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+#: Embedding dimensionality of the test tables.
+EMB_DIM = 64
+
+#: Hyperplane count for LSH bucketing (2^8 = 256 buckets).
+N_PLANES = 8
+
+#: Term quantizer scale (see module docstring).
+QSCALE = 1e12
+#: Output cosine rounding scale.
+CSCALE = 1e6
+
+
+def _q(a: np.ndarray) -> np.ndarray:
+    return np.floor(a * QSCALE + 0.5).astype(np.int64)
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    return np.stack(s.apply(np.asarray).values).astype(np.float64)
+
+
+@F.pandas_udf(DoubleType())
+def cosine_q(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Quantized-exact cosine of two array<double> columns."""
+    a, b = _stack(va), _stack(vb)
+    dot = _q(a * b).sum(axis=1).astype(np.float64) / QSCALE
+    na = np.sqrt(_q(a * a).sum(axis=1).astype(np.float64) / QSCALE)
+    nb = np.sqrt(_q(b * b).sum(axis=1).astype(np.float64) / QSCALE)
+    cos = dot / (na * nb)
+    return pd.Series(np.floor(cos * CSCALE + 0.5) / CSCALE)
+
+
+def to_double_expr(col: str = "embedding") -> str:
+    """Spark SQL: array<float> → array<double> (exact widening)."""
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def to_double_sql(col: str = "embedding") -> str:
+    return f"list_transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def _sq_sum_sql(v: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(floor({v}[i] * {v}[i] * {QSCALE} + 0.5) AS BIGINT))) AS DOUBLE)"
+    )
+
+
+def _dot_sql(va: str, vb: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(floor({va}[i] * {vb}[i] * {QSCALE} + 0.5) AS BIGINT))) AS DOUBLE)"
+    )
+
+
+def cosine_sql(va: str, vb: str, dim: int = EMB_DIM) -> str:
+    """DuckDB mirror of :func:`cosine_q` (6-digit quantized)."""
+    cos = (
+        f"({_dot_sql(va, vb, dim)} / {QSCALE}) / "
+        f"(sqrt({_sq_sum_sql(va, dim)} / {QSCALE}) * "
+        f"sqrt({_sq_sum_sql(vb, dim)} / {QSCALE}))"
+    )
+    return f"floor(({cos}) * {CSCALE} + 0.5) / {CSCALE}"
+
+
+def make_bucket_udf(planes: list[list[float]]):
+    """Pandas UDF: LSH bucket key — one sign bit per ±1 hyperplane,
+    decided on the quantized-integer dot so both engines agree."""
+    w = np.asarray(planes, dtype=np.float64)  # (planes, dim)
+
+    @F.pandas_udf(StringType())
+    def bucket_q(v: pd.Series) -> pd.Series:
+        m = _stack(v)  # (rows, dim)
+        # (rows, planes, dim) term-quantized, summed exactly per plane.
+        terms = _q(m[:, None, :] * w[None, :, :])
+        dots = terms.sum(axis=2)
+        bits = np.where(dots > 0, "1", "0")
+        return pd.Series(["".join(row) for row in bits])
+
+    return bucket_q
+
+
+def bucket_sql(v: str, planes: list[list[float]], dim: int = EMB_DIM) -> str:
+    bits = []
+    for row in planes:
+        lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in row) + "]"
+        d = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(floor({v}[i] * ({lit})[i] * {QSCALE} + 0.5) AS BIGINT)))"
+        )
+        bits.append(f"CASE WHEN {d} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)

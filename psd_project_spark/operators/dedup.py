@@ -1,0 +1,270 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+LLM-data-pipeline extension surface (SURVEY.md §7 M5). Four dedup
+families, each a ``queries()`` entry with an exact DuckDB oracle:
+
+- ``dedup_exact``         — hash-groupBy on md5(text); emits the full
+  doc→canonical mapping (never empty, scales as one shuffle).
+- ``dedup_minhash_lsh``   — 3-word shingles → 12 seeded-md5 MinHashes
+  → 4×3 banded LSH → candidate pairs → signature-estimated AND exact
+  shingle Jaccard. Candidate generation is an equi-join on
+  ``(band_id, band_key)``; no cross product at any scale.
+- ``dedup_simhash``       — 32-bit shingle SimHash; hamming ≤ 3 pairs
+  found via the pigeonhole-halves equi-join (hamming ≤ 3 over 32 bits
+  ⇒ at least one 16-bit half identical).
+- ``dedup_embedding_1nn`` — per-vector nearest neighbor by exact-
+  decimal cosine with a near-dup flag. Brute-force is the small-SF
+  correctness baseline; the LSH-bucketed scale path lives in
+  :mod:`psd_project_spark.operators.similarity`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from psd_project_spark.functions import text as T
+from psd_project_spark.functions import vectors as V
+from psd_project_spark.sources.registry import load_table
+
+COSINE_DUP_THRESHOLD = 0.95
+
+
+# --- dedup_exact -------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → canonical doc (min doc_id among byte-identical texts)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash")
+    return d.select(
+        "doc_id",
+        "content_hash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    ).withColumn("is_dup", F.col("doc_id") != F.col("canonical_id"))
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT doc_id, content_hash,
+  min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+  count(*) OVER (PARTITION BY content_hash) AS n_copies,
+  doc_id != min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+"""
+
+
+# --- shared shingle/signature scaffolding ------------------------------------
+
+def _with_signatures(d: DataFrame) -> DataFrame:
+    return (
+        d.withColumn("_toks", F.expr(T.tokens_expr()))
+        .withColumn("_sh", F.expr(T.shingles_expr("_toks")))
+        .withColumn("_sig", F.expr(T.minhash_sig_expr("_sh")))
+        .select("doc_id", "_sh", "_sig")
+    )
+
+
+_SIG_SQL = f"""
+  SELECT doc_id, s, {T.minhash_sig_sql('s')} AS sig
+  FROM (SELECT doc_id, {T.shingles_sql('toks')} AS s
+        FROM (SELECT doc_id, {T.tokens_sql()} AS toks FROM documents))
+"""
+
+
+# --- dedup_minhash_lsh -------------------------------------------------------
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _with_signatures(load_table(spark, sf_dir, "documents"))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, {nb}), b -> struct(b AS band_id, {key} AS band_key))".format(
+                    nb=T.LSH_BANDS - 1, key=T.band_key_expr("_sig", "b")
+                )
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_sh").alias("_sha"),
+        F.col("_sig").alias("_siga"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_sh").alias("_shb"),
+        F.col("_sig").alias("_sigb"),
+    )
+    est = F.expr(T.est_jaccard_expr("_siga", "_sigb"))
+    jac = F.expr(T.exact_jaccard_expr("_sha", "_shb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(est >= F.lit(T.MINHASH_EST_THRESHOLD))
+        .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+    )
+
+
+DEDUP_MINHASH_ORACLE = f"""
+WITH sigs AS ({_SIG_SQL}),
+bands AS (
+  SELECT doc_id, b AS band_id, {T.band_key_sql('sig', 'b')} AS band_key
+  FROM sigs, generate_series(0, {T.LSH_BANDS - 1}) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+  round({T.est_jaccard_sql('sa.sig', 'sb.sig')}, 6) AS est_jaccard,
+  round({T.exact_jaccard_sql('sa.s', 'sb.s')}, 6) AS jaccard
+FROM cand c
+JOIN sigs sa ON c.doc_a = sa.doc_id
+JOIN sigs sb ON c.doc_b = sb.doc_id
+WHERE {T.est_jaccard_sql('sa.sig', 'sb.sig')} >= {T.MINHASH_EST_THRESHOLD}
+"""
+
+
+# --- dedup_simhash -----------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    half = T.SIMHASH_BITS // 2
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("_toks", F.expr(T.tokens_expr()))
+        .withColumn("_sh", F.expr(T.shingles_expr("_toks")))
+        .withColumn("simhash", F.expr(T.simhash_expr("_sh")))
+        .select(
+            "doc_id",
+            "simhash",
+            F.substring("simhash", 1, half).alias("h1"),
+            F.substring("simhash", half + 1, half).alias("h2"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    # Pigeonhole: hamming ≤ 3 over 32 bits ⇒ some 16-bit half is equal,
+    # so the candidate join is a union of two equi-joins (planned as a
+    # hash join each), never a cross product.
+    cand = (
+        a.join(
+            b,
+            (
+                (F.col("a.h1") == F.col("b.h1"))
+                | (F.col("a.h2") == F.col("b.h2"))
+            )
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.expr(T.hamming_expr("sim_a", "sim_b"))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= T.SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming")
+    )
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {T.shingles_sql('toks')} AS s
+  FROM (SELECT doc_id, {T.tokens_sql()} AS toks FROM documents)
+), simh AS (
+  SELECT doc_id, {T.simhash_sql('s')} AS simhash FROM sh
+), halves AS (
+  SELECT doc_id, simhash,
+    substr(simhash, 1, {T.SIMHASH_BITS // 2}) AS h1,
+    substr(simhash, {T.SIMHASH_BITS // 2 + 1}, {T.SIMHASH_BITS // 2}) AS h2
+  FROM simh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM halves a JOIN halves b
+    ON (a.h1 = b.h1 OR a.h2 = b.h2) AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, sim_a, sim_b,
+  {T.hamming_sql('sim_a', 'sim_b')} AS hamming
+FROM cand
+WHERE {T.hamming_sql('sim_a', 'sim_b')} <= {T.SIMHASH_MAX_HAMMING}
+"""
+
+
+# --- dedup_embedding_1nn -----------------------------------------------------
+
+def dedup_embedding_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor per vector by quantized-exact cosine + dup flag.
+
+    Brute-force pairwise (correctness baseline for small SF; the pair
+    set is broadcast-joined, cosine runs in one Arrow-batched pandas
+    UDF). The bucketed scale path is ``ann_lsh_cosine`` in
+    operators/similarity.
+    """
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("_v", F.expr(V.to_double_expr()))
+        .select("vec_id", "_v")
+    )
+    a = e.select(F.col("vec_id"), F.col("_v").alias("_va"))
+    b = e.select(F.col("vec_id").alias("nn_id"), F.col("_v").alias("_vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("nn_id"))
+        .withColumn("cosine", V.cosine_q(F.col("_va"), F.col("_vb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            "cosine",
+            (F.col("cosine") >= COSINE_DUP_THRESHOLD).alias("is_near_dup"),
+        )
+    )
+
+
+DEDUP_EMBEDDING_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+    {V.cosine_sql('a.v', 'b.v')} AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+), ranked AS (
+  SELECT vec_id, nn_id, cosine,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
+  FROM pairs
+)
+SELECT vec_id, nn_id, cosine, cosine >= {COSINE_DUP_THRESHOLD} AS is_near_dup
+FROM ranked WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_ORACLE),
+    "dedup_embedding_1nn": (dedup_embedding_1nn, DEDUP_EMBEDDING_ORACLE),
+}

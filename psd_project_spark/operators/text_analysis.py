@@ -1,0 +1,228 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Part of the LLM-data-pipeline extension surface (SURVEY.md §7 M5): the
+reference has no text layer at all, so this module is designed
+Spark-first — every operator is pure JVM expressions (split / HOFs /
+md5), no Python in the hot path, no shuffle except the final group-bys.
+
+Queries:
+
+- ``doc_stats``        — token counting + quality scoring (length,
+  type-token ratio, punctuation ratio) per document.
+- ``lang_id``          — stopword-list language identification with a
+  deterministic tie-break (the classic n-gram/wordlist heuristic;
+  scores are exact integer counts so the oracle matches bit-for-bit).
+- ``token_freq``       — corpus-level token frequencies, deterministic
+  top-100.
+- ``doc_fingerprint``  — per-doc content hash (md5), MinHash-1 (min
+  seeded-md5 over 3-word shingles — the rolling-fingerprint analog) and
+  a 32-bit shingle SimHash.
+
+All six-hundred-line SQL mirrors are generated from the same fragment
+builders in :mod:`psd_project_spark.functions.text`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psd_project_spark.functions import text as T
+from psd_project_spark.sources.registry import load_table
+
+#: (lang, stopword list) in tie-break priority order.
+LANG_STOPWORDS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "a", "of", "and", "to", "in", "is")),
+    ("de", ("der", "die", "und", "das", "ist", "nicht")),
+    ("es", ("el", "los", "de", "y", "las", "que")),
+    ("fr", ("le", "la", "et", "les", "des", "un")),
+    ("zh", ("的", "是", "在", "了", "和", "不")),
+)
+
+
+def _quoted(words: tuple[str, ...]) -> str:
+    return ", ".join("'" + w + "'" for w in words)
+
+
+def _score_expr(toks: str, words: tuple[str, ...]) -> str:
+    """Spark SQL: occurrences of any listed word in the token array."""
+    return (
+        f"aggregate({toks}, 0, (acc, x) -> acc + "
+        f"CASE WHEN x IN ({_quoted(words)}) THEN 1 ELSE 0 END)"
+    )
+
+
+def _score_sql(toks: str, words: tuple[str, ...]) -> str:
+    return (
+        f"CAST(list_sum(list_transform({toks}, x -> "
+        f"CASE WHEN x IN ({_quoted(words)}) THEN 1 ELSE 0 END)) AS BIGINT)"
+    )
+
+
+# --- doc_stats ---------------------------------------------------------------
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("_toks", F.expr(T.tokens_expr()))
+    n_tok = F.size("_toks").cast("long")
+    n_dist = F.size(F.array_distinct(F.col("_toks"))).cast("long")
+    ttr = n_dist.cast("double") / n_tok.cast("double")
+    char_sum = F.expr("aggregate(_toks, 0, (acc, x) -> acc + length(x))")
+    avg_len = char_sum.cast("double") / n_tok.cast("double")
+    punct = F.length(F.regexp_replace(F.col("text"), "[^.,!?;:]", "")).cast("long")
+    punct_ratio = punct.cast("double") / F.length("text").cast("double")
+    quality = (
+        F.least(F.lit(1.0), n_tok.cast("double") / F.lit(50.0))
+        * (F.lit(0.3) + F.lit(0.7) * ttr)
+        * (F.lit(1.0) - punct_ratio)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tok.alias("n_tokens"),
+        n_dist.alias("n_distinct_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+DOC_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, text, {T.tokens_sql()} AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang, source, text,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS char_sum,
+    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+  FROM t
+)
+SELECT doc_id, lang, source, n_tokens, n_distinct_tokens,
+  round(n_distinct_tokens / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+  round(char_sum / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+  round(n_punct / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+  round(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(50.0 AS DOUBLE))
+        * (CAST(0.3 AS DOUBLE) + CAST(0.7 AS DOUBLE)
+           * (n_distinct_tokens / CAST(n_tokens AS DOUBLE)))
+        * (CAST(1.0 AS DOUBLE) - n_punct / CAST(length(text) AS DOUBLE)), 6)
+    AS quality_score
+FROM s
+"""
+
+
+# --- lang_id -----------------------------------------------------------------
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("_toks", F.expr(T.tokens_expr()))
+    for lang, words in LANG_STOPWORDS:
+        d = d.withColumn(f"_s_{lang}", F.expr(_score_expr("_toks", words)).cast("long"))
+    langs = [lang for lang, _ in LANG_STOPWORDS]
+    pred = None
+    # Priority chain: first lang whose score >= all later langs wins.
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1:]:
+            c = F.col(f"_s_{lang}") >= F.col(f"_s_{other}")
+            cond = c if cond is None else (cond & c)
+        branch = F.when(cond, F.lit(lang))
+        pred = branch if pred is None else pred.when(cond, F.lit(lang))
+        if i == 0:
+            pred = F.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[-1]))
+    score = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        pred.alias("lang_pred"),
+        score.alias("score"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ",\n    ".join(
+        f"{_score_sql('toks', words)} AS s_{lang}" for lang, words in LANG_STOPWORDS
+    )
+    langs = [lang for lang, _ in LANG_STOPWORDS]
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1:])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {T.tokens_sql()} AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    {score_cols}
+  FROM t
+)
+SELECT doc_id, lang AS lang_label,
+  {case} AS lang_pred,
+  {greatest} AS score
+FROM s
+"""
+
+
+# --- token_freq --------------------------------------------------------------
+
+def token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.expr(T.tokens_expr())).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+TOKEN_FREQ_ORACLE = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({T.tokens_sql()}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 100
+"""
+
+
+# --- doc_fingerprint ---------------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = (
+        d.withColumn("_toks", F.expr(T.tokens_expr()))
+        .withColumn("_sh", F.expr(T.shingles_expr("_toks")))
+    )
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.expr("array_min(transform(_sh, x -> md5(x)))").alias("minhash_1"),
+        F.expr(T.simhash_expr("_sh")).alias("simhash"),
+    )
+
+
+DOC_FINGERPRINT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {T.tokens_sql()} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, text, {T.shingles_sql('toks')} AS s FROM t
+)
+SELECT doc_id,
+  md5(text) AS content_hash,
+  list_aggregate(list_transform(s, x -> md5(x)), 'min') AS minhash_1,
+  {T.simhash_sql('s')} AS simhash
+FROM sh
+"""
+
+
+QUERIES = {
+    "doc_stats": (doc_stats, DOC_STATS_ORACLE),
+    "lang_id": (lang_id, _lang_id_oracle()),
+    "token_freq": (token_freq, TOKEN_FREQ_ORACLE),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_ORACLE),
+}

@@ -1,0 +1,218 @@
+"""Streaming pipelines over the test tables (SURVEY.md §7 M3/M5).
+
+The reference's whole streaming surface — text source → parse →
+count-window → measures → stats join → alert sink
+(StreamingJob.java:428-442) — rebuilt on Structured Streaming:
+
+- ``measures_window_stream`` — S1/S2 + W1-W3 + A-M1..M6: parquet file
+  stream → stateful count-window operator → measures. Oracle-checked
+  against the same DuckDB SQL as the batch path (identical semantics
+  by design — the batch/streaming differential the reference never had).
+- ``alerts_stream``   — adds P2/P3/S3: long-form unpivot, broadcast
+  reference-stats join, alert predicate — the full reference pipeline,
+  streaming end-to-end.
+- ``events_time_windows`` — event-time extension: watermark + sliding
+  time windows over ``events.ts`` (built-in streaming DSL; the
+  reference has no event time at all, SURVEY.md §2.3).
+
+Each ``queries()`` callable runs its stream to completion into an
+in-memory sink and returns the result as a batch DataFrame, so the
+correctness driver exercises the real streaming engine (state store,
+micro-batch planner) through the same oracle gate as batch queries.
+
+Scale notes: the file source becomes Kafka in production; the memory
+sink becomes parquet/Delta. State shuffles once per micro-batch on the
+series key and stays executor-local between batches; the stats side is
+a broadcast join against a 6×|series| table (reference S3 semantics).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from psd_project_spark.config import DEFAULT_CONFIG
+from psd_project_spark.functions.measures import measures_to_long
+from psd_project_spark.operators.risk import (
+    MEASURES_WINDOW_ORACLE,
+    _alerts_oracle,
+    reference_stats,
+)
+from psd_project_spark.session import ensure_conf
+from psd_project_spark.streaming.count_window import (
+    streaming_count_window_measures,
+)
+
+_sink_ids = itertools.count()
+
+#: events.parquet schema for the file-stream source (ts read as raw
+#: nanosecond long via spark.sql.legacy.parquet.nanosAsLong).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str, table: str) -> str:
+    """The file-stream source needs a *directory*; stage one with a
+    symlink to the single parquet file (idempotent, /tmp-local)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/psd_spark_stream/{key}/{table}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/{table}.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/{table}.parquet", link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over events.parquet (S1 analog)."""
+    ensure_conf(spark)
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(_stream_dir(sf_dir, "events"))
+        .withColumnRenamed("ts", "_raw_ns")
+        .withColumn("ts", F.expr("timestamp_micros(_raw_ns DIV 1000)"))
+        .withColumn("ts_ns", F.expr("(_raw_ns DIV 1000) * 1000"))
+        .drop("_raw_ns")
+    )
+
+
+def run_stream_to_memory(result: DataFrame, mode: str = "append") -> DataFrame:
+    """Run a streaming DataFrame to completion; return the sink table."""
+    name = f"psd_sink_{next(_sink_ids)}"
+    query = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+# --- measures_window_stream --------------------------------------------------
+
+def measures_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_events(spark, sf_dir)
+    out = streaming_count_window_measures(
+        events,
+        key_cols=["user_id"],
+        order_col="event_id",
+        value_col="value",
+        window_size=DEFAULT_CONFIG.window_size,
+        digits=DEFAULT_CONFIG.measure_round_digits,
+    )
+    return run_stream_to_memory(out)
+
+
+# --- alerts_stream -----------------------------------------------------------
+
+def alerts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference pipeline, streaming: count-window measures →
+    long form → broadcast stats join → alert predicate (P2/P3/S3)."""
+    events = stream_events(spark, sf_dir)
+    measures = streaming_count_window_measures(
+        events,
+        key_cols=["user_id"],
+        order_col="event_id",
+        value_col="value",
+        window_size=DEFAULT_CONFIG.window_size,
+        digits=DEFAULT_CONFIG.measure_round_digits,
+    )
+    long = measures_to_long(measures, ["user_id", "seq"])
+    stats = reference_stats(spark, sf_dir)  # static side → broadcast
+    joined = long.join(F.broadcast(stats), on=["user_id", "measure"], how="inner")
+    thresh = DEFAULT_CONFIG.alert_threshold
+    alerts = joined.filter(
+        (F.col("value") < F.col("ref_value"))
+        & (
+            (F.col("ref_value") - F.col("value"))
+            / (F.lit(1.0) + F.col("ref_value"))
+            >= F.lit(thresh)
+        )
+    ).select(
+        "user_id",
+        "seq",
+        "measure",
+        F.col("value").alias("measure_value"),
+        "ref_value",
+    )
+    return run_stream_to_memory(alerts)
+
+
+# --- events_time_windows (event-time extension) ------------------------------
+
+def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min, slide 5 min) with watermark:
+    per-window event counts and value sums per event_type."""
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(27,15)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    # complete mode: with availableNow the watermark never advances past
+    # the final batch, so append would hold the last windows in state
+    # forever; complete emits every window when the finite source drains.
+    return run_stream_to_memory(agg, mode="complete")
+
+
+EVENTS_TIME_WINDOWS_ORACLE = """
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+), w AS (
+  SELECT event_type, value, s AS bucket_start
+  FROM e, LATERAL (
+    VALUES (CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP)),
+           (CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - 300) AS TIMESTAMP))
+  ) AS g(s)
+  WHERE ts >= s AND ts < s + INTERVAL 10 MINUTE
+)
+SELECT bucket_start AS window_start,
+       bucket_start + INTERVAL 10 MINUTE AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_value
+FROM w
+GROUP BY bucket_start, event_type
+"""
+
+
+QUERIES = {
+    "measures_window_stream": (measures_window_stream, MEASURES_WINDOW_ORACLE),
+    "alerts_stream": (alerts_stream, _alerts_oracle()),
+    "events_time_windows": (events_time_windows, EVENTS_TIME_WINDOWS_ORACLE),
+}
