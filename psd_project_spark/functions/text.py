@@ -40,9 +40,6 @@ SHINGLE_K = 3
 MINHASH_EST_THRESHOLD = 0.5
 JACCARD_THRESHOLD = 0.8
 
-_HI_HEX = "('8','9','a','b','c','d','e','f')"
-
-
 # --- tokens / shingles -------------------------------------------------------
 
 def tokens_expr(text_col: str = "text") -> str:
@@ -75,36 +72,66 @@ def shingles_sql(toks: str, k: int = SHINGLE_K) -> str:
     )
 
 
-# --- MinHash signatures ------------------------------------------------------
+# --- 32-bit feature hashing + MinHash signatures -----------------------------
+#
+# One md5 per feature, reduced to a 32-bit int (first 8 hex chars);
+# the K MinHash components are universal-hash transforms of that int:
+#     h_k = (A_k·h + B_k) mod HASH_M
+# This replaces the earlier per-seed re-hash (K md5 per feature) that
+# made signature computation K× more expensive; the constants are
+# deterministic (md5-derived) and inlined into both engines. A_k < 2^20
+# and h < 2^32 keep every product < 2^52 — exact in int64 (and in
+# numpy int64 on the Spark side).
 
-def minhash_sig_expr(shingles: str, k: int = MINHASH_K) -> str:
-    """Spark SQL: K seeded-md5 min-hashes (lexicographic min of hex)."""
+HASH_M = 4_294_967_311  # prime > 2^32
+
+
+def _hash_constants(k: int) -> tuple[list[int], list[int]]:
+    a, b = [], []
+    for i in range(k):
+        a.append(int(hashlib.md5(f"mh_a_{i}".encode()).hexdigest()[:5], 16) | 1)
+        b.append(int(hashlib.md5(f"mh_b_{i}".encode()).hexdigest()[:5], 16))
+    return a, b
+
+
+HASH_A, HASH_B = _hash_constants(MINHASH_K)
+
+
+def feature_hash32(feature: str) -> int:
+    """Python reference of the shared 32-bit feature hash."""
+    return int(hashlib.md5(feature.encode()).hexdigest()[:8], 16)
+
+
+def hints_sql(features: str) -> str:
+    """DuckDB: features → 32-bit ints (identical to feature_hash32)."""
     return (
-        f"transform(sequence(0, {k - 1}), s -> "
-        f"array_min(transform({shingles}, x -> md5(concat(cast(s as string), ':', x)))))"
+        f"list_transform({features}, fh_x -> "
+        f"('0x' || substr(md5(fh_x), 1, 8))::BIGINT)"
     )
 
 
-def minhash_sig_sql(shingles: str, k: int = MINHASH_K) -> str:
-    # Lambda vars deliberately obscure: DuckDB lambda parameters shadow
-    # same-named columns of the enclosing query.
-    return (
-        f"list_transform(generate_series(0, {k - 1}), mh_k -> "
-        f"list_aggregate(list_transform({shingles}, mh_x -> md5(mh_k::VARCHAR || ':' || mh_x)), 'min'))"
+def minhash_sig_sql(hints: str, k: int = MINHASH_K) -> str:
+    """DuckDB: K universal-hash minima over the feature-hash list."""
+    comps = ", ".join(
+        f"list_aggregate(list_transform({hints}, mh_h -> "
+        f"({HASH_A[i]} * mh_h + {HASH_B[i]}) % {HASH_M}), 'min')"
+        for i in range(k)
     )
+    return f"[{comps}]"
 
 
 def band_key_expr(sig: str, band: str, rows: int = LSH_ROWS) -> str:
     """Spark SQL: md5 over one band's signature slice. ``band`` is 0-based."""
     parts = " , '|', ".join(
-        f"element_at({sig}, {band} * {rows} + {j + 1})" for j in range(rows)
+        f"cast(element_at({sig}, {band} * {rows} + {j + 1}) as string)"
+        for j in range(rows)
     )
     return f"md5(concat({parts}))"
 
 
 def band_key_sql(sig: str, band: str, rows: int = LSH_ROWS) -> str:
     parts = " || '|' || ".join(
-        f"{sig}[{band} * {rows} + {j + 1}]" for j in range(rows)
+        f"{sig}[{band} * {rows} + {j + 1}]::VARCHAR" for j in range(rows)
     )
     return f"md5({parts})"
 
@@ -143,23 +170,16 @@ def exact_jaccard_sql(sha: str, shb: str) -> str:
 
 
 # --- SimHash -----------------------------------------------------------------
+# Bit j of the signature is the majority vote of bit j of the 32-bit
+# feature hashes: '1' iff 2·|{h : (h >> j) & 1 = 1}| > |features|
+# (equivalently, sign of the ±1 sum). One md5 per feature total — the
+# earlier per-(bit, feature) md5 formulation cost 32× more.
 
-def simhash_expr(features: str, bits: int = SIMHASH_BITS) -> str:
-    """Spark SQL: bit j = sign of Σ_feature (±1 by md5 hex digit j)."""
+def simhash_sql(hints: str, bits: int = SIMHASH_BITS) -> str:
     return (
-        f"concat_ws('', transform(sequence(1, {bits}), j -> "
-        f"CASE WHEN aggregate({features}, 0, (acc, x) -> acc + "
-        f"CASE WHEN substring(md5(x), j, 1) IN {_HI_HEX} THEN 1 ELSE -1 END) > 0 "
-        f"THEN '1' ELSE '0' END))"
-    )
-
-
-def simhash_sql(features: str, bits: int = SIMHASH_BITS) -> str:
-    return (
-        f"array_to_string(list_transform(generate_series(1, {bits}), j -> "
-        f"CASE WHEN list_sum(list_transform({features}, x -> "
-        f"CASE WHEN substr(md5(x), j, 1) IN {_HI_HEX} THEN 1 ELSE -1 END)) > 0 "
-        f"THEN '1' ELSE '0' END), '')"
+        f"array_to_string(list_transform(generate_series(0, {bits - 1}), j -> "
+        f"CASE WHEN 2 * list_sum(list_transform({hints}, sh_h -> (sh_h >> j) & 1)) "
+        f"> len({hints}) THEN '1' ELSE '0' END), '')"
     )
 
 

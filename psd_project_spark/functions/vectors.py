@@ -102,6 +102,45 @@ def cosine_sql(va: str, vb: str, dim: int = EMB_DIM) -> str:
     return f"floor(({cos}) * {CSCALE} + 0.5) / {CSCALE}"
 
 
+def make_nn_kernel(index_df, dup_threshold: float = 0.95):
+    """Block-nested-loop 1-NN kernel for ``mapInPandas``.
+
+    Collects the index side once (driver-side, broadcast via closure —
+    the legitimate "small side" of the join; shard by bucket before
+    calling this at scale) and scans each Arrow batch against it with
+    the quantized-exact cosine. Tie-break: highest rounded cosine, then
+    lowest neighbor id — identical to the oracle's
+    ``ORDER BY cosine DESC, nn_id``.
+    """
+    rows = index_df.collect()
+    idx_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    m = np.asarray([list(r[1]) for r in rows], dtype=np.float64)  # (N, dim)
+    sq_m = _q(m * m).sum(axis=1).astype(np.float64) / QSCALE  # exact norms²
+    order = np.argsort(idx_ids, kind="stable")
+    idx_ids, m, sq_m = idx_ids[order], m[order], sq_m[order]
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            a = _stack(pdf.iloc[:, 1])
+            sq_a = _q(a * a).sum(axis=1).astype(np.float64) / QSCALE
+            out = []
+            for i in range(len(ids)):
+                # term-quantized exact dot of row i against the block
+                dots = _q(a[i][None, :] * m).sum(axis=1).astype(np.float64) / QSCALE
+                cos = dots / (np.sqrt(sq_a[i]) * np.sqrt(sq_m))
+                cos_r = np.floor(cos * CSCALE + 0.5) / CSCALE
+                mask = idx_ids != ids[i]
+                best = np.max(cos_r[mask])
+                nn = idx_ids[mask][cos_r[mask] == best].min()
+                out.append((int(ids[i]), int(nn), float(best), bool(best >= dup_threshold)))
+            yield pd.DataFrame(
+                out, columns=["vec_id", "nn_id", "cosine", "is_near_dup"]
+            )
+
+    return kernel
+
+
 def make_bucket_udf(planes: list[list[float]]):
     """Pandas UDF: LSH bucket key — one sign bit per ±1 hyperplane,
     decided on the quantized-integer dot so both engines agree."""

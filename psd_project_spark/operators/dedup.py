@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from psd_project_spark.functions import text as T
 from psd_project_spark.functions import vectors as V
-from psd_project_spark.sources.registry import load_table
+from psd_project_spark.functions.text_udfs import minhash_sig_udf, simhash_udf
+from psd_project_spark.sources.registry import load_table, spread_small
 
 COSINE_DUP_THRESHOLD = 0.95
 
@@ -57,26 +58,28 @@ FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
 
 # --- shared shingle/signature scaffolding ------------------------------------
 
-def _with_signatures(d: DataFrame) -> DataFrame:
+def _with_signatures(d: DataFrame, spark: SparkSession) -> DataFrame:
     return (
-        d.withColumn("_toks", F.expr(T.tokens_expr()))
+        spread_small(d, spark)
+        .withColumn("_toks", F.expr(T.tokens_expr()))
         .withColumn("_sh", F.expr(T.shingles_expr("_toks")))
-        .withColumn("_sig", F.expr(T.minhash_sig_expr("_sh")))
+        .withColumn("_sig", minhash_sig_udf(F.col("_sh")))
         .select("doc_id", "_sh", "_sig")
     )
 
 
 _SIG_SQL = f"""
-  SELECT doc_id, s, {T.minhash_sig_sql('s')} AS sig
-  FROM (SELECT doc_id, {T.shingles_sql('toks')} AS s
-        FROM (SELECT doc_id, {T.tokens_sql()} AS toks FROM documents))
+  SELECT doc_id, s, {T.minhash_sig_sql('hints')} AS sig
+  FROM (SELECT doc_id, s, {T.hints_sql('s')} AS hints
+        FROM (SELECT doc_id, {T.shingles_sql('toks')} AS s
+              FROM (SELECT doc_id, {T.tokens_sql()} AS toks FROM documents)))
 """
 
 
 # --- dedup_minhash_lsh -------------------------------------------------------
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _with_signatures(load_table(spark, sf_dir, "documents"))
+    sigs = _with_signatures(load_table(spark, sf_dir, "documents"), spark)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -146,10 +149,10 @@ WHERE {T.est_jaccard_sql('sa.sig', 'sb.sig')} >= {T.MINHASH_EST_THRESHOLD}
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = T.SIMHASH_BITS // 2
     d = (
-        load_table(spark, sf_dir, "documents")
+        spread_small(load_table(spark, sf_dir, "documents"), spark)
         .withColumn("_toks", F.expr(T.tokens_expr()))
         .withColumn("_sh", F.expr(T.shingles_expr("_toks")))
-        .withColumn("simhash", F.expr(T.simhash_expr("_sh")))
+        .withColumn("simhash", simhash_udf(F.col("_sh")))
         .select(
             "doc_id",
             "simhash",
@@ -157,27 +160,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("simhash", half + 1, half).alias("h2"),
         )
     )
-    a, b = d.alias("a"), d.alias("b")
-    # Pigeonhole: hamming ≤ 3 over 32 bits ⇒ some 16-bit half is equal,
-    # so the candidate join is a union of two equi-joins (planned as a
-    # hash join each), never a cross product.
-    cand = (
-        a.join(
-            b,
-            (
-                (F.col("a.h1") == F.col("b.h1"))
-                | (F.col("a.h2") == F.col("b.h2"))
+    d = d.cache()  # tiny (one row per doc); read by both half-joins
+    # Pigeonhole: hamming ≤ 3 over 32 bits ⇒ some 16-bit half is equal.
+    # MUST be a union of two *equi*-joins: an OR-of-equalities join
+    # condition degenerates to a nested-loop cross product in any
+    # planner (25M pair evaluations at 5k docs; quadratic at scale).
+    def _half_join(col: str):
+        a, b = d.alias("a"), d.alias("b")
+        return (
+            a.join(b, F.col(f"a.{col}") == F.col(f"b.{col}"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sim_a"),
+                F.col("b.simhash").alias("sim_b"),
             )
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
-    )
+
+    cand = _half_join("h1").unionByName(_half_join("h2")).distinct()
     ham = F.expr(T.hamming_expr("sim_a", "sim_b"))
     return (
         cand.withColumn("hamming", ham.cast("long"))
@@ -191,7 +192,7 @@ WITH sh AS (
   SELECT doc_id, {T.shingles_sql('toks')} AS s
   FROM (SELECT doc_id, {T.tokens_sql()} AS toks FROM documents)
 ), simh AS (
-  SELECT doc_id, {T.simhash_sql('s')} AS simhash FROM sh
+  SELECT doc_id, {T.simhash_sql(T.hints_sql('s'))} AS simhash FROM sh
 ), halves AS (
   SELECT doc_id, simhash,
     substr(simhash, 1, {T.SIMHASH_BITS // 2}) AS h1,
@@ -215,34 +216,24 @@ WHERE {T.hamming_sql('sim_a', 'sim_b')} <= {T.SIMHASH_MAX_HAMMING}
 def dedup_embedding_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest neighbor per vector by quantized-exact cosine + dup flag.
 
-    Brute-force pairwise (correctness baseline for small SF; the pair
-    set is broadcast-joined, cosine runs in one Arrow-batched pandas
-    UDF). The bucketed scale path is ``ann_lsh_cosine`` in
-    operators/similarity.
+    Brute-force all-pairs is the correctness baseline — but done the
+    scalable way: the *index side* is collected once (it is the
+    broadcast side of a block-nested-loop; ~0.5 MB per 2k × 64-dim
+    block) and each partition scans its own rows against it in numpy
+    via ``mapInPandas``. No 4M-row pair materialization, no Arrow
+    shuffle of duplicated vectors, no window — the earlier
+    crossJoin+window form moved ~4 GB through Arrow for sf0.1. At real
+    scale the index side is sharded by IVF/LSH bucket first
+    (``ann_lsh_cosine``) and this kernel runs per bucket.
     """
     e = (
         load_table(spark, sf_dir, "embeddings")
         .withColumn("_v", F.expr(V.to_double_expr()))
         .select("vec_id", "_v")
     )
-    a = e.select(F.col("vec_id"), F.col("_v").alias("_va"))
-    b = e.select(F.col("vec_id").alias("nn_id"), F.col("_v").alias("_vb"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("vec_id") != F.col("nn_id"))
-        .withColumn("cosine", V.cosine_q(F.col("_va"), F.col("_vb")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
-    return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "vec_id",
-            "nn_id",
-            "cosine",
-            (F.col("cosine") >= COSINE_DUP_THRESHOLD).alias("is_near_dup"),
-        )
-    )
+    kernel = V.make_nn_kernel(e)
+    out_schema = "vec_id long, nn_id long, cosine double, is_near_dup boolean"
+    return spread_small(e, spark).mapInPandas(kernel, schema=out_schema)
 
 
 DEDUP_EMBEDDING_ORACLE = f"""

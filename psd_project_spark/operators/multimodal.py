@@ -1,0 +1,204 @@
+"""Multimodal (binary) column operators — LLM-pipeline extension.
+
+Images/audio/video are **opaque ``binary`` columns with typed
+metadata**; all Spark-side plumbing here is real (schema, Arrow batch
+transfer, ``mapInPandas`` signatures, partition-preserving plans) while
+the actual media decode is STUBBED — the container has no image/audio
+libraries, so the decoder falls back to a deterministic fake (clearly
+marked below) and raises ``NotImplementedError`` if a real codec path
+is requested.
+
+The test corpus has no binary table, so ``media_catalog`` manufactures
+one deterministically from ``documents`` (UTF-8 payload standing in
+for encoded media; metadata derived from doc_id) — the point is the
+column/typing/plumbing discipline, not the pixels.
+
+Queries:
+
+- ``media_catalog``  — binary payload + typed metadata projection;
+  exact DuckDB oracle (encode/octet_length/md5 agree on blobs).
+- ``media_features`` — Arrow-batched ``mapInPandas`` "decode +
+  feature-extract" over the binary column. Deterministic fake decoder
+  ⇒ reproducible output, but byte-level feature math is not
+  SQL-expressible, so this entry has **no oracle** (driver records the
+  weaker rows-only check, as the contract allows for such ops).
+- ``frame_sample``   — fixed-stride "frame sampling": slices the
+  payload into frame-sized chunks and emits every k-th chunk with its
+  index + md5 — the exact plumbing a video pipeline needs (explode of
+  per-frame rows, stable ordering), with byte-slicing standing in for
+  codec frame extraction. Exact DuckDB oracle over blob slices.
+
+Scale notes (100 TB of media): payloads stay in executor memory one
+Arrow batch at a time (``mapInPandas`` streams batches; never collect);
+metadata-only queries prune the payload column at the parquet scan
+(check ``ReadSchema`` — that's why metadata lives in top-level columns,
+not inside the blob). Feature extraction is embarrassingly parallel;
+partitioning by source file keeps locality.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from psd_project_spark.sources.registry import load_table
+
+#: Fake media geometry derived from doc_id (deterministic, oracle-able).
+_W_MOD, _H_MOD = 640, 480
+
+#: Frame sampling parameters: frame size in bytes, take every k-th frame.
+FRAME_BYTES = 32
+FRAME_STRIDE = 4
+
+
+def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media table: opaque binary payload + typed metadata."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.lit("image/fake").alias("media_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        (F.col("doc_id") % _W_MOD + 1).cast("int").alias("width"),
+        (F.col("doc_id") % _H_MOD + 1).cast("int").alias("height"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+MEDIA_CATALOG_ORACLE = f"""
+SELECT doc_id,
+  'image/fake' AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(doc_id % {_W_MOD} + 1 AS INT) AS width,
+  CAST(doc_id % {_H_MOD} + 1 AS INT) AS height,
+  md5(text) AS payload_md5
+FROM documents
+"""
+# (DuckDB md5 only takes VARCHAR; it hashes the UTF-8 bytes, which are
+# exactly the encode() payload Spark hashes.)
+
+
+# --- media_features (mapInPandas, STUBBED decoder) ---------------------------
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("last_byte", IntegerType()),
+        StructField("byte_sum_mod", LongType()),
+        StructField("payload_md5", StringType()),
+    ]
+)
+
+
+def _decode_media(payload: bytes, codec: str = "fake") -> bytes:
+    """STUB — media decode. The container ships no image/audio codecs.
+
+    ``codec='fake'`` returns the payload unchanged (deterministic fake
+    decode); any real codec raises until a decoder library is wired in.
+    """
+    if codec == "fake":
+        return payload
+    raise NotImplementedError(
+        f"media codec {codec!r} requires an image/audio library that is "
+        "not available in this environment; plug one in here."
+    )
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction over the binary column."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = _decode_media(bytes(payload))
+            rows.append(
+                (
+                    int(doc_id),
+                    len(raw),
+                    raw[0] if raw else None,
+                    raw[-1] if raw else None,
+                    int(sum(raw) % 997),
+                    hashlib.md5(raw).hexdigest(),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
+        )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return media.mapInPandas(_extract_features, schema=FEATURES_SCHEMA)
+
+
+# --- frame_sample ------------------------------------------------------------
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ``FRAME_STRIDE``-th ``FRAME_BYTES``-sized payload slice.
+
+    Byte slicing stands in for codec frame extraction; the plumbing
+    (per-frame explode with stable frame indexes, per-frame hashes) is
+    the real thing. Pure JVM expressions — no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("_payload")
+    ).withColumn("_n_frames", F.ceil(F.octet_length("_payload") / F.lit(FRAME_BYTES)))
+    frames = media.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, cast(_n_frames - 1 as int), {FRAME_STRIDE})")
+        ).alias("frame_idx"),
+        F.col("_payload"),
+    )
+    chunk = F.expr(f"substring(_payload, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length(chunk).cast("long").alias("frame_bytes"),
+        F.md5(chunk).alias("frame_md5"),
+    )
+
+
+# DuckDB substring/md5 only take VARCHAR; the corpus is pure ASCII
+# (octet_length == length for every doc, all SFs), so character slices
+# of ``text`` are byte-identical to Spark's binary payload slices.
+FRAME_SAMPLE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, text AS payload,
+         CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
+  FROM documents
+), f AS (
+  SELECT doc_id, payload,
+    CAST(unnest(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS INT) AS frame_idx
+  FROM m
+)
+SELECT doc_id, frame_idx,
+  CAST(octet_length(encode(substring(payload, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))) AS BIGINT) AS frame_bytes,
+  md5(substring(payload, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM f
+"""
+
+
+QUERIES = {
+    "media_catalog": (media_catalog, MEDIA_CATALOG_ORACLE),
+    "media_features": (media_features, None),
+    "frame_sample": (frame_sample, FRAME_SAMPLE_ORACLE),
+}

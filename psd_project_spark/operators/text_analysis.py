@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from psd_project_spark.functions import text as T
-from psd_project_spark.sources.registry import load_table
+from psd_project_spark.functions.text_udfs import minhash_sig_udf, simhash_udf
+from psd_project_spark.sources.registry import load_table, spread_small
 
 #: (lang, stopword list) in tie-break priority order.
 LANG_STOPWORDS: tuple[tuple[str, tuple[str, ...]], ...] = (
@@ -62,7 +63,7 @@ def _score_sql(toks: str, words: tuple[str, ...]) -> str:
 # --- doc_stats ---------------------------------------------------------------
 
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small(load_table(spark, sf_dir, "documents"), spark)
     d = d.withColumn("_toks", F.expr(T.tokens_expr()))
     n_tok = F.size("_toks").cast("long")
     n_dist = F.size(F.array_distinct(F.col("_toks"))).cast("long")
@@ -193,16 +194,17 @@ LIMIT 100
 # --- doc_fingerprint ---------------------------------------------------------
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small(load_table(spark, sf_dir, "documents"), spark)
     d = (
         d.withColumn("_toks", F.expr(T.tokens_expr()))
         .withColumn("_sh", F.expr(T.shingles_expr("_toks")))
+        .withColumn("_sig", minhash_sig_udf(F.col("_sh")))
     )
     return d.select(
         "doc_id",
         F.md5("text").alias("content_hash"),
-        F.expr("array_min(transform(_sh, x -> md5(x)))").alias("minhash_1"),
-        F.expr(T.simhash_expr("_sh")).alias("simhash"),
+        F.element_at("_sig", 1).alias("minhash_1"),
+        simhash_udf(F.col("_sh")).alias("simhash"),
     )
 
 
@@ -211,12 +213,14 @@ WITH t AS (
   SELECT doc_id, text, {T.tokens_sql()} AS toks FROM documents
 ), sh AS (
   SELECT doc_id, text, {T.shingles_sql('toks')} AS s FROM t
+), h AS (
+  SELECT doc_id, text, {T.hints_sql('s')} AS hints FROM sh
 )
 SELECT doc_id,
   md5(text) AS content_hash,
-  list_aggregate(list_transform(s, x -> md5(x)), 'min') AS minhash_1,
-  {T.simhash_sql('s')} AS simhash
-FROM sh
+  ({T.minhash_sig_sql('hints')})[1] AS minhash_1,
+  {T.simhash_sql('hints')} AS simhash
+FROM h
 """
 
 

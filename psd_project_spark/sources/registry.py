@@ -55,6 +55,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition a small (often single-file → single-partition) input
+    so per-row-expensive work (signature UDFs, hashing) uses every core.
+    One tiny round-robin shuffle; at real scale inputs already arrive
+    in many partitions and this is a no-op decision for the caller."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register all tables as temp views for ``spark.sql`` queries."""
     for name in tables:

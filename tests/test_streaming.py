@@ -1,0 +1,70 @@
+"""Batch-vs-streaming differential + CSV source semantics tests.
+
+The differential (SURVEY.md §5.2-3) is the test the reference never
+had: the streaming count-window operator must reproduce the batch
+window oracle row-for-row, bit-for-bit.
+"""
+
+import os
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _sorted_frame(df):
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_stream_matches_batch_windowed_measures(spark):
+    from psd_project_spark.operators.risk import measures_window
+    from psd_project_spark.streaming.jobs import measures_window_stream
+
+    batch = _sorted_frame(measures_window(spark, SF_DIR))
+    stream = _sorted_frame(measures_window_stream(spark, SF_DIR))
+    assert list(batch.columns) == list(stream.columns)
+    assert len(batch) == len(stream) > 0
+    for c in batch.columns:
+        assert (batch[c].astype(str).values == stream[c].astype(str).values).all(), c
+
+
+def test_csv_source_drops_malformed(spark, tmp_path):
+    from psd_project_spark.sources.samples_csv import (
+        count_malformed,
+        read_samples_csv,
+        with_portfolio,
+    )
+
+    p = tmp_path / "samples.csv"
+    rows = [
+        "r1,r2,r3,r4,r5,r6",                      # header → dropped
+        "0.01,0.02,0.03,0.04,0.05,0.06",
+        "0.1,-0.2,0.3,bad,0.5,0.6",               # junk field → dropped
+        "-0.01,-0.02,-0.03,-0.04,-0.05,-0.06",
+        "not,a,row,at,all,nope",                  # junk line → dropped
+        "0.0,0.0,0.0,0.0,0.0,0.0",
+    ]
+    p.write_text("\n".join(rows) + "\n")
+    df = read_samples_csv(spark, str(p))
+    got = df.collect()
+    assert len(got) == 3
+    assert count_malformed(spark, str(p)) == 3
+    port = with_portfolio(df).select("portfolio").collect()
+    vals = sorted(round(r.portfolio, 9) for r in port)
+    # weights (.2,.2,.2,.15,.15,.1) · rows above
+    assert vals == [-0.0315, 0.0, 0.0315]
+
+
+def test_streaming_csv_source(spark, tmp_path):
+    from psd_project_spark.sources.samples_csv import stream_samples_csv
+    from psd_project_spark.streaming.jobs import run_stream_to_memory
+
+    d = tmp_path / "stream_src"
+    os.makedirs(d)
+    (d / "part1.csv").write_text(
+        "0.01,0.02,0.03,0.04,0.05,0.06\njunk,x,y,z,w,v\n0.2,0.1,0.0,-0.1,-0.2,0.3\n"
+    )
+    out = run_stream_to_memory(stream_samples_csv(spark, str(d)))
+    assert out.count() == 2
