@@ -79,7 +79,9 @@ _SIG_SQL = f"""
 # --- dedup_minhash_lsh -------------------------------------------------------
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _with_signatures(load_table(spark, sf_dir, "documents"), spark)
+    # cache: the signature table feeds band explosion AND both sides of
+    # the pair join — without it the signature UDF would run 3×.
+    sigs = _with_signatures(load_table(spark, sf_dir, "documents"), spark).cache()
     bands = sigs.select(
         "doc_id",
         F.explode(

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from psd_project_spark.functions import text as T
 from psd_project_spark.functions import vectors as V
-from psd_project_spark.sources.registry import load_table
+from psd_project_spark.sources.registry import load_table, spread_small
 
 #: Fixed query set and result size.
 N_QUERIES = 5
@@ -35,7 +35,7 @@ PLANES = T.hyperplane_signs(V.N_PLANES, V.EMB_DIM)
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "embeddings")
+        spread_small(load_table(spark, sf_dir, "embeddings"), spark)
         .withColumn("_v", F.expr(V.to_double_expr()))
         .select("vec_id", "label", "_v")
     )
@@ -44,7 +44,9 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- knn_cosine (brute-force baseline) ---------------------------------------
 
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embeddings(spark, sf_dir)
+    # cache: e feeds both the probe side and the broadcast query side;
+    # without it every action re-runs the scan+widen pipeline twice.
+    e = _embeddings(spark, sf_dir).cache()
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("_v").alias("_vq"),
@@ -86,7 +88,12 @@ _bucket_udf = V.make_bucket_udf(PLANES)
 
 
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embeddings(spark, sf_dir).withColumn("bucket", _bucket_udf(F.col("_v")))
+    # cache: the bucketed table feeds both join sides; uncached, the
+    # bucket UDF re-runs for every downstream action/stage (measured
+    # 3× wall-clock at sf0.1).
+    e = _embeddings(spark, sf_dir).withColumn(
+        "bucket", _bucket_udf(F.col("_v"))
+    ).cache()
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("_v").alias("_vq"),

@@ -100,10 +100,44 @@ def compute_measures_sorted(xs: list[float], digits: int | None) -> dict[str, fl
     return out
 
 
+def _measures_vectorized(windows_sorted, digits: int | None):
+    """All six measures over rows of pre-sorted windows — vectorized.
+
+    Every sum is ``np.cumsum`` (verified exactly equal to a sequential
+    left-to-right fold for float64), so each row reproduces
+    :func:`compute_measures_sorted` bit-for-bit at numpy speed.
+    """
+    import numpy as np
+
+    s = windows_sorted  # (rows, n) ascending
+    n = s.shape[1]
+    csum = np.cumsum(s, axis=1)
+    total = csum[:, -1]
+    mean = total / float(n)
+    if n % 2 == 0:
+        median = (s[:, n // 2 - 1] + s[:, n // 2]) / 2
+    else:
+        median = s[:, (n - 1) // 2]
+    q10 = s[:, n // 10]
+    k = max(n // 10, 1)
+    tail_mean = csum[:, k - 1] / float(k)
+    sm1 = mean - np.cumsum(np.abs(s - mean[:, None]), axis=1)[:, -1] / (2.0 * n)
+    w = (2.0 * np.arange(1, n + 1) - (n + 1)).astype(np.float64)
+    sm2 = mean - np.cumsum(w[None, :] * s, axis=1)[:, -1] / float(n * n)
+    cols = [mean, median, q10, tail_mean, sm1, sm2]
+    if digits is not None:
+        cols = [
+            np.asarray([_round_half_up(float(v), digits) for v in c]) for c in cols
+        ]
+    return cols
+
+
 def count_window_state_handler(
     window_size: int, digits: int | None, out_cols: list[str]
 ):
     """Build the applyInPandasWithState handler (one key = one series)."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
 
     def handler(
         key: tuple,
@@ -114,20 +148,34 @@ def count_window_state_handler(
             buf, seq = list(state.get[0]), int(state.get[1])
         else:
             buf, seq = [], 0
-        rows = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values("_order")  # per-key arrival order
-            for v in pdf["_value"].astype(float).to_list():
-                buf.append(v)
-                if len(buf) > window_size:
-                    buf.pop(0)
-                seq += 1
-                if seq >= window_size:  # warm-up gate (W3)
-                    m = compute_measures_sorted(sorted(buf), digits)
-                    rows.append((*key, seq, *[m[f] for f in MEASURE_FIELDS]))
+            vals = pdf["_value"].to_numpy(dtype=np.float64)
+            if vals.size == 0:
+                continue
+            full = np.concatenate([np.asarray(buf, dtype=np.float64), vals])
+            new_seq = seq + vals.size
+            buf = full[-(window_size - 1):].tolist() if window_size > 1 else []
+            if new_seq >= window_size:
+                # one row per arrival whose window is complete
+                wins = sliding_window_view(full, window_size)
+                # window ending at arrival t (1-based seq) is row
+                # t - (seq - len(buf_pre)) ... simpler: last windows
+                n_emit = new_seq - max(seq, window_size - 1)
+                wins = wins[-n_emit:]
+                seqs = np.arange(new_seq - n_emit + 1, new_seq + 1)
+                ms = _measures_vectorized(np.sort(wins, axis=1), digits)
+                out = pd.DataFrame(
+                    {
+                        **{c: [key[i]] * n_emit for i, c in enumerate(out_cols[: len(key)])},
+                        out_cols[len(key)]: seqs,
+                    }
+                )
+                for name, col in zip(MEASURE_FIELDS, ms):
+                    out[name] = col
+                yield out[out_cols]
+            seq = new_seq
         state.update((buf, seq))
-        if rows:
-            yield pd.DataFrame(rows, columns=out_cols)
 
     return handler
 
