@@ -1,0 +1,139 @@
+"""Scalar-function battery: JSON / date / string / distinct operators.
+
+SURVEY.md §2.9 lists these as absent from the reference but part of the
+driver-contract extension surface. Everything is built-in Catalyst
+(whole-stage codegen; no UDFs), each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psd_project_spark.sources.registry import load_table
+
+_DEC = "decimal(27,15)"
+
+
+# --- JSON extraction (events.props) ------------------------------------------
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` column, extract ``$.k``, aggregate per
+    event_type — scan-side JSON path evaluation, no intermediate
+    materialization."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(
+                F.sum(F.col("k").cast(_DEC)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_k"),
+        )
+    )
+
+
+JSON_PROPS_ORACLE = """
+SELECT event_type, count(*) AS n,
+  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+  round(CAST(sum(CAST(CAST(json_extract(props, '$.k') AS INT) AS DECIMAL(27,15))) AS DOUBLE)
+        / count(*), 6) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- date functions ----------------------------------------------------------
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: year/month/quarter extraction + date_trunc."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .withColumn("order_month", F.month("o_orderdate").cast("int"))
+        .withColumn("order_quarter", F.quarter("o_orderdate").cast("int"))
+        .groupBy("order_year", "order_quarter", "order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"), 6
+            ).alias("total_price"),
+            F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+        )
+    )
+
+
+ORDERS_BY_MONTH_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_price,
+       min(date_trunc('month', o_orderdate)) AS month_start
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+# --- string functions --------------------------------------------------------
+
+def customer_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/substring/length/regexp/concat battery over customer names,
+    LIKE-filtered — all codegen string expressions."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_name").like("Customer%"))
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.length("c_name").cast("int").alias("name_len"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+            F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey")).alias("seg_key"),
+        )
+    )
+
+
+CUSTOMER_NAME_ORACLE = """
+SELECT c_custkey,
+  upper(c_name) AS name_upper,
+  CAST(length(c_name) AS INT) AS name_len,
+  substring(c_name, 1, 8) AS name_prefix,
+  coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
+  concat_ws('-', c_mktsegment, c_custkey) AS seg_key
+FROM customer
+WHERE c_name LIKE 'Customer%'
+"""
+
+
+# --- distinct aggregation ----------------------------------------------------
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (expands to a two-phase plan
+    under Catalyst; approx_count_distinct is the sketch variant for
+    100 TB, not oracle-comparable)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+DISTINCT_USERS_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "json_props_stats": (json_props_stats, JSON_PROPS_ORACLE),
+    "orders_by_month": (orders_by_month, ORDERS_BY_MONTH_ORACLE),
+    "customer_name_parse": (customer_name_parse, CUSTOMER_NAME_ORACLE),
+    "distinct_users_per_type": (distinct_users_per_type, DISTINCT_USERS_ORACLE),
+}

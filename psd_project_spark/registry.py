@@ -21,6 +21,7 @@ _MODULES = (
     "psd_project_spark.operators.dedup",
     "psd_project_spark.operators.similarity",
     "psd_project_spark.operators.multimodal",
+    "psd_project_spark.operators.scalar_functions",
     "psd_project_spark.streaming.jobs",
 )
 

@@ -30,6 +30,15 @@ DYNAMIC_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Background state-store snapshot maintenance defaults to every 60s
+    # and causes multi-second stalls mid-benchmark; hourly is plenty for
+    # short-lived local runs (production streams tune per workload).
+    "spark.sql.streaming.stateStore.maintenanceInterval": "3600s",
+    # Leaked reused Python workers spin on their socket after heavy
+    # pandas-UDF / stateful-streaming use (observed ~30% system CPU and
+    # scheduler starvation after ~30 queries in one session); idle
+    # workers are reaped instead of pooled forever.
+    "spark.python.worker.idleTimeoutSeconds": "30",
 }
 
 
