@@ -146,6 +146,33 @@ WHERE {T.est_jaccard_sql('sa.sig', 'sb.sig')} >= {T.MINHASH_EST_THRESHOLD}
 """
 
 
+# --- dedup_ngram_jaccard -----------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs ≥ 0.8.
+
+    The candidate set comes from the banded-LSH join (never all-pairs);
+    this operator is the *verify* stage: exact set Jaccard over the
+    distinct shingle arrays of each candidate pair. Split from
+    ``dedup_minhash_lsh`` so the estimate-only and exact-verify
+    pipelines are separately usable (at 100 TB you often stop at the
+    estimate for recall-oriented dedup and verify only borderline
+    pairs).
+    """
+    jac = F.col("jaccard")
+    return (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(jac >= T.JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DEDUP_NGRAM_JACCARD_ORACLE = f"""
+SELECT doc_a, doc_b, jaccard FROM ({DEDUP_MINHASH_ORACLE})
+WHERE jaccard >= {T.JACCARD_THRESHOLD}
+"""
+
+
 # --- dedup_simhash -----------------------------------------------------------
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,6 +285,7 @@ FROM ranked WHERE rn = 1
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_ORACLE),
     "dedup_embedding_1nn": (dedup_embedding_1nn, DEDUP_EMBEDDING_ORACLE),
 }

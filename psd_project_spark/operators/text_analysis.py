@@ -70,6 +70,11 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr = n_dist.cast("double") / n_tok.cast("double")
     char_sum = F.expr("aggregate(_toks, 0, (acc, x) -> acc + length(x))")
     avg_len = char_sum.cast("double") / n_tok.cast("double")
+    # BPE-ish subword segmentation: letter runs / digit runs / single
+    # marks — the regex stand-in for a learned tokenizer's pre-split.
+    subword = F.size(
+        F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+    ).cast("long")
     punct = F.length(F.regexp_replace(F.col("text"), "[^.,!?;:]", "")).cast("long")
     punct_ratio = punct.cast("double") / F.length("text").cast("double")
     quality = (
@@ -82,6 +87,7 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         n_tok.alias("n_tokens"),
+        subword.alias("n_subword_tokens"),
         n_dist.alias("n_distinct_tokens"),
         F.round(ttr, 6).alias("ttr"),
         F.round(avg_len, 6).alias("avg_token_len"),
@@ -96,12 +102,14 @@ WITH t AS (
 ), s AS (
   SELECT doc_id, lang, source, text,
     CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+      AS n_subword_tokens,
     CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
     CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS char_sum,
     CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
   FROM t
 )
-SELECT doc_id, lang, source, n_tokens, n_distinct_tokens,
+SELECT doc_id, lang, source, n_tokens, n_subword_tokens, n_distinct_tokens,
   round(n_distinct_tokens / CAST(n_tokens AS DOUBLE), 6) AS ttr,
   round(char_sum / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
   round(n_punct / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,

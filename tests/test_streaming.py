@@ -57,6 +57,43 @@ def test_csv_source_drops_malformed(spark, tmp_path):
     assert vals == [-0.0315, 0.0, 0.0315]
 
 
+def test_alert_parquet_sink(spark, tmp_path):
+    """S4: the alert stream lands in a real (parquet) sink and reads
+    back as a normal table — replaces the reference's print-and-
+    reparse round trip (postProcessing/load.py)."""
+    from psd_project_spark.config import DEFAULT_CONFIG
+    from psd_project_spark.streaming.count_window import (
+        streaming_count_window_measures,
+    )
+    from psd_project_spark.streaming.jobs import stream_events
+
+    out_dir = str(tmp_path / "alerts_parquet")
+    ckpt = str(tmp_path / "ckpt")
+    measures = streaming_count_window_measures(
+        stream_events(spark, SF_DIR),
+        key_cols=["user_id"],
+        order_col="event_id",
+        value_col="value",
+        window_size=DEFAULT_CONFIG.window_size,
+        digits=DEFAULT_CONFIG.measure_round_digits,
+    )
+    q = (
+        measures.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    from psd_project_spark.operators.risk import measures_window
+
+    batch = measures_window(spark, SF_DIR)
+    assert back.count() == batch.count() > 0
+    assert sorted(back.columns) == sorted(batch.columns)
+
+
 def test_streaming_csv_source(spark, tmp_path):
     from psd_project_spark.sources.samples_csv import stream_samples_csv
     from psd_project_spark.streaming.jobs import run_stream_to_memory
