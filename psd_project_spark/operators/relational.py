@@ -413,6 +413,157 @@ GROUP BY user_id, session_id
 """
 
 
+# --- grouping sets (beyond cube/rollup: arbitrary group combinations) --------
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status, priority), (status), ()) in one pass —
+    Catalyst expands to a single Expand + partial/final agg, one
+    shuffle regardless of how many sets are requested (vs N separate
+    groupBys = N shuffles)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(_dsum(F.col("o_totalprice")), 6).alias("total_price"),
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+# --- pivot (wide conditional aggregation) ------------------------------------
+
+def pivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: total order value per priority × status. The
+    explicit value list ('F','O','P') matters at scale — without it
+    Spark runs an extra distinct-collect job over the pivot column."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(_dsum(F.col("o_totalprice")), 6))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").alias("total_F"),
+        F.col("O").alias("total_O"),
+        F.col("P").alias("total_P"),
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 6) AS total_F,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 6) AS total_O,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 6) AS total_P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- keep-latest dedup (training-pipeline staple) ----------------------------
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest deduplication: one row per user — the most recent
+    event (ties broken by event_id). row_number over (key, time DESC)
+    is the scalable form of `dropDuplicates` with an ordering
+    guarantee: one shuffle on user_id, no global sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("event_id").alias("last_event_id"),
+                "ts_ns", "event_type", "value")
+    )
+
+
+LATEST_EVENT_ORACLE = """
+SELECT user_id, event_id AS last_event_id, ts_ns, event_type, value
+FROM (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# --- interval (range) join ---------------------------------------------------
+
+HOUR_NS = 3_600_000_000_000
+
+
+def views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for each purchase, the count/value of the same
+    user's view events in the preceding hour [ts−1h, ts).
+
+    Plan shape that survives scale: the equality key (user_id) carries
+    the shuffle; the range predicate evaluates post-join inside the
+    hash/sort-merge join — never a cross product. If one user is a
+    whale, AQE skew-split handles it; the further scale lever is
+    bucketing both sides by (user_id, coarse time bucket) so the range
+    overlap becomes part of the join key."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_ns").alias("p_ns"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts_ns").alias("v_ns"),
+        F.col("value").alias("v_value"),
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ns") >= F.col("p_ns") - F.lit(HOUR_NS))
+        & (F.col("v_ns") < F.col("p_ns")),
+        "left",
+    )
+    return joined.groupBy("user_id", "purchase_id").agg(
+        F.count(F.col("v_ns")).alias("n_views_1h"),
+        F.coalesce(
+            F.round(_dsum(F.col("v_value")), 6), F.lit(0.0)
+        ).alias("view_value_1h"),
+    )
+
+
+VIEWS_BEFORE_PURCHASE_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type, value FROM events
+),
+p AS (SELECT user_id, event_id AS purchase_id, ts_ns AS p_ns
+      FROM e WHERE event_type = 'purchase'),
+v AS (SELECT user_id AS v_user, ts_ns AS v_ns, value AS v_value
+      FROM e WHERE event_type = 'view')
+SELECT p.user_id, p.purchase_id,
+       count(v.v_ns) AS n_views_1h,
+       coalesce(round(CAST(sum(CAST(v.v_value AS DECIMAL(27,15))) AS DOUBLE), 6), 0.0)
+         AS view_value_1h
+FROM p LEFT JOIN v
+  ON p.user_id = v.v_user
+ AND v.v_ns >= p.p_ns - {HOUR_NS}
+ AND v.v_ns < p.p_ns
+GROUP BY p.user_id, p.purchase_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "top_orders_by_revenue": (top_orders_by_revenue, TOP_ORDERS_ORACLE),
@@ -425,4 +576,8 @@ QUERIES = {
     "running_user_spend": (running_user_spend, RUNNING_ORACLE),
     "purchases_asof_views": (purchases_asof_views, ASOF_ORACLE),
     "sessionize_events": (sessionize_events, SESSIONIZE_ORACLE),
+    "grouping_sets_orders": (grouping_sets_orders, GROUPING_SETS_ORACLE),
+    "pivot_status_totals": (pivot_status_totals, PIVOT_ORACLE),
+    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_ORACLE),
+    "views_before_purchase": (views_before_purchase, VIEWS_BEFORE_PURCHASE_ORACLE),
 }

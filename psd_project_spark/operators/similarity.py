@@ -144,7 +144,115 @@ FROM ranked WHERE rank <= {ANN_TOP_K}
 """
 
 
+# --- ivf_ann_cosine (coarse-quantizer cells + multi-probe) -------------------
+
+#: IVF codebook size and probe width. Centroids are the first N_CELLS
+#: data vectors — a deterministic stand-in for a trained k-means
+#: codebook (training is offline in a real IVF build; the query-time
+#: plumbing — assign, probe, cell-local search — is identical and is
+#: what this operator exercises).
+N_CELLS = 16
+N_PROBE = 4
+
+
+def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: every vector is assigned to its nearest of
+    ``N_CELLS`` centroids (one broadcast of a 16-row codebook — never a
+    shuffle of the data side); each query probes its ``N_PROBE``
+    nearest cells and searches only those cells via an equi-join on
+    cell id. Complements ``ann_lsh_cosine``: IVF recall degrades
+    gracefully with nprobe, and at 100 TB the cell id becomes the
+    partition/bucket key so a probe touches only nprobe/ncells of the
+    data (partition pruning on the candidate scan).
+    """
+    e = _embeddings(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("_v").alias("_vc")
+    )
+    # cache: ranked feeds both the cell assignment (rank 1, all rows)
+    # and the query probe list (rank <= N_PROBE) — without it the
+    # N×16 cosine pass runs once per side.
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", V.cosine_q(F.col("_vc"), F.col("_v")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("ccos").desc(), F.col("cid")
+                )
+            ),
+        )
+        .select("vec_id", "_v", "cid", "crank")
+        .cache()
+    )
+    cells = ranked.filter(F.col("crank") == 1).select("vec_id", "_v", "cid")
+    probes = (
+        ranked.filter(
+            (F.col("crank") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("_v").alias("_vq"),
+            F.col("cid").alias("qcid"),
+        )
+    )
+    cand = (
+        cells.join(
+            F.broadcast(probes),
+            (F.col("cid") == F.col("qcid"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", V.cosine_q(F.col("_vq"), F.col("_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cid").alias("cell"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {N_CELLS}
+), ranked AS (
+  SELECT e.vec_id, e.v, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {V.cosine_sql('c.vc', 'e.v')} DESC, c.cid)
+      AS crank
+  FROM e CROSS JOIN c
+), cells AS (
+  SELECT vec_id, v, cid FROM ranked WHERE crank = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS vq, cid AS qcid
+  FROM ranked WHERE crank <= {N_PROBE} AND vec_id < {N_QUERIES}
+), cand AS (
+  SELECT p.query_id, cells.vec_id AS neighbor_id, cells.cid AS cell,
+    {V.cosine_sql('p.vq', 'cells.v')} AS cosine
+  FROM cells JOIN probes p
+    ON cells.cid = p.qcid AND cells.vec_id != p.query_id
+), out AS (
+  SELECT query_id, neighbor_id, cell, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cell, cosine, rank FROM out
+WHERE rank <= {ANN_TOP_K}
+"""
+
+
 QUERIES = {
     "knn_cosine": (knn_cosine, KNN_ORACLE),
     "ann_lsh_cosine": (ann_lsh_cosine, ANN_ORACLE),
+    "ivf_ann_cosine": (ivf_ann_cosine, IVF_ORACLE),
 }

@@ -211,8 +211,40 @@ GROUP BY bucket_start, event_type
 """
 
 
+# --- streaming dedup ---------------------------------------------------------
+
+def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication + aggregation: drop repeat
+    (user_id, event_type) pairs as they arrive (keyed dedup state),
+    then count distinct users per type. The batch-equivalent answer is
+    ``count(DISTINCT user_id)`` — the differential the oracle checks.
+
+    State note: plain ``dropDuplicates`` keeps every seen key forever;
+    the production form for unbounded keys is
+    ``dropDuplicatesWithinWatermark`` (bounded state, same plan
+    otherwise). The test tables replay a finite month of events, where
+    the unbounded variant is the exact-semantics choice.
+    """
+    events = stream_events(spark, sf_dir)
+    dedup = events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    agg = dedup.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return run_stream_to_memory(agg, mode="complete")
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "measures_window_stream": (measures_window_stream, MEASURES_WINDOW_ORACLE),
     "alerts_stream": (alerts_stream, _alerts_oracle()),
     "events_time_windows": (events_time_windows, EVENTS_TIME_WINDOWS_ORACLE),
+    "stream_dedup_users": (stream_dedup_users, STREAM_DEDUP_ORACLE),
 }
