@@ -564,8 +564,67 @@ GROUP BY p.user_id, p.purchase_id
 """
 
 
+# --- q5_local_supplier_volume (TPC-H Q5 shape: 6-table join) -----------------
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the customer and the
+    supplier share a nation, restricted to one region and one year.
+
+    Plan shape for 100 TB: the only big⋈big join is lineitem⋈orders
+    (shuffle on orderkey, AQE-sized); supplier, customer, nation,
+    region are all broadcast — four dim joins with zero shuffles. The
+    c_nationkey = s_nationkey correlation rides along as a post-join
+    filter on already-broadcast columns, so Catalyst never plans a
+    second big shuffle for it. Filters (region name, date year) are
+    pushed into the scans before any join."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(_dsum(revenue), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_ORACLE),
     "top_orders_by_revenue": (top_orders_by_revenue, TOP_ORDERS_ORACLE),
     "region_nation_rollup": (region_nation_rollup, ROLLUP_ORACLE),
     "cube_orders": (cube_orders, CUBE_ORACLE),

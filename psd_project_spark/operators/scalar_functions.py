@@ -131,8 +131,25 @@ GROUP BY event_type
 """
 
 
+# --- sketch aggregation (approximate, rows-only check) -----------------------
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch COUNT(DISTINCT): constant memory per group
+    (vs the exact variant's two-phase expand+dedup shuffle), which is
+    the form that survives 100 TB / billions of distinct keys. rsd=0.5%
+    ⇒ a few KB of sketch per group. No DuckDB oracle — sketch estimates
+    are implementation-specific; tests/test_properties.py pins the
+    relative error against the exact count instead."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.005).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
     "json_props_stats": (json_props_stats, JSON_PROPS_ORACLE),
+    "approx_distinct_users": (approx_distinct_users, None),
     "orders_by_month": (orders_by_month, ORDERS_BY_MONTH_ORACLE),
     "customer_name_parse": (customer_name_parse, CUSTOMER_NAME_ORACLE),
     "distinct_users_per_type": (distinct_users_per_type, DISTINCT_USERS_ORACLE),

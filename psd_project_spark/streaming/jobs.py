@@ -242,9 +242,76 @@ GROUP BY event_type
 """
 
 
+# --- streaming session windows -----------------------------------------------
+
+SESSION_GAP = "30 minutes"
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user on the event stream —
+    ``session_window(ts, 30 min)``: consecutive events merge while the
+    gap stays under 30 minutes; the window end is last-event + gap.
+    The native streaming counterpart of the batch ``sessionize_events``
+    (lag + conditional cumsum): here the state store does the island
+    merging, keyed by user_id, so it parallelizes across executors and
+    handles out-of-order arrivals within the watermark.
+
+    Session-split semantics note: ``session_window`` starts a new
+    session when the gap is ≥ the threshold (windows [t, t+gap) merge
+    only on strict overlap); the batch variant splits on > — the oracle
+    mirrors each exactly.
+    """
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(27,15)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(agg, mode="complete")
+
+
+STREAM_SESSIONS_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, value FROM events
+), lagd AS (
+  SELECT *, lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns) AS prev
+  FROM e
+), marked AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts_ns - prev >= {SESSION_GAP_NS}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM lagd
+), sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       make_timestamp(min(ts_ns) // 1000) AS session_start,
+       make_timestamp((max(ts_ns) + {SESSION_GAP_NS}) // 1000) AS session_end,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "measures_window_stream": (measures_window_stream, MEASURES_WINDOW_ORACLE),
     "alerts_stream": (alerts_stream, _alerts_oracle()),
     "events_time_windows": (events_time_windows, EVENTS_TIME_WINDOWS_ORACLE),
     "stream_dedup_users": (stream_dedup_users, STREAM_DEDUP_ORACLE),
+    "stream_session_windows": (stream_session_windows, STREAM_SESSIONS_ORACLE),
 }

@@ -59,3 +59,26 @@ def test_vectorized_matches_scalar(xs):
         assert col[0] == ref[f] or (math.isnan(col[0]) and math.isnan(ref[f])), (
             f, col[0], ref[f],
         )
+
+
+def test_approx_distinct_within_rsd(spark):
+    """The HLL++ sketch estimate stays within 5×rsd of the exact
+    count per group (rsd=0.5% ⇒ 2.5% tolerance — generous vs the
+    sketch's 1-sigma bound, so the test is stall-proof)."""
+    from psd_project_spark.operators.scalar_functions import (
+        approx_distinct_users,
+        distinct_users_per_type,
+    )
+    from tests.conftest import SF_DIR
+
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in approx_distinct_users(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in distinct_users_per_type(spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.025 * n), (k, approx[k], n)
