@@ -622,8 +622,67 @@ ORDER BY revenue DESC, n_name
 """
 
 
+# --- q17_small_quantity_revenue (correlated scalar subquery, decorrelated) ---
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity is below
+    20% of that part's average quantity, per brand of PROMO parts.
+
+    The textbook form is a correlated scalar subquery
+    (``l_quantity < (SELECT 0.2*avg(l_quantity) ... WHERE l_partkey =
+    outer.l_partkey)``). Decorrelated here as a window aggregate over
+    l_partkey — ONE shuffle of lineitem, versus the naive
+    aggregate-then-self-join's two passes. The 20%-of-average
+    threshold compares as exact integers (5·n·q < Σq — quantities are
+    integral), so no float-division drift between engines. part is a
+    broadcast dim join after the filter has already shrunk lineitem."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    w = Window.partitionBy("l_partkey")
+    stats = l.select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.sum(F.col("l_quantity").cast("bigint")).over(w).alias("_sum_q"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    small = stats.filter(
+        F.col("l_quantity").cast("bigint") * F.lit(5) * F.col("_n")
+        < F.col("_sum_q")
+    )
+    joined = small.join(F.broadcast(p), small.l_partkey == p.p_partkey)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(_dsum(F.col("l_extendedprice")), 6).alias(
+                "small_qty_revenue"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q17_ORACLE = """
+WITH stats AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+         sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS sum_q,
+         count(*) OVER (PARTITION BY l_partkey) AS n
+  FROM lineitem
+)
+SELECT p_brand, count(*) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,15))) AS DOUBLE), 6)
+         AS small_qty_revenue
+FROM stats JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'PROMO' AND CAST(l_quantity AS BIGINT) * 5 * n < sum_q
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_ORACLE),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_ORACLE),
     "top_orders_by_revenue": (top_orders_by_revenue, TOP_ORDERS_ORACLE),
     "region_nation_rollup": (region_nation_rollup, ROLLUP_ORACLE),
