@@ -63,7 +63,7 @@ def test_vectorized_matches_scalar(xs):
 
 def test_approx_distinct_within_rsd(spark):
     """The HLL++ sketch estimate stays within 5×rsd of the exact
-    count per group (rsd=0.5% ⇒ 2.5% tolerance — generous vs the
+    count per group (rsd=1% ⇒ 5% tolerance — generous vs the
     sketch's 1-sigma bound, so the test is stall-proof)."""
     from psd_project_spark.operators.scalar_functions import (
         approx_distinct_users,
@@ -81,4 +81,4 @@ def test_approx_distinct_within_rsd(spark):
     }
     assert set(approx) == set(exact)
     for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(1, 0.025 * n), (k, approx[k], n)
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
