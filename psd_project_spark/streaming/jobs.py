@@ -308,10 +308,78 @@ GROUP BY user_id, sid
 """
 
 
+# --- stream-stream join ------------------------------------------------------
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range: every
+    (purchase, view) pair where the same user's view happened in the
+    hour before the purchase.
+
+    Both sides carry watermarks and the join condition bounds the two
+    event times against each other — that's what lets the state store
+    evict buffered rows once the watermark passes (purchase rows wait
+    ≤1 h of event time for late views, views are dropped once no future
+    purchase can reach back to them). Without the time bound the join
+    would be correct but its state unbounded — the difference between
+    a demo and something that survives an infinite stream. The batch
+    interval join (``views_before_purchase``) is the same relation
+    aggregated; here the oracle checks the raw pair stream."""
+    p = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    v = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") < F.col("p_ts")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.expr("unix_micros(p_ts) - unix_micros(v_ts)").alias("lag_us"),
+    )
+    return run_stream_to_memory(joined, mode="append")
+
+
+STREAM_STREAM_JOIN_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id AS v_user, event_id AS view_id, ts AS v_ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id, p.purchase_id, v.view_id,
+       epoch_us(p.p_ts) - epoch_us(v.v_ts) AS lag_us
+FROM p JOIN v
+  ON p.user_id = v.v_user
+ AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+ AND v.v_ts < p.p_ts
+"""
+
+
 QUERIES = {
     "measures_window_stream": (measures_window_stream, MEASURES_WINDOW_ORACLE),
     "alerts_stream": (alerts_stream, _alerts_oracle()),
     "events_time_windows": (events_time_windows, EVENTS_TIME_WINDOWS_ORACLE),
     "stream_dedup_users": (stream_dedup_users, STREAM_DEDUP_ORACLE),
     "stream_session_windows": (stream_session_windows, STREAM_SESSIONS_ORACLE),
+    "stream_stream_join": (stream_stream_join, STREAM_STREAM_JOIN_ORACLE),
 }
