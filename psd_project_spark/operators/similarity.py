@@ -5,12 +5,11 @@ LLM-data-pipeline extension surface (SURVEY.md §7 M5):
 - ``knn_cosine``      — brute-force top-k cosine for a fixed query set;
   exact baseline. The query side is tiny and broadcast; the data side
   streams through one scan (no shuffle of the big side).
-- ``ann_lsh_cosine``  — the scale path: 8 deterministic ±1 random
-  hyperplanes hash every vector to a 256-way bucket; candidates are an
-  equi-join on the bucket key (IVF-style probe of the query's own
-  bucket). Recall is partial by construction — the tradeoff the judge
-  should see documented: probe more buckets (multi-probe on hamming-1
-  neighbors) to raise recall without ever going quadratic.
+- ``ann_lsh_cosine``  — the scale path: banded random-hyperplane LSH
+  (8 bands × 4 sign bits, OR across bands); candidates are an
+  equi-join on (band, band-key), deduped as id-pairs before any vector
+  is carried. Recall is tunable via the band/bit S-curve and pinned by
+  ``tests/test_ann_quality.py`` against the brute-force truth.
 
 Cosine uses exact-decimal summation (functions/vectors.py), so results
 are bit-identical to the DuckDB oracle.
@@ -29,9 +28,6 @@ from psd_project_spark.sources.registry import load_table, spread_small
 N_QUERIES = 5
 TOP_K = 10
 ANN_TOP_K = 5
-
-PLANES = T.hyperplane_signs(V.N_PLANES, V.EMB_DIM)
-
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -82,28 +78,64 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-# --- ann_lsh_cosine (bucketed scale path) ------------------------------------
+# --- ann_lsh_cosine (banded LSH, the scale path) -----------------------------
 
-_bucket_udf = V.make_bucket_udf(PLANES)
+#: Banded random-hyperplane LSH (OR-construction): N_BANDS independent
+#: bands of BAND_BITS sign bits; a pair becomes a candidate if ANY band
+#: matches. Candidate probability for angle θ is 1-(1-p^r)^B with
+#: p = 1-θ/π — the classic S-curve. A single 8-bit signature (the
+#: previous design) has p^8 ≈ 2% recall on this corpus's weakly
+#: correlated vectors (top-10 cosine ≈ 0.24-0.40 ⇒ p ≈ 0.6); 8 bands
+#: of 4 bits lift measured recall@10 to ~0.7 while probing under half
+#: the corpus. At 100 TB, r (bits per band) grows with log(corpus) to
+#: hold candidate counts flat, and (band, bkey) becomes the storage
+#: bucket key so each probe is partition-pruned.
+N_BANDS = 8
+BAND_BITS = 4
+
+SIG_PLANES = T.hyperplane_signs(N_BANDS * BAND_BITS, V.EMB_DIM)
+
+_sig_udf = V.make_bucket_udf(SIG_PLANES)
 
 
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cache: the bucketed table feeds both join sides; uncached, the
-    # bucket UDF re-runs for every downstream action/stage (measured
-    # 3× wall-clock at sf0.1).
+    """Banded-LSH ANN, in the shape that scales: (1) signature + band
+    explode, (2) band-key equi-join → DISTINCT candidate id-pairs (no
+    vectors carried through the explode/join — the wide payload never
+    multiplies), (3) fetch vectors for the surviving pairs and rank by
+    exact cosine."""
+    # cache: the signed table feeds the band explode twice (data +
+    # query sides) and the vector fetch; uncached, the signature UDF
+    # re-runs per action (measured 3× wall-clock at sf0.1).
     e = _embeddings(spark, sf_dir).withColumn(
-        "bucket", _bucket_udf(F.col("_v"))
+        "sig", _sig_udf(F.col("_v"))
     ).cache()
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("_v").alias("_vq"),
-        F.col("bucket").alias("qbucket"),
+    bands = F.array(
+        *[
+            F.substring("sig", 1 + BAND_BITS * b, BAND_BITS)
+            for b in range(N_BANDS)
+        ]
+    )
+    eb = e.select("vec_id", F.posexplode(bands).alias("band", "bkey"))
+    qb = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bkey"
+    )
+    pairs = (
+        eb.join(F.broadcast(qb), ["band", "bkey"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
     )
     cand = (
-        e.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
+        pairs.join(e.select("vec_id", "_v"), "vec_id")
+        .join(
+            F.broadcast(
+                e.filter(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("_v").alias("_vq"),
+                )
+            ),
+            "query_id",
         )
         .withColumn("cosine", V.cosine_q(F.col("_vq"), F.col("_v")))
     )
@@ -114,7 +146,6 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            "bucket",
             "cosine",
             "rank",
         )
@@ -124,22 +155,31 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
-), n AS (
-  SELECT vec_id, v, {V.bucket_sql('v', PLANES)} AS bucket FROM e
-), q AS (
-  SELECT vec_id AS query_id, v AS vq, bucket AS qbucket
-  FROM n WHERE vec_id < {N_QUERIES}
+), sigs AS (
+  SELECT vec_id, v, {V.bucket_sql('v', SIG_PLANES)} AS sig FROM e
+), bands AS (
+  SELECT vec_id, g.b AS band, substring(sig, 1 + {BAND_BITS} * g.b, {BAND_BITS}) AS bkey
+  FROM sigs, generate_series(0, {N_BANDS - 1}) AS g(b)
+), qb AS (
+  SELECT vec_id AS query_id, band, bkey FROM bands WHERE vec_id < {N_QUERIES}
+), pairs AS (
+  SELECT DISTINCT qb.query_id, bands.vec_id
+  FROM bands JOIN qb
+    ON bands.band = qb.band AND bands.bkey = qb.bkey
+   AND bands.vec_id != qb.query_id
 ), cand AS (
-  SELECT q.query_id, n.vec_id AS neighbor_id, n.bucket,
-    {V.cosine_sql('q.vq', 'n.v')} AS cosine
-  FROM n JOIN q ON n.bucket = q.qbucket AND n.vec_id != q.query_id
+  SELECT p.query_id, p.vec_id AS neighbor_id,
+    {V.cosine_sql('q.v', 'd.v')} AS cosine
+  FROM pairs p
+  JOIN sigs d ON d.vec_id = p.vec_id
+  JOIN sigs q ON q.vec_id = p.query_id
 ), ranked AS (
-  SELECT query_id, neighbor_id, bucket, cosine,
+  SELECT query_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY query_id
                        ORDER BY cosine DESC, neighbor_id) AS rank
   FROM cand
 )
-SELECT query_id, neighbor_id, bucket, cosine, rank
+SELECT query_id, neighbor_id, cosine, rank
 FROM ranked WHERE rank <= {ANN_TOP_K}
 """
 
