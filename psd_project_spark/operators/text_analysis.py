@@ -177,6 +177,53 @@ FROM s
 """
 
 
+# --- corpus_quality_filter ---------------------------------------------------
+
+#: Keep thresholds for the filter stage (tuned so the sf corpus splits
+#: meaningfully: ~70% kept at sf0.01).
+MIN_TOKENS = 20
+MIN_QUALITY = 0.5
+
+
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data pipeline stage: score every document
+    (``doc_stats``), keep those above the length/quality bar, report
+    per-language survivor counts, token yield, and mean quality.
+
+    Built by composing the ``doc_stats`` operator — one extra filter +
+    one aggregation on top of the same plan, no recomputation, and the
+    oracle wraps the doc_stats SQL as a CTE so the two stay in lockstep
+    by construction. At 100 TB this whole pipeline is one scan: the
+    scoring expressions are scan-side projections, the filter cuts
+    before any shuffle, and only the tiny per-language rollup moves."""
+    s = doc_stats(spark, sf_dir)
+    kept = s.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("quality_score") >= MIN_QUALITY)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(27,15)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )
+
+
+CORPUS_FILTER_ORACLE = f"""
+WITH stats AS ({DOC_STATS_ORACLE})
+SELECT lang, count(*) AS n_docs_kept,
+       sum(n_tokens) AS total_tokens,
+       round(CAST(sum(CAST(quality_score AS DECIMAL(27,15))) AS DOUBLE)
+             / count(*), 6) AS avg_quality
+FROM stats
+WHERE n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
+GROUP BY lang
+"""
+
+
 # --- token_freq --------------------------------------------------------------
 
 def token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +281,7 @@ FROM h
 
 QUERIES = {
     "doc_stats": (doc_stats, DOC_STATS_ORACLE),
+    "corpus_quality_filter": (corpus_quality_filter, CORPUS_FILTER_ORACLE),
     "lang_id": (lang_id, _lang_id_oracle()),
     "token_freq": (token_freq, TOKEN_FREQ_ORACLE),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_ORACLE),
