@@ -94,18 +94,44 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_stream_to_memory(result: DataFrame, mode: str = "append") -> DataFrame:
-    """Run a streaming DataFrame to completion; return the sink table."""
+#: State-partition count for stateful streaming queries. A stateful
+#: operator pays a fixed per-partition price every micro-batch (state
+#: store open/snapshot/commit; 4 stores per partition for a
+#: stream-stream join), so the partition count must be sized to state
+#: VOLUME, not to CPU count: measured at sf0.1, 8 partitions beat the
+#: session's 32 by 1.2-3.3× across every stateful query here. At real
+#: scale the same rule sizes partitions UP (~state_bytes / 100 MB per
+#: partition). Pinned per-query because a stateful query's
+#: partitioning is frozen into its checkpoint anyway.
+STATE_PARTITIONS = 8
+
+
+def run_stream_to_memory(
+    result: DataFrame,
+    mode: str = "append",
+    state_partitions: int | None = STATE_PARTITIONS,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion; return the sink table.
+
+    ``spark.sql.shuffle.partitions`` is overridden around ``start()``
+    (the value is captured at stream planning) and restored after."""
+    spark = result.sparkSession
     name = f"psd_sink_{next(_sink_ids)}"
-    query = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return result.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 # --- measures_window_stream --------------------------------------------------
@@ -310,10 +336,6 @@ GROUP BY user_id, sid
 
 # --- stream-stream join ------------------------------------------------------
 
-#: State-partition count for the stream-stream join (see docstring).
-STREAM_JOIN_PARTITIONS = 8
-
-
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with an event-time range: every
     (purchase, view) pair where the same user's view happened in the
@@ -331,15 +353,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two measured plan decisions: both sides branch from ONE source
     stream (the micro-batch scans the files once, not twice), and the
-    join runs at STREAM_JOIN_PARTITIONS rather than the session
-    default — a stream-stream join keeps FOUR state stores per
-    partition, and their per-partition snapshot/commit overhead
-    dominates until each partition carries well over ~10⁴ buffered
-    rows (32→8 partitions measured 6.7 s→2.0 s at sf0.1). At real
-    scale the same rule sizes the partition count UP from state
-    volume (~state_bytes / 100 MB per partition), not from CPU count;
-    the knob is pinned at the query because a stateful query's
-    partitioning is frozen into its checkpoint anyway."""
+    join runs at STATE_PARTITIONS (see ``run_stream_to_memory``) — a
+    stream-stream join keeps FOUR state stores per partition, making
+    it the most sensitive query to per-partition state overhead
+    (32→8 partitions measured 6.7 s→2.0 s at sf0.1)."""
     ev = stream_events(spark, sf_dir)
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -370,12 +387,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         F.expr("unix_micros(p_ts) - unix_micros(v_ts)").alias("lag_us"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_JOIN_PARTITIONS))
-    try:
-        return run_stream_to_memory(joined, mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return run_stream_to_memory(joined, mode="append")
 
 
 STREAM_STREAM_JOIN_ORACLE = """
