@@ -680,8 +680,39 @@ ORDER BY p_brand
 """
 
 
+# --- q4_order_priority (raw SQL entry point + EXISTS subquery) ---------------
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape, run through the engine's SQL entry point
+    (``register_views`` + ``spark.sql`` — the same ANSI text the DuckDB
+    oracle runs). The correlated EXISTS plans as a left SEMI join on
+    l_orderkey with the l_shipdate > o_orderdate correlation as a join
+    residual: lineitem is never widened or aggregated, the semi join
+    short-circuits on first match, and the date filter prunes orders at
+    the scan before the shuffle."""
+    from psd_project_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(Q4_SQL)
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_ORACLE),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_ORACLE),
     "top_orders_by_revenue": (top_orders_by_revenue, TOP_ORDERS_ORACLE),
