@@ -710,8 +710,112 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q4_SQL)
 
 
+# --- full outer join ----------------------------------------------------------
+
+def nation_accounts_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer vs supplier account balances via FULL OUTER
+    join — keeps nations that have only customers or only suppliers
+    (the rows inner/left would drop). Both sides pre-aggregate to one
+    row per nation BEFORE the join, so the full-outer matches tiny
+    inputs regardless of the base tables' size — aggregate-then-join
+    is the shape that scales, join-then-aggregate is not."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(_dsum(F.col("c_acctbal")), 6).alias("cust_balance"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(_dsum(F.col("s_acctbal")), 6).alias("supp_balance"),
+        )
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("cust_balance"), F.lit(0.0)).alias("cust_balance"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+            F.coalesce(F.col("supp_balance"), F.lit(0.0)).alias("supp_balance"),
+        )
+    )
+
+
+FULL_OUTER_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+         round(CAST(sum(CAST(c_acctbal AS DECIMAL(27,15))) AS DOUBLE), 6) AS cust_balance
+  FROM customer GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+         round(CAST(sum(CAST(s_acctbal AS DECIMAL(27,15))) AS DOUBLE), 6) AS supp_balance
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(cust_balance, 0.0) AS cust_balance,
+       coalesce(n_suppliers, 0) AS n_suppliers,
+       coalesce(supp_balance, 0.0) AS supp_balance
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+# --- distribution windows (ntile / percent_rank / cume_dist) ------------------
+
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: decile (ntile), percent_rank and
+    cume_dist of each order's total price within its priority class,
+    rolled up to per-(priority, decile) stats. One shuffle on the
+    partition key; ties broken by o_orderkey so every engine ranks
+    identically."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(_dsum(F.col("o_totalprice")), 6).alias("total_price"),
+        F.round(F.max("pr"), 6).alias("max_percent_rank"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )
+
+
+DECILES_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER w AS decile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderpriority, decile, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_price,
+       round(max(pr), 6) AS max_percent_rank,
+       round(max(cd), 6) AS max_cume_dist
+FROM ranked
+GROUP BY o_orderpriority, decile
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "nation_accounts_full_outer": (nation_accounts_full_outer, FULL_OUTER_ORACLE),
+    "order_value_deciles": (order_value_deciles, DECILES_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_ORACLE),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_ORACLE),
