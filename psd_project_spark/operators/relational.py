@@ -812,10 +812,94 @@ GROUP BY o_orderpriority, decile
 """
 
 
+# --- lead/lag (inter-row deltas) ---------------------------------------------
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer via ``lag``, rolled
+    up to per-customer gap statistics. One shuffle on o_custkey serves
+    both the window and the groupBy (same key ⇒ Catalyst reuses the
+    partitioning, no second exchange)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
+ORDER_GAPS_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey, count(*) AS n_gaps,
+       round(avg(gap_days), 6) AS avg_gap_days,
+       max(gap_days) AS max_gap_days
+FROM gaps
+WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+# --- RANGE-frame window (time-based trailing aggregate) ----------------------
+
+_HOUR_NS = 3_600_000_000_000
+
+
+def trailing_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: count and value-sum of the same user's events in the
+    trailing hour (inclusive) — a RANGE frame over the µs-aligned
+    nanosecond epoch. Value-based frames are what time-series rollups
+    need when events are irregularly spaced; one shuffle on user_id,
+    frame bounds evaluated by binary search per partition (no
+    self-join, no interval explosion)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-_HOUR_NS, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.round(
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double"), 6
+        ).alias("value_1h"),
+    )
+
+
+TRAILING_HOUR_ORACLE = """
+WITH e AS (
+  SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, value FROM events
+)
+SELECT user_id, event_id,
+       count(*) OVER w AS n_events_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(27,15))) OVER w AS DOUBLE), 6)
+         AS value_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "nation_accounts_full_outer": (nation_accounts_full_outer, FULL_OUTER_ORACLE),
     "order_value_deciles": (order_value_deciles, DECILES_ORACLE),
+    "customer_order_gaps": (customer_order_gaps, ORDER_GAPS_ORACLE),
+    "trailing_hour_user_value": (trailing_hour_user_value, TRAILING_HOUR_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_ORACLE),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_ORACLE),

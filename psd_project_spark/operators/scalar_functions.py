@@ -148,9 +148,33 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of l_extendedprice per return flag via
+    the Greenwald-Khanna quantile sketch (``approx_percentile``) —
+    mergeable fixed-memory summaries, the form that survives 100 TB
+    where exact ``percentile`` would collect every value per group.
+    accuracy=10000 ⇒ rank error ≤ 1/10000. No DuckDB oracle — sketch
+    internals are implementation-specific; tests/test_properties.py
+    pins each estimate against the exact percentile instead."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            q.getItem(0).alias("p50_approx"),
+            q.getItem(1).alias("p90_approx"),
+            q.getItem(2).alias("p99_approx"),
+        )
+    )
+
+
 QUERIES = {
     "json_props_stats": (json_props_stats, JSON_PROPS_ORACLE),
     "approx_distinct_users": (approx_distinct_users, None),
+    "approx_price_quantiles": (approx_price_quantiles, None),
     "orders_by_month": (orders_by_month, ORDERS_BY_MONTH_ORACLE),
     "customer_name_parse": (customer_name_parse, CUSTOMER_NAME_ORACLE),
     "distinct_users_per_type": (distinct_users_per_type, DISTINCT_USERS_ORACLE),

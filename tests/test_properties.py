@@ -82,3 +82,30 @@ def test_approx_distinct_within_rsd(spark):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """Each GK-sketch percentile estimate corresponds to a true rank
+    within 5×(1/accuracy) of the requested quantile — checked by
+    computing the estimate's exact rank in the group, not by comparing
+    float values (value distance is distribution-dependent; rank
+    distance is the sketch's actual guarantee)."""
+    from pyspark.sql import functions as F
+
+    from psd_project_spark.operators.scalar_functions import (
+        approx_price_quantiles,
+    )
+    from psd_project_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    est = {
+        r["l_returnflag"]: r for r in approx_price_quantiles(spark, SF_DIR).collect()
+    }
+    l = load_table(spark, SF_DIR, "lineitem")
+    tol = 5 * 1.0 / 10000
+    for flag, row in est.items():
+        grp = l.filter(F.col("l_returnflag") == flag)
+        n = row["n"]
+        for p, col in ((0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")):
+            rank = grp.filter(F.col("l_extendedprice") <= row[col]).count()
+            assert abs(rank / n - p) <= tol + 1.0 / n, (flag, p, rank / n)
