@@ -812,6 +812,49 @@ GROUP BY o_orderpriority, decile
 """
 
 
+# --- TPC-H Q3 shape (join → agg → global top-k) ------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: segment-filtered customers ⋈
+    orders ⋈ lineitem, revenue per order, global top-10. customer is
+    broadcast after its segment filter; the orders date filter is
+    pushed to the scan; the final top-k is a TakeOrderedAndProject
+    (per-partition heap + driver merge of 10 rows — no global sort
+    materialization, the only top-k that works at 100 TB).
+    (Reference has no joins — SURVEY.md §2.9 extension surface.)"""
+    cutoff = "1997-06-30"
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(_dsum(rev), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 # --- lead/lag (inter-row deltas) ---------------------------------------------
 
 def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,6 +941,7 @@ QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "nation_accounts_full_outer": (nation_accounts_full_outer, FULL_OUTER_ORACLE),
     "order_value_deciles": (order_value_deciles, DECILES_ORACLE),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
     "customer_order_gaps": (customer_order_gaps, ORDER_GAPS_ORACLE),
     "trailing_hour_user_value": (trailing_hour_user_value, TRAILING_HOUR_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
