@@ -24,7 +24,7 @@ builders in :mod:`psd_project_spark.functions.text`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psd_project_spark.functions import text as T
@@ -224,6 +224,64 @@ GROUP BY lang
 """
 
 
+# --- curation_pipeline -------------------------------------------------------
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE plan: exact dedup (keep the
+    lowest doc_id per content hash) → quality scoring (``doc_stats``)
+    → length/quality filter → per-(lang, source) yield report. This is
+    the query a training-data team actually runs; each stage is the
+    already-tested operator, composed.
+
+    Scale shape: dedup is a hash-partitioned window (one shuffle on
+    the 16-byte content hash — never on the text itself), survivors
+    semi-join the scored docs on doc_id, and only the tiny rollup
+    aggregates. No stage widens rows; text is dropped before any
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept_ids = (
+        d.select("doc_id", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+    scored = doc_stats(spark, sf_dir).join(kept_ids, "doc_id", "left_semi")
+    survivors = scored.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("quality_score") >= MIN_QUALITY)
+    )
+    return survivors.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_subword_tokens").alias("total_subword_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(27,15)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )
+
+
+CURATION_ORACLE = f"""
+WITH stats AS ({DOC_STATS_ORACLE}),
+kept AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+)
+SELECT lang, source, count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       sum(n_subword_tokens) AS total_subword_tokens,
+       round(CAST(sum(CAST(quality_score AS DECIMAL(27,15))) AS DOUBLE)
+             / count(*), 6) AS avg_quality
+FROM stats JOIN kept USING (doc_id)
+WHERE n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
+GROUP BY lang, source
+"""
+
+
 # --- token_freq --------------------------------------------------------------
 
 def token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +340,7 @@ FROM h
 QUERIES = {
     "doc_stats": (doc_stats, DOC_STATS_ORACLE),
     "corpus_quality_filter": (corpus_quality_filter, CORPUS_FILTER_ORACLE),
+    "curation_pipeline": (curation_pipeline, CURATION_ORACLE),
     "lang_id": (lang_id, _lang_id_oracle()),
     "token_freq": (token_freq, TOKEN_FREQ_ORACLE),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_ORACLE),
