@@ -25,13 +25,18 @@ def observe_quality(
     null_cols: list[str] | None = None,
     range_cols: list[str] | None = None,
     name: str = "quality",
-) -> tuple[DataFrame, Observation]:
+) -> tuple[DataFrame, Observation | None]:
     """Attach row-count / per-column null-count / min-max metrics.
 
-    Returns ``(df_with_observation, observation)``; run any action on
-    the returned DataFrame (or a plan built on it), then read
+    Batch: returns ``(df_with_observation, observation)``; run any
+    action on the returned DataFrame (or a plan built on it), then read
     ``observation.get`` — a dict like ``{"n_rows": ..., "nulls_x": ...,
     "min_x": ..., "max_x": ...}``.
+
+    Streaming: the ``Observation`` class is batch-only, so the metrics
+    are attached under the string ``name`` and the returned observation
+    is ``None`` — read per-micro-batch values from
+    ``StreamingQueryProgress.observedMetrics[name]`` instead.
     """
     metrics = [F.count(F.lit(1)).alias("n_rows")]
     for c in null_cols or []:
@@ -41,5 +46,7 @@ def observe_quality(
     for c in range_cols or []:
         metrics.append(F.min(c).alias(f"min_{c}"))
         metrics.append(F.max(c).alias(f"max_{c}"))
+    if df.isStreaming:
+        return df.observe(name, *metrics), None
     obs = Observation(name)
     return df.observe(obs, *metrics), obs

@@ -31,3 +31,34 @@ def test_observe_adds_no_extra_scan(spark):
     observed, _ = observe_quality(e, null_cols=["props"])
     plan = executed_plan(observed.groupBy("event_type").count())
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_streaming_observe_surfaces_per_batch_metrics(spark):
+    """The same observe_quality call on a streaming source must surface
+    metrics through StreamingQueryProgress.observedMetrics — summed
+    over micro-batches they equal the exact batch counts."""
+    from psd_project_spark.streaming.jobs import stream_events
+
+    observed, obs = observe_quality(
+        stream_events(spark, SF_DIR), null_cols=["props"], name="sq"
+    )
+    assert obs is None
+    q = (
+        observed.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("sq_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = nulls = 0
+    for p in q.recentProgress:
+        om = p.observedMetrics.get("sq")
+        if om is not None:
+            rows += om["n_rows"]
+            nulls += om["nulls_props"]
+    e = load_table(spark, SF_DIR, "events")
+    assert rows == e.count()
+    assert nulls == e.filter(F.col("props").isNull()).count()
