@@ -1,0 +1,114 @@
+"""Deterministic sampling / splitting / packing over ``documents``.
+
+Training-data plumbing the reference never had (its only sampling is
+the R fixture generator, dataGeneration/psd.R:18): assigning corpus
+rows to train/val splits and packing documents into fixed token-budget
+bins. Both are designed for 100 TB reruns:
+
+- splits hash CONTENT (md5), not row position — adding or removing
+  files never reshuffles other rows' assignments, and the same doc
+  lands in the same split on every rerun, on any cluster layout;
+- packing is a per-key window cumsum (one shuffle on the partition
+  key), not a sequential driver loop — each pack is closed by integer
+  division of the running token count, so the assignment is exact,
+  deterministic, and embarrassingly parallel across keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from psd_project_spark.operators.text_analysis import doc_stats
+from psd_project_spark.sources.registry import load_table
+
+#: 1-in-10 rows go to validation.
+VAL_BUCKET = 9
+#: Tokens per pack (a context-window budget).
+PACK_BUDGET = 4096
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/validation split by content hash:
+    bucket = first 8 md5 hex digits of the text, mod 10. Reported as
+    per-(split, lang) doc counts. Engine-portable (md5 is identical
+    everywhere — the DuckDB oracle reproduces the exact assignment),
+    rerun-stable, and skew-free regardless of doc_id distribution."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"),
+        F.lit(10),
+    )
+    split = F.when(bucket == VAL_BUCKET, "val").otherwise("train")
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+TRAIN_VAL_ORACLE = f"""
+SELECT CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = {VAL_BUCKET}
+            THEN 'val' ELSE 'train' END AS split,
+       lang, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~4096-token bins per language (the sequence
+    -packing step before LLM training): docs are laid out in doc_id
+    order per lang, and a pack closes when the running token count
+    crosses the budget — pack_id = floor(tokens_before_this_doc /
+    budget). Returns per-(lang, pack) document and token counts.
+
+    Exact integer window arithmetic (no floats), one shuffle on lang;
+    at scale the partition key becomes (lang, shard) so no single
+    language serializes."""
+    s = doc_stats(spark, sf_dir).select("doc_id", "lang", "n_tokens")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = s.withColumn(
+        "pack_id", F.floor(before / F.lit(PACK_BUDGET)).cast("long")
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+PACKING_ORACLE = f"""
+WITH stats AS (
+  SELECT doc_id, lang, n_tokens FROM ({{doc_stats}}) AS ds
+), packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM stats
+)
+SELECT lang, pack_id, count(*) AS n_docs,
+       sum(n_tokens) AS pack_tokens,
+       min(doc_id) AS first_doc_id
+FROM packed
+GROUP BY lang, pack_id
+"""
+
+
+def _packing_oracle() -> str:
+    from psd_project_spark.operators.text_analysis import DOC_STATS_ORACLE
+
+    return PACKING_ORACLE.format(doc_stats=DOC_STATS_ORACLE)
+
+
+QUERIES = {
+    "train_val_split": (train_val_split, TRAIN_VAL_ORACLE),
+    "token_budget_packing": (token_budget_packing, _packing_oracle()),
+}
