@@ -291,8 +291,50 @@ WHERE rank <= {ANN_TOP_K}
 """
 
 
+
+
+# --- embedding_centroids (per-group vector mean) -----------------------------
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors, long form
+    (label, pos, centroid_val) — the group-mean-vector primitive behind
+    IVF coarse quantizers, per-source drift monitoring, and cluster
+    seeding. posexplode → (label, pos) aggregate: dimension-parallel,
+    one shuffle, no driver-side vector math; sums in DECIMAL so the
+    centroid is order-independent and oracle-exact."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "_v", F.expr(V.to_double_expr())
+    )
+    exploded = e.select(
+        "label", F.posexplode("_v").alias("pos", "val")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    return exploded.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("val").cast("decimal(27,15)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid_val"),
+    )
+
+
+CENTROIDS_ORACLE = f"""
+WITH e AS (
+  SELECT label, {V.to_double_sql()} AS v FROM embeddings
+), exploded AS (
+  SELECT label, i AS pos, v[i + 1] AS val
+  FROM e, unnest(generate_series(0, len(v) - 1)) AS t(i)
+)
+SELECT label, pos, count(*) AS n_vecs,
+       round(CAST(sum(CAST(val AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6)
+         AS centroid_val
+FROM exploded
+GROUP BY label, pos
+"""
+
 QUERIES = {
     "knn_cosine": (knn_cosine, KNN_ORACLE),
     "ann_lsh_cosine": (ann_lsh_cosine, ANN_ORACLE),
     "ivf_ann_cosine": (ivf_ann_cosine, IVF_ORACLE),
+    "embedding_centroids": (embedding_centroids, CENTROIDS_ORACLE),
 }
