@@ -158,3 +158,61 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert back.count() == events.count()
     # no duplicates, no loss — every event_id exactly once
     assert back.select("event_id").distinct().count() == events.count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time semantics the reference never had: once the watermark
+    has passed a window's end, a late row for that window is DROPPED —
+    the emitted aggregate does not include it, across a checkpointed
+    restart (the watermark itself is recovered from the checkpoint)."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType([StructField("ts", TimestampType())])
+
+    def write_file(name, times):
+        spark.createDataFrame(
+            [(t,) for t in times], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / name))
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    d = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    # run 1: two rows in the 10:00 window; an 11:00 row pushes the
+    # watermark to 10:50 (committed to the checkpoint at batch end)
+    write_file("f1", [d(10, 0), d(10, 5), d(11, 0)])
+    run_once()
+    # run 2: a LATE row for the long-closed 10:00 window + fresh data
+    write_file("f2", [d(10, 1), d(12, 0)])
+    run_once()
+
+    got = {
+        (r["w"]["start"].hour, r["w"]["start"].minute): r["n"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got.get((10, 0)) == 2, got  # late 10:01 row NOT counted
