@@ -132,12 +132,52 @@ def _measures_vectorized(windows_sorted, digits: int | None):
     return cols
 
 
+def _advance_ring(
+    buf: list[float],
+    seq: int,
+    pdf: pd.DataFrame,
+    key: tuple,
+    out_cols: list[str],
+    window_size: int,
+    digits: int | None,
+) -> tuple[list[float], int, pd.DataFrame | None]:
+    """Feed one micro-batch chunk through the ring for one key; returns
+    the new (buf, seq) and the emitted measure rows (or None). Shared
+    by both stateful-API backends so their semantics cannot drift."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pdf = pdf.sort_values("_order")  # per-key arrival order
+    vals = pdf["_value"].to_numpy(dtype=np.float64)
+    if vals.size == 0:
+        return buf, seq, None
+    full = np.concatenate([np.asarray(buf, dtype=np.float64), vals])
+    new_seq = seq + vals.size
+    buf = full[-(window_size - 1):].tolist() if window_size > 1 else []
+    out = None
+    if new_seq >= window_size:
+        # one row per arrival whose window is complete
+        wins = sliding_window_view(full, window_size)
+        n_emit = new_seq - max(seq, window_size - 1)
+        wins = wins[-n_emit:]
+        seqs = np.arange(new_seq - n_emit + 1, new_seq + 1)
+        ms = _measures_vectorized(np.sort(wins, axis=1), digits)
+        out = pd.DataFrame(
+            {
+                **{c: [key[i]] * n_emit for i, c in enumerate(out_cols[: len(key)])},
+                out_cols[len(key)]: seqs,
+            }
+        )
+        for name, col in zip(MEASURE_FIELDS, ms):
+            out[name] = col
+        out = out[out_cols]
+    return buf, seq + vals.size, out
+
+
 def count_window_state_handler(
     window_size: int, digits: int | None, out_cols: list[str]
 ):
     """Build the applyInPandasWithState handler (one key = one series)."""
-    import numpy as np
-    from numpy.lib.stride_tricks import sliding_window_view
 
     def handler(
         key: tuple,
@@ -149,32 +189,11 @@ def count_window_state_handler(
         else:
             buf, seq = [], 0
         for pdf in pdf_iter:
-            pdf = pdf.sort_values("_order")  # per-key arrival order
-            vals = pdf["_value"].to_numpy(dtype=np.float64)
-            if vals.size == 0:
-                continue
-            full = np.concatenate([np.asarray(buf, dtype=np.float64), vals])
-            new_seq = seq + vals.size
-            buf = full[-(window_size - 1):].tolist() if window_size > 1 else []
-            if new_seq >= window_size:
-                # one row per arrival whose window is complete
-                wins = sliding_window_view(full, window_size)
-                # window ending at arrival t (1-based seq) is row
-                # t - (seq - len(buf_pre)) ... simpler: last windows
-                n_emit = new_seq - max(seq, window_size - 1)
-                wins = wins[-n_emit:]
-                seqs = np.arange(new_seq - n_emit + 1, new_seq + 1)
-                ms = _measures_vectorized(np.sort(wins, axis=1), digits)
-                out = pd.DataFrame(
-                    {
-                        **{c: [key[i]] * n_emit for i, c in enumerate(out_cols[: len(key)])},
-                        out_cols[len(key)]: seqs,
-                    }
-                )
-                for name, col in zip(MEASURE_FIELDS, ms):
-                    out[name] = col
-                yield out[out_cols]
-            seq = new_seq
+            buf, seq, out = _advance_ring(
+                buf, seq, pdf, key, out_cols, window_size, digits
+            )
+            if out is not None:
+                yield out
         state.update((buf, seq))
 
     return handler
@@ -224,4 +243,75 @@ def streaming_count_window_measures(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_count_window_measures_tws(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window_size: int | None = None,
+    digits: int | None = None,
+) -> DataFrame:
+    """The same count-window operator on ``transformWithStateInPandas``
+    (Spark 4's arbitrary-stateful-processing API — typed state vars,
+    RocksDB-only store, timers, TTL). Ring/seq live in one ValueState;
+    per-batch processing is the shared :func:`_advance_ring`, so this
+    backend is bit-identical to the ``applyInPandasWithState`` one (a
+    differential test asserts it). Kept alongside the classic backend
+    because TWS is where upstream investment is going (state schema
+    evolution, state data source); the classic one still wins on
+    setup latency for small local jobs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    window_size = window_size or DEFAULT_CONFIG.window_size
+    digits = DEFAULT_CONFIG.measure_round_digits if digits is None else digits
+
+    key_fields = [stream_df.schema[c] for c in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [StructField("seq", LongType())]
+        + [StructField(f, DoubleType()) for f in MEASURE_FIELDS]
+    )
+    state_schema = StructType(
+        [
+            StructField("buf", ArrayType(DoubleType())),
+            StructField("seq", LongType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    class CountWindowProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ring = handle.getValueState("ring", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._ring.get()
+            buf, seq = (list(got[0]), int(got[1])) if got else ([], 0)
+            for pdf in rows:
+                buf, seq, out = _advance_ring(
+                    buf, seq, pdf, key, out_cols, window_size, digits
+                )
+                if out is not None:
+                    yield out
+            self._ring.update((buf, seq))
+
+        def close(self) -> None:
+            pass
+
+    prepared = stream_df.select(
+        *key_cols,
+        F.col(order_col).cast("long").alias("_order"),
+        F.col(value_col).cast("double").alias("_value"),
+    )
+    return prepared.groupBy(*key_cols).transformWithStateInPandas(
+        CountWindowProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
     )

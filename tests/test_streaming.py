@@ -216,3 +216,21 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got.get((10, 0)) == 2, got  # late 10:01 row NOT counted
+
+
+def test_tws_backend_matches_classic(spark):
+    """transformWithStateInPandas backend vs the classic
+    applyInPandasWithState backend: identical output. Skipped where
+    protobuf (the TWS state-server client dependency) is missing."""
+    pytest.importorskip("google.protobuf")
+    from psd_project_spark.streaming.jobs import (
+        measures_window_stream,
+        measures_window_stream_tws,
+    )
+
+    a = measures_window_stream(spark, SF_DIR).collect()
+    b = measures_window_stream_tws(spark, SF_DIR).collect()
+    key = lambda r: (r["user_id"], r["seq"])  # noqa: E731
+    assert sorted(map(tuple, a), key=lambda t: t[:2]) == sorted(
+        map(tuple, b), key=lambda t: t[:2]
+    )
