@@ -282,8 +282,89 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --- dedup_components (duplicate-cluster connected components) ---------------
+
+#: Exact-Jaccard bar for an edge in the duplicate graph.
+CC_JACCARD = 0.8
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components over the MinHash pair graph (edges = exact Jaccard ≥
+    0.8), by iterative min-label propagation to a fixpoint — the step
+    that turns pairwise dedup output into "keep one doc per cluster"
+    at corpus scale. Each iteration is one distributed join + min-agg
+    (no driver-side graph); iteration count = graph diameter, which
+    for near-dup clusters is tiny. Returns (doc_id, component_id,
+    n_members) for every doc that has at least one duplicate.
+
+    The DuckDB oracle computes the same components with a recursive
+    reachability CTE — feasible for the oracle's small graphs, while
+    the Spark path scales to billions of edges."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("jaccard") >= CC_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a")).toDF("u", "v").cache()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .cache()
+    )
+    while True:
+        propagated = (
+            labels.join(edges, labels.id == edges.u)
+            .select(F.col("v").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    return labels.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        "n_members",
+    )
+
+
+DEDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE
+mh AS ({DEDUP_MINHASH_ORACLE}),
+p AS (SELECT doc_a, doc_b FROM mh WHERE jaccard >= {CC_JACCARD}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+reach(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+SELECT id AS doc_id, component_id,
+       count(*) OVER (PARTITION BY component_id) AS n_members
+FROM comp
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_ORACLE),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_ORACLE),
