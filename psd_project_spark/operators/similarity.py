@@ -332,9 +332,83 @@ FROM exploded
 GROUP BY label, pos
 """
 
+
+
+# --- kmeans_embeddings (iterative Lloyd's) -----------------------------------
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — the iterative
+    algorithm family (IVF codebook training, corpus clustering for
+    mixture balancing) the driver contract calls out as non-SQL-
+    expressible. Deterministic: centroids seed from the K lowest
+    vec_ids; K=8, 3 iterations.
+
+    Each iteration is two distributed passes — assign (crossJoin with
+    the BROADCAST 8-row codebook + argmin) and update (posexplode →
+    per-(cluster, dim) mean → rebuild arrays) — so the data side never
+    shuffles on anything bigger than (cluster, dim). Only the O(K·d)
+    codebook and the scalar inertia ever reach the driver (model
+    state, like MLlib). Returns the per-iteration convergence report;
+    tests/test_ann_quality.py pins monotone non-increasing inertia.
+    No oracle: 3 unrolled argmin/re-mean rounds are beyond reasonable
+    SQL — the driver records the rows-only check."""
+    e = _embeddings(spark, sf_dir).select("vec_id", "_v").cache()
+    n_dim = V.EMB_DIM
+    cents = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("_v").alias("_vc")
+    )
+    d2 = F.aggregate(
+        F.zip_with("_v", "_vc", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    report = []
+    for it in range(1, KMEANS_ITERS + 1):
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("d2", d2)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("vec_id", "_v", "cid", "d2")
+            .cache()
+        )
+        stats = assigned.agg(
+            F.round(F.sum(F.col("d2").cast("decimal(27,15)")).cast("double"), 6),
+            F.countDistinct("cid"),
+        ).collect()[0]
+        report.append((it, float(stats[0]), int(stats[1])))
+        cents = (
+            assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(27,15)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cval")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda st: st.cval,
+                ).alias("_vc")
+            )
+        )
+        assigned.unpersist()
+    e.unpersist()
+    return spark.createDataFrame(
+        report, "iteration int, inertia double, n_active_clusters int"
+    )
+
 QUERIES = {
     "knn_cosine": (knn_cosine, KNN_ORACLE),
     "ann_lsh_cosine": (ann_lsh_cosine, ANN_ORACLE),
     "ivf_ann_cosine": (ivf_ann_cosine, IVF_ORACLE),
     "embedding_centroids": (embedding_centroids, CENTROIDS_ORACLE),
+    "kmeans_embeddings": (kmeans_embeddings, None),
 }

@@ -40,3 +40,19 @@ def test_ann_recall(spark, truth, name, mean_floor, min_floor):
     mean = sum(recalls) / len(recalls)
     assert mean >= mean_floor, (name, mean, recalls)
     assert min(recalls) >= min_floor, (name, recalls)
+
+
+def test_kmeans_inertia_monotone(spark):
+    """Lloyd's iterations must never increase inertia (each assign and
+    each re-mean step is individually optimal)."""
+    from psd_project_spark.operators.similarity import kmeans_embeddings
+    from tests.conftest import SF_DIR
+
+    rep = sorted(
+        kmeans_embeddings(spark, SF_DIR).collect(),
+        key=lambda r: r["iteration"],
+    )
+    assert len(rep) == 3
+    inertias = [r["inertia"] for r in rep]
+    assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:])), inertias
+    assert all(r["n_active_clusters"] >= 1 for r in rep)
