@@ -306,8 +306,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= CC_JACCARD)
         .select("doc_a", "doc_b")
     )
+    # The duplicate graph is orders of magnitude smaller than the
+    # corpus (only docs with a near-dup). Size the fixpoint loop's
+    # partitioning to THAT — per-iteration task overhead, not data
+    # volume, dominates it otherwise. At real scale pick
+    # edges_bytes / 100 MB instead of 1.
+    # repartition, NOT coalesce: coalesce(1) would collapse the whole
+    # upstream signature/LSH pipeline into one partition; repartition
+    # inserts a shuffle boundary so the expensive part stays parallel.
     edges = (
-        pairs.union(pairs.select("doc_b", "doc_a")).toDF("u", "v").cache()
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("u", "v")
+        .repartition(1)
+        .cache()
     )
     labels = (
         edges.select(F.col("u").alias("id"))
@@ -315,27 +326,32 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("comp", F.col("id"))
         .cache()
     )
-    while True:
-        propagated = (
-            labels.join(edges, labels.id == edges.u)
-            .select(F.col("v").alias("id"), "comp")
-        )
-        new_labels = (
-            labels.unionByName(propagated)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        while True:
+            propagated = (
+                labels.join(edges, labels.id == edges.u)
+                .select(F.col("v").alias("id"), "comp")
+            )
+            new_labels = (
+                labels.unionByName(propagated)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+                .cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
     return labels.join(sizes, "comp").select(
         F.col("id").alias("doc_id"),

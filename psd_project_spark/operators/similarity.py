@@ -357,7 +357,6 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     No oracle: 3 unrolled argmin/re-mean rounds are beyond reasonable
     SQL — the driver records the rows-only check."""
     e = _embeddings(spark, sf_dir).select("vec_id", "_v").cache()
-    n_dim = V.EMB_DIM
     cents = e.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cid"), F.col("_v").alias("_vc")
     )
@@ -366,6 +365,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # Loop shuffles move (cluster, dim) aggregates — 512 groups — so
+    # per-iteration task overhead dominates at default partitioning.
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     report = []
     for it in range(1, KMEANS_ITERS + 1):
         w = Window.partitionBy("vec_id").orderBy("d2", "cid")
@@ -382,7 +385,11 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cid"),
         ).collect()[0]
         report.append((it, float(stats[0]), int(stats[1])))
-        cents = (
+        # Materialize the new codebook on the driver (O(K·d) model
+        # state) and rebuild it as a fresh literal DataFrame: leaving
+        # it lazy would chain every iteration's lineage through the
+        # just-unpersisted assignment and recompute all prior rounds.
+        cent_rows = (
             assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(
@@ -398,8 +405,14 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda st: st.cval,
                 ).alias("_vc")
             )
+            .collect()
+        )
+        cents = spark.createDataFrame(
+            [(r["cid"], r["_vc"]) for r in cent_rows],
+            "cid long, _vc array<double>",
         )
         assigned.unpersist()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     e.unpersist()
     return spark.createDataFrame(
         report, "iteration int, inertia double, n_active_clusters int"
