@@ -197,8 +197,65 @@ FROM f
 """
 
 
+# --- media_resize ------------------------------------------------------------
+
+#: Keep every RESIZE_STRIDE-th byte (the stand-in for a real
+#: image/audio resample, which plugs into the same UDF).
+RESIZE_STRIDE = 4
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized_bytes", LongType()),
+        StructField("resized", BinaryType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched binary→binary resample: numpy stride view, no
+    per-byte Python. A real image resize (PIL/np.interp on decoded
+    pixels) drops into this exact signature — batch in, batch out,
+    opaque bytes both ways."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            small = np.frombuffer(raw, dtype=np.uint8)[::RESIZE_STRIDE].tobytes()
+            rows.append(
+                (
+                    int(doc_id),
+                    len(raw),
+                    len(small),
+                    small,
+                    hashlib.md5(small).hexdigest(),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every payload to every 4th byte — the resize/resample
+    slot of the multimodal pipeline (SURVEY.md §7 M5). The Spark
+    plumbing (binary column in, binary column + size/hash metadata
+    out, Arrow batches, partition-parallel) is real; the kernel is the
+    deterministic byte-stride stand-in since this container ships no
+    codecs. Rows-only driver check; tests pin exact sizes and hashes
+    against a local recompute."""
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return media.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
 QUERIES = {
     "media_catalog": (media_catalog, MEDIA_CATALOG_ORACLE),
     "media_features": (media_features, None),
+    "media_resize": (media_resize, None),
     "frame_sample": (frame_sample, FRAME_SAMPLE_ORACLE),
 }

@@ -109,3 +109,30 @@ def test_approx_quantiles_within_rank_error(spark):
         for p, col in ((0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")):
             rank = grp.filter(F.col("l_extendedprice") <= row[col]).count()
             assert abs(rank / n - p) <= tol + 1.0 / n, (flag, p, rank / n)
+
+
+def test_media_resize_matches_local_recompute(spark):
+    """The mapInPandas resample must produce, for every doc, exactly
+    the bytes a local numpy stride of the utf-8 payload produces."""
+    import hashlib
+
+    import numpy as np
+
+    from psd_project_spark.operators.multimodal import (
+        RESIZE_STRIDE,
+        media_resize,
+    )
+    from psd_project_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    got = {r["doc_id"]: r for r in media_resize(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for r in docs[:50]:
+        raw = r["text"].encode("utf-8")
+        small = np.frombuffer(raw, dtype=np.uint8)[::RESIZE_STRIDE].tobytes()
+        g = got[r["doc_id"]]
+        assert g["orig_bytes"] == len(raw)
+        assert g["resized_bytes"] == len(small)
+        assert bytes(g["resized"]) == small
+        assert g["resized_md5"] == hashlib.md5(small).hexdigest()
