@@ -304,6 +304,73 @@ LIMIT 100
 """
 
 
+# --- tfidf_top_terms ---------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by tf·(N/df) — the
+    TF-IDF retrieval/keyword primitive. idf is the log-free ratio form
+    deliberately: N/df and tf·(N/df) are single IEEE-754 ops, so Spark
+    and DuckDB produce bit-identical scores (ln() is only
+    correctly-rounded to ~1 ulp per libm and can flip a rounded 6th
+    digit); the ranking is identical either way since log is monotone.
+
+    Plan: explode → (doc, term) count → term-level doc frequency →
+    broadcast the tiny (term, df) side back — two shuffles on keys that
+    only shrink, top-k via per-doc rank window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(T.tokens_expr())).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * (F.col("_n").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest({T.tokens_sql()}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS _n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(CAST(tf.tf AS DOUBLE)
+               * (CAST(n._n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6)
+           AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, score
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 # --- doc_fingerprint ---------------------------------------------------------
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,5 +410,6 @@ QUERIES = {
     "curation_pipeline": (curation_pipeline, CURATION_ORACLE),
     "lang_id": (lang_id, _lang_id_oracle()),
     "token_freq": (token_freq, TOKEN_FREQ_ORACLE),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_ORACLE),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_ORACLE),
 }
