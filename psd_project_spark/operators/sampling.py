@@ -108,7 +108,73 @@ def _packing_oracle() -> str:
     return PACKING_ORACLE.format(doc_stats=DOC_STATS_ORACLE)
 
 
+#: Per-language keep-rates (percent) for the stratified sample — the
+#: "dataset mixture" knob of a training pipeline.
+STRATA_RATES: tuple[tuple[str, int], ...] = (
+    ("en", 90),
+    ("de", 60),
+    ("es", 60),
+    ("fr", 30),
+    ("zh", 30),
+)
+_DEFAULT_RATE = 10
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-language fraction
+    of documents by content-hash bucket (md5 % 100 < rate) — how a
+    training mixture down-weights overrepresented strata. Unlike
+    ``df.sampleBy`` (seeded RNG, partition-order dependent, not
+    reproducible across engines or reruns with different splits), the
+    hash rule is a pure function of content: same doc → same verdict
+    everywhere, and the oracle reproduces it exactly. Reports
+    per-language kept/total/rate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in STRATA_RATES:
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.withColumn("_keep", (bucket < rate).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.sum("_keep").alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(
+                F.sum("_keep").cast("double") / F.count(F.lit(1)), 6
+            ).alias("kept_rate"),
+        )
+    )
+
+
+def _strata_rate_sql() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in STRATA_RATES
+    )
+    return f"CASE {branches} ELSE {_DEFAULT_RATE} END"
+
+
+STRATIFIED_ORACLE = f"""
+WITH d AS (
+  SELECT lang,
+         CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100
+                   < ({_strata_rate_sql()})
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT lang, CAST(sum(keep) AS BIGINT) AS n_kept,
+       count(*) AS n_total,
+       round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS kept_rate
+FROM d
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "train_val_split": (train_val_split, TRAIN_VAL_ORACLE),
+    "stratified_sample": (stratified_sample, STRATIFIED_ORACLE),
     "token_budget_packing": (token_budget_packing, _packing_oracle()),
 }
