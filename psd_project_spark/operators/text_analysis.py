@@ -14,6 +14,10 @@ Queries:
   scores are exact integer counts so the oracle matches bit-for-bit).
 - ``token_freq``       — corpus-level token frequencies, deterministic
   top-100.
+- ``tfidf_top_terms``  — per-doc TF-IDF keywords (log-free ratio idf
+  for bit-exact cross-engine parity).
+- ``corpus_quality_filter`` / ``curation_pipeline`` — the composed
+  score→filter→yield and dedup→score→filter→yield pipeline stages.
 - ``doc_fingerprint``  — per-doc content hash (md5), MinHash-1 (min
   seeded-md5 over 3-word shingles — the rolling-fingerprint analog) and
   a 32-bit shingle SimHash.
