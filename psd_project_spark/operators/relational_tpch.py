@@ -1,0 +1,405 @@
+"""TPC-H-shape planner battery, part 2 (SURVEY.md §2.9 extension surface).
+
+The reference has no joins at all (its only join-shaped op is the
+positional stats lookup, StreamingJob.java:369-385); this module rounds
+out the relational surface with the remaining classic TPC-H plan shapes
+the first battery (operators/relational.py) didn't cover:
+
+- Q7  two-trading-blocs volume: dim-filter-before-join + broadcast dims,
+  the OR pair predicate kept as a post-join *filter* (an OR inside a
+  join condition would plan as a nested-loop cross product).
+- Q10 returned-item ranking: selective fact filter → join → agg →
+  deterministic top-k.
+- Q13 customer order-count distribution: left outer join preserving
+  zero-order customers + two-level aggregation.
+- Q14 promo revenue share: conditional aggregation (one pass, no
+  self-join).
+- Q18 large-quantity orders: aggregate-then-join where the *aggregated*
+  side is broadcast (having-filtered groups are tiny at any scale).
+- Q19 disjunctive brand/size/quantity brackets: OR-of-ANDs residual
+  over a single equi-join; partkey join stays hash-based.
+- Q22 idle high-balance customers: scalar-subquery threshold
+  (crossJoin of a 1-row aggregate = broadcast) + anti join.
+
+Scale notes (100 TB): every query filters dims *before* joining and
+broadcasts only provably-small sides (nation/supplier/filtered-groups);
+fact-fact joins shuffle on their natural keys; aggregates use partial
+(map-side) combine via plain groupBy. Sums accumulate in DECIMAL(27,15)
+so results are order-independent and bit-identical to the DuckDB
+oracle regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psd_project_spark.sources.registry import load_table
+
+_DEC = "decimal(27,15)"
+
+
+def _dsum(col) -> F.Column:
+    return F.sum(col.cast(_DEC)).cast("double")
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+# --- q7: two-blocs trade volume ---------------------------------------------
+
+def q7_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between region-0 customers and region-1 suppliers
+    (both directions), by nation pair and ship year.
+
+    Plan shape: nation is filtered to the two regions *before* joining
+    and broadcast to both the customer and supplier sides; supplier is
+    broadcast onto lineitem; lineitem⋈orders shuffles on orderkey. The
+    bloc-pair condition is a post-join filter on two already-joined
+    region columns — never part of a join condition.
+    """
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey").isin(0, 1)
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"),
+                F.col("n_regionkey").alias("cust_region"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"),
+                F.col("n_regionkey").alias("supp_region"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        _revenue().alias("revenue"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    out = (
+        l.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("cust_region") == 0) & (F.col("supp_region") == 1))
+            | ((F.col("cust_region") == 1) & (F.col("supp_region") == 0))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(_dsum(F.col("revenue")), 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+    return out
+
+
+Q7_ORACLE = """
+WITH nat AS (SELECT * FROM nation WHERE n_regionkey IN (0, 1))
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nat sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nat cn ON c_nationkey = cn.n_nationkey
+WHERE (cn.n_regionkey = 0 AND sn.n_regionkey = 1)
+   OR (cn.n_regionkey = 1 AND sn.n_regionkey = 0)
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# --- q10: returned-item ranking ---------------------------------------------
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returned items in 1996.
+
+    Selective filters (returnflag, one order year) are applied to each
+    fact before the join so the shuffle carries only qualifying rows;
+    customer and nation are broadcast. Deterministic top-k: ties broken
+    by c_custkey.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", _revenue().alias("revenue"))
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    out = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(F.round(_dsum(F.col("revenue")), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+    return out
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- q13: customer order-count distribution ---------------------------------
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-customer order counts (non-urgent orders),
+    including customers with zero such orders.
+
+    Left outer join keeps every customer; count(o_orderkey) counts only
+    matched rows (NULL-safe), so the zero bucket survives. Two-level
+    aggregation: per-customer count, then histogram of counts.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    out = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+    return out
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- q14: promo revenue share -----------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROMO-type share of January-1996 revenue: one conditional
+    aggregation pass, no self-join; part is broadcast."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01"))
+    ).select("l_partkey", _revenue().alias("revenue"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", F.col("revenue")).otherwise(
+        F.lit(0.0)
+    )
+    out = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(_dsum(promo), 6).alias("promo_revenue"),
+            F.round(_dsum(F.col("revenue")), 6).alias("total_revenue"),
+            F.round(
+                F.lit(100.0) * _dsum(promo) / _dsum(F.col("revenue")), 6
+            ).alias("promo_share"),
+        )
+    )
+    return out
+
+
+Q14_ORACLE = """
+SELECT
+  round(CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(27,15))) AS DOUBLE), 6) AS promo_revenue,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_revenue,
+  round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(27,15))) AS DOUBLE)
+        / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS promo_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
+# --- q18: large-quantity orders ---------------------------------------------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total line quantity exceeds 250, with customer info.
+
+    Aggregate-then-join: lineitem is aggregated by orderkey first
+    (map-side partial combine), the HAVING filter shrinks it to a
+    handful of groups, and *that* side is broadcast onto orders — the
+    big-fact join never shuffles orders. Customer is broadcast last.
+    """
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", F.round(F.col("sum_qty"), 6).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+    return out
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       round(sum_qty, 6) AS sum_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(27,15))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250.0
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --- q19: disjunctive brand/size/quantity brackets --------------------------
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three brand/size/quantity brackets OR-ed together.
+
+    The join stays a plain hash equi-join on partkey (part broadcast);
+    the OR-of-ANDs is a residual filter evaluated post-join inside
+    whole-stage codegen. Putting the OR *into* the join condition would
+    degrade to a nested-loop product.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _revenue().alias("revenue")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    bracket = (
+        ((brand == "Brand#11") & size.between(1, 15) & qty.between(1, 20))
+        | ((brand == "Brand#22") & size.between(10, 30) & qty.between(10, 30))
+        | ((brand == "Brand#33") & size.between(20, 50) & qty.between(20, 40))
+    )
+    out = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(
+            F.round(_dsum(F.col("revenue")), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return out
+
+
+Q19_ORACLE = """
+SELECT
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# --- q22: idle high-balance customers ---------------------------------------
+
+def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and no order since
+    1999, grouped by a derived country bucket.
+
+    Scalar-subquery threshold = crossJoin of a 1-row aggregate (planned
+    as a broadcast nested loop of exactly one row); the 'no recent
+    order' condition is a left-anti join against the date-filtered
+    order keys. Both are shuffle-free on the customer side at any
+    scale except the anti join's own key shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(F.col("c_acctbal").cast(_DEC)) / F.count(F.lit(1)))
+             .cast("double").alias("avg_bal"))
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    ).select("o_custkey")
+    out = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).cast("int").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(_dsum(F.col("c_acctbal")), 6).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+    return out
+
+
+Q22_ORACLE = """
+SELECT CAST(c_nationkey % 10 AS INT) AS cntry, count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(27,15))) AS DOUBLE), 6) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(27,15))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES = {
+    "q7_trade_volume": (q7_trade_volume, Q7_ORACLE),
+    "q10_returned_items": (q10_returned_items, Q10_ORACLE),
+    "q13_order_count_distribution": (
+        q13_order_count_distribution,
+        Q13_ORACLE,
+    ),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_ORACLE),
+    "q18_large_orders": (q18_large_orders, Q18_ORACLE),
+    "q19_bracket_revenue": (q19_bracket_revenue, Q19_ORACLE),
+    "q22_idle_high_balance": (q22_idle_high_balance, Q22_ORACLE),
+}

@@ -17,6 +17,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "psd_project_spark.operators.risk",
     "psd_project_spark.operators.relational",
+    "psd_project_spark.operators.relational_tpch",
     "psd_project_spark.operators.text_analysis",
     "psd_project_spark.operators.dedup",
     "psd_project_spark.operators.sampling",
