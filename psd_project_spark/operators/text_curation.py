@@ -1,0 +1,217 @@
+"""Text-curation operators: chunking, repetition quality, PII redaction.
+
+Training-data-pipeline surface beyond the reference (which has no text
+processing at all — its only parser is the 6-double CSV splitter,
+StreamingJob.java:61-81). Three operators a 100 TB curation pipeline
+needs:
+
+- ``doc_chunking``: overlapping fixed-width character windows (LLM
+  context chunks) via ``sequence`` + ``explode`` + ``substr`` — pure
+  codegen'd expressions, no UDF, no shuffle; output fans out ~2-4× of
+  the input row count and stays partition-local.
+- ``repetition_metrics``: Gopher-style repetitiousness signals
+  (duplicate-token fraction, top-token fraction, duplicate-bigram
+  fraction). Ratios are exact int/int IEEE divisions so the DuckDB
+  oracle matches bit-for-bit. The top-token count goes through
+  ``explode`` → two-level groupBy (map-side partial combine) rather
+  than a per-doc O(n²) higher-order-function scan — HOF lambdas are
+  interpreted, explode+groupBy is codegen'd and scales.
+- ``pii_redact``: sequential regex masking (emails → IPv4 → integer
+  runs) with per-pattern match counts. Patterns are chosen to mean the
+  same thing in Java regex (Spark) and RE2 (DuckDB): character
+  classes, bounded quantifiers, ``\\b`` only — no lookaround, no
+  backrefs. Scalar-only plan: embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psd_project_spark.functions.text import tokens_expr, tokens_sql
+from psd_project_spark.sources.registry import load_table
+
+# --- doc_chunking ------------------------------------------------------------
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping char windows
+    [i·stride, i·stride + size) for i = 0 .. floor((len−1)/stride)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    last = F.floor((F.col("n") - 1) / CHUNK_STRIDE).cast("int")
+    out = (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), last)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.expr(
+                f"substr(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})"
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length("chunk").cast("int").alias("chunk_len"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )
+    return out
+
+
+DOC_CHUNKING_ORACLE = f"""
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(length(ch) AS INT) AS chunk_len, md5(ch) AS chunk_md5
+FROM (
+  SELECT doc_id, i,
+         substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_SIZE}) AS ch
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(0, CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) AS BIGINT))) AS i
+    FROM documents
+  )
+)
+"""
+
+
+# --- repetition_metrics ------------------------------------------------------
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetitiousness: duplicate-token, top-token and
+    duplicate-bigram fractions (all exact int/int divisions)."""
+    toks = tokens_expr("text")
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(toks).alias("toks")
+    )
+    bigrams = (
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    per_doc = base.select(
+        "doc_id",
+        F.expr("cast(size(toks) as int)").alias("n_tokens"),
+        F.expr("cast(size(array_distinct(toks)) as int)").alias("n_distinct"),
+        F.expr(f"cast(size({bigrams}) as int)").alias("n_bigrams"),
+        F.expr(f"cast(size(array_distinct({bigrams})) as int)").alias(
+            "n_distinct_bigrams"
+        ),
+    )
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_count"))
+    )
+    out = (
+        per_doc.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_tok_count",
+            ((F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"))
+            .alias("dup_token_frac"),
+            (F.col("top_tok_count") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+            F.when(
+                F.col("n_bigrams") > 0,
+                (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                / F.col("n_bigrams"),
+            ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+        )
+    )
+    return out
+
+
+_TOKS_SQL = tokens_sql("text")
+
+REPETITION_ORACLE = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+per_doc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         CAST(len(toks) - 1 AS INT) AS n_bigrams,
+         CAST(len(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+              mh_i -> toks[mh_i] || ' ' || toks[mh_i + 1]))) AS INT) AS n_distinct_bigrams
+  FROM base
+),
+top AS (
+  SELECT doc_id, max(c) AS top_tok_count
+  FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+    GROUP BY doc_id, tok
+  )
+  GROUP BY doc_id
+)
+SELECT per_doc.doc_id, n_tokens, top_tok_count,
+       (n_tokens - n_distinct) / n_tokens AS dup_token_frac,
+       top_tok_count / n_tokens AS top_token_frac,
+       CASE WHEN n_bigrams > 0
+            THEN (n_bigrams - n_distinct_bigrams) / n_bigrams
+            ELSE 0.0 END AS dup_bigram_frac
+FROM per_doc JOIN top ON per_doc.doc_id = top.doc_id
+"""
+
+
+# --- pii_redact --------------------------------------------------------------
+
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_NUM = r"\d+"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask emails, IPv4 addresses and integer runs in event payloads,
+    counting matches per pattern (counts taken on the original string;
+    replacements applied sequentially email → ip → num)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "props")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("props"), _EMAIL, "<EMAIL>"),
+            _IPV4,
+            "<IP>",
+        ),
+        _NUM,
+        "<NUM>",
+    )
+    out = e.select(
+        "event_id",
+        F.regexp_count(F.col("props"), F.lit(_EMAIL)).cast("int").alias(
+            "n_email"
+        ),
+        F.regexp_count(F.col("props"), F.lit(_IPV4)).cast("int").alias("n_ip"),
+        F.regexp_count(F.col("props"), F.lit(_NUM)).cast("int").alias("n_num"),
+        redacted.alias("redacted"),
+    )
+    return out
+
+
+PII_REDACT_ORACLE = f"""
+SELECT event_id,
+       CAST(len(regexp_extract_all(props, '{_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(props, '{_IPV4}')) AS INT) AS n_ip,
+       CAST(len(regexp_extract_all(props, '{_NUM}')) AS INT) AS n_num,
+       regexp_replace(regexp_replace(regexp_replace(props,
+           '{_EMAIL}', '<EMAIL>', 'g'),
+           '{_IPV4}', '<IP>', 'g'),
+           '{_NUM}', '<NUM>', 'g') AS redacted
+FROM events
+"""
+
+
+QUERIES = {
+    "doc_chunking": (doc_chunking, DOC_CHUNKING_ORACLE),
+    "repetition_metrics": (repetition_metrics, REPETITION_ORACLE),
+    "pii_redact": (pii_redact, PII_REDACT_ORACLE),
+}
