@@ -1,0 +1,246 @@
+"""Behavioral analytics + embedding-compression operators.
+
+Three more extension-surface operators (SURVEY.md §2.9) that a
+large-scale data platform needs and the reference lacks entirely:
+
+- ``funnel_conversion``: classic view→purchase funnel per user — first
+  qualifying event, first conversion strictly after it, latency.
+  Two keyed aggregations + one left join, all on ``user_id``: a single
+  shuffle key end-to-end, so at 100 TB the whole funnel is one
+  exchange (AQE coalesces the tiny right side).
+- ``part_price_quartiles``: exact type-7 (linear-interpolation)
+  quartiles per group, written as explicit arithmetic over a sorted
+  array so Spark and DuckDB evaluate the *same* IEEE expression —
+  bit-identical without relying on either engine's quantile internals.
+  Scale path: swap ``collect_list`` for ``percentile_approx`` when a
+  group no longer fits an array (documented, not needed at test SF).
+- ``vector_quantize_int8``: per-vector affine int8 quantization of
+  embeddings (the standard trick for shrinking an ANN index 4×) with
+  md5-fingerprinted codes and an integer-quantized reconstruction
+  error. Arrow-batched ``mapInPandas`` — no shuffle, no collect;
+  float work mirrors the DuckDB oracle op-for-op (see
+  functions/vectors.py for the quantized-fold approach).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from psd_project_spark.sources.registry import load_table
+
+# --- funnel_conversion -------------------------------------------------------
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view→purchase funnel over the events stream.
+
+    first_view_ns = earliest 'view'; first_purch_ns = earliest
+    'purchase' strictly after it; us_to_convert = µs latency.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("first_view_ns"))
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("ts_ns") > F.col("first_view_ns"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("first_purch_ns"))
+    )
+    out = (
+        views.join(purch, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view_ns",
+            "first_purch_ns",
+            F.col("first_purch_ns").isNotNull().cast("int").alias("converted"),
+            F.expr("(first_purch_ns - first_view_ns) DIV 1000").alias(
+                "us_to_convert"
+            ),
+        )
+    )
+    return out
+
+
+FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
+),
+v AS (
+  SELECT user_id, min(ts_ns) AS first_view_ns
+  FROM e WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(ts_ns) AS first_purch_ns
+  FROM e JOIN v USING (user_id)
+  WHERE event_type = 'purchase' AND ts_ns > first_view_ns
+  GROUP BY 1
+)
+SELECT v.user_id, first_view_ns, first_purch_ns,
+       CAST(first_purch_ns IS NOT NULL AS INT) AS converted,
+       (first_purch_ns - first_view_ns) // 1000 AS us_to_convert
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+# --- part_price_quartiles ----------------------------------------------------
+
+def _type7(arr: str, n: str, p: str) -> str:
+    """Shared SQL text for a type-7 quantile over a sorted 1-based array
+    — identical source for Spark and DuckDB modulo the subscript call.
+    """
+    h = f"(cast({n} - 1 as double) * cast({p} as double))"
+    lo = f"cast(floor({h}) as int)"
+    return (
+        f"CASE WHEN {h} = floor({h}) THEN element_at({arr}, {lo} + 1) "
+        f"ELSE element_at({arr}, {lo} + 1) "
+        f"+ (element_at({arr}, {lo} + 2) - element_at({arr}, {lo} + 1)) "
+        f"* ({h} - floor({h})) END"
+    )
+
+
+def part_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact q25/q50/q75 of retail price per part type."""
+    g = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(F.expr("sort_array(collect_list(p_retailprice))").alias("arr"))
+        .select(
+            "p_type",
+            F.expr("cast(size(arr) as int)").alias("n_parts"),
+            F.expr(_type7("arr", "size(arr)", "0.25")).alias("q25"),
+            F.expr(_type7("arr", "size(arr)", "0.5")).alias("q50"),
+            F.expr(_type7("arr", "size(arr)", "0.75")).alias("q75"),
+        )
+        .orderBy("p_type")
+    )
+    return g
+
+
+def _type7_duck(arr: str, n: str, p: str) -> str:
+    return (
+        _type7(arr, n, p)
+        .replace(f"element_at({arr}, ", f"list_extract({arr}, ")
+    )
+
+
+PART_QUARTILES_ORACLE = f"""
+WITH g AS (
+  SELECT p_type, list_sort(list(p_retailprice)) AS arr
+  FROM part GROUP BY p_type
+)
+SELECT p_type, CAST(len(arr) AS INT) AS n_parts,
+       {_type7_duck("arr", "len(arr)", "0.25")} AS q25,
+       {_type7_duck("arr", "len(arr)", "0.5")} AS q50,
+       {_type7_duck("arr", "len(arr)", "0.75")} AS q75
+FROM g ORDER BY p_type
+"""
+
+
+# --- vector_quantize_int8 ----------------------------------------------------
+
+_VQ_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("vmin", DoubleType()),
+        StructField("vmax", DoubleType()),
+        StructField("codes_md5", StringType()),
+        StructField("qerr_q12", LongType()),
+    ]
+)
+
+
+def _vq_kernel(batches):
+    import numpy as np
+
+    for pdf in batches:
+        a = np.stack(pdf["embedding"].apply(np.asarray).values).astype(
+            np.float64
+        )
+        vmin = a.min(axis=1)
+        vmax = a.max(axis=1)
+        scale = (vmax - vmin) / 255.0
+        safe = scale != 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.floor((a - vmin[:, None]) / scale[:, None] + 0.5)
+        raw = np.where(safe[:, None], raw, 0.0)
+        codes = np.minimum(255.0, np.maximum(0.0, raw)).astype(np.int64)
+        recon = vmin[:, None] + codes.astype(np.float64) * scale[:, None]
+        d = a - recon
+        q = np.floor(d * d * 1e12 + 0.5).astype(np.int64)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].values,
+                "vmin": vmin,
+                "vmax": vmax,
+                "codes_md5": [
+                    hashlib.md5(
+                        ",".join(str(c) for c in row).encode()
+                    ).hexdigest()
+                    for row in codes
+                ],
+                "qerr_q12": q.sum(axis=1),
+            }
+        )
+
+
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine int8 quantization of every embedding: codeᵢ =
+    clip(⌊(xᵢ−min)/scale + ½⌋, 0, 255), scale = (max−min)/255; emits the
+    md5 fingerprint of the code vector and the total squared
+    reconstruction error quantized at 1e-12."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInPandas(_vq_kernel, schema=_VQ_SCHEMA)
+
+
+VECTOR_QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, mh_x -> CAST(mh_x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, emb,
+         list_aggregate(emb, 'min') AS vmin,
+         list_aggregate(emb, 'max') AS vmax
+  FROM v
+),
+t AS (
+  SELECT vec_id, emb, vmin, vmax, (vmax - vmin) / 255.0 AS scale FROM s
+),
+c AS (
+  SELECT vec_id, emb, vmin, vmax, scale,
+         list_transform(emb, mh_x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(least(255.0, greatest(0.0, floor((mh_x - vmin) / scale + 0.5))) AS BIGINT) END) AS codes
+  FROM t
+)
+SELECT vec_id, vmin, vmax,
+       md5(array_to_string(codes, ',')) AS codes_md5,
+       CAST(list_sum(list_transform(generate_series(1, len(emb)),
+            mh_i -> CAST(floor((emb[mh_i] - (vmin + codes[mh_i] * scale))
+                        * (emb[mh_i] - (vmin + codes[mh_i] * scale)) * 1e12 + 0.5) AS BIGINT)))
+            AS BIGINT) AS qerr_q12
+FROM c
+"""
+
+
+QUERIES = {
+    "funnel_conversion": (funnel_conversion, FUNNEL_ORACLE),
+    "part_price_quartiles": (part_price_quartiles, PART_QUARTILES_ORACLE),
+    "vector_quantize_int8": (vector_quantize_int8, VECTOR_QUANTIZE_ORACLE),
+}

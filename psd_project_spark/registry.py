@@ -18,6 +18,7 @@ _MODULES = (
     "psd_project_spark.operators.risk",
     "psd_project_spark.operators.relational",
     "psd_project_spark.operators.relational_tpch",
+    "psd_project_spark.operators.analytics_extra",
     "psd_project_spark.operators.text_analysis",
     "psd_project_spark.operators.text_curation",
     "psd_project_spark.operators.dedup",
