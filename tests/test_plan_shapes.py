@@ -83,3 +83,15 @@ def test_partitioned_write_prunes_at_source(spark, tmp_path):
         .count()
     )
     assert agg.collect()[0]["n"] == expected
+
+
+def test_roundtrip_query_prunes_returnflag_partition(spark):
+    """partitioned_parquet_roundtrip's read-back must prune to the
+    l_returnflag=R directory at file-listing time."""
+    from psd_project_spark.operators.timeseries import (
+        partitioned_parquet_roundtrip,
+    )
+
+    df = partitioned_parquet_roundtrip(spark, SF_DIR)
+    pf = partition_filters(df)
+    assert any("l_returnflag" in f for f in pf), pf
