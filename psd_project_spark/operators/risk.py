@@ -110,6 +110,23 @@ FROM m
 MEASURES_WINDOW_ORACLE = _measures_window_oracle()
 
 
+def measures_window_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as ``measures_window`` through the numpy scale path
+    (functions/measures_np.py): applyInPandas sliding windows instead
+    of interpreted HOF folds. Shares the oracle with the HOF form."""
+    from psd_project_spark.functions.measures_np import windowed_measures_np
+
+    events = load_table(spark, sf_dir, "events")
+    return windowed_measures_np(
+        events,
+        key_cols=["user_id"],
+        order_col="event_id",
+        value_col="value",
+        window_size=WINDOW,
+        digits=MDIGITS,
+    )
+
+
 # --- alerts_batch ------------------------------------------------------------
 
 def reference_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,6 +308,7 @@ GROUP BY 1, 2
 QUERIES = {
     "measures_agg": (measures_agg, MEASURES_AGG_ORACLE),
     "measures_window": (measures_window, MEASURES_WINDOW_ORACLE),
+    "measures_window_np": (measures_window_np, MEASURES_WINDOW_ORACLE),
     "alerts_batch": (alerts_batch, _alerts_oracle()),
     "alert_counts": (alert_counts, _alert_counts_oracle()),
     "portfolio_projection": (portfolio_projection, PORTFOLIO_ORACLE),

@@ -101,3 +101,27 @@ def test_measure_invariants(spark):
         assert got["sm2"] <= got["mean"] + 1e-12
         assert got["tail_mean"] <= got["q10"] + 1e-12
         assert got["q10"] <= got["median"] + 1e-12
+
+
+def test_numpy_window_path_matches_hof_path_chunked(spark):
+    """windowed_measures_np (incl. overlapped-chunk parallel mode) must
+    be row-identical to the interpreted-HOF semantics oracle."""
+    from psd_project_spark.functions.measures import windowed_measures
+    from psd_project_spark.functions.measures_np import windowed_measures_np
+    from psd_project_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    kw = dict(
+        key_cols=["user_id"], order_col="event_id", value_col="value",
+        window_size=30, digits=9,
+    )
+    ref = {
+        tuple(r): True
+        for r in windowed_measures(events, **kw).collect()
+    }
+    for chunk_rows in (None, 40):
+        got = windowed_measures_np(events, chunk_rows=chunk_rows, **kw).collect()
+        assert len(got) == len(ref), (chunk_rows, len(got), len(ref))
+        missing = [r for r in got if tuple(r) not in ref]
+        assert not missing, (chunk_rows, missing[:3])
