@@ -391,8 +391,165 @@ ORDER BY 1
 """
 
 
+# --- q6: forecast revenue change (pure scan-side filter agg) ----------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table filter + aggregate — every predicate is pushable to
+    the parquet scan (min/max row-group skipping at scale); no joins,
+    no shuffle beyond the final 1-row combine."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return l.agg(
+        F.round(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")), 6
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q6_ORACLE = """
+SELECT
+  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < CAST(24 AS DOUBLE)
+"""
+
+
+# --- q8: market share --------------------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-2 suppliers' share of PROMO-part revenue sold to region-0
+    customers, per order year: two independent nation lookups (both
+    broadcast, aliased), conditional aggregation for the share."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.filter(F.col("n_regionkey") == 0)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.withColumnRenamed("n_regionkey", "supp_region")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_region")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _revenue().alias("revenue")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    in_region = F.when(
+        F.col("supp_region") == 2, F.col("revenue")
+    ).otherwise(F.lit(0.0))
+    out = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("o_year")
+        .agg(
+            F.round(_dsum(in_region), 6).alias("region2_revenue"),
+            F.round(_dsum(F.col("revenue")), 6).alias("total_revenue"),
+            F.round(_dsum(in_region) / _dsum(F.col("revenue")), 6).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+    return out
+
+
+Q8_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  round(CAST(sum(CAST(CASE WHEN sn.n_regionkey = 2 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(27,15))) AS DOUBLE), 6) AS region2_revenue,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_revenue,
+  round(CAST(sum(CAST(CASE WHEN sn.n_regionkey = 2 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(27,15))) AS DOUBLE)
+        / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_type = 'PROMO'
+  AND o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE cn.n_regionkey = 0
+  )
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- q15: top supplier(s) by quarterly revenue ------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers achieving the maximum Q1-1996 revenue: the classic
+    view + scalar-max pattern. The per-supplier aggregate is computed
+    once and reused for both the max (1-row broadcast) and the final
+    equality filter — no re-scan, no correlated re-execution."""
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(_dsum(_revenue()), 6).alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("best"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+    return out
+
+
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_ORACLE),
     "q7_trade_volume": (q7_trade_volume, Q7_ORACLE),
+    "q8_market_share": (q8_market_share, Q8_ORACLE),
+    "q15_top_supplier": (q15_top_supplier, Q15_ORACLE),
     "q10_returned_items": (q10_returned_items, Q10_ORACLE),
     "q13_order_count_distribution": (
         q13_order_count_distribution,
