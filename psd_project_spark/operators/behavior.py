@@ -1,0 +1,177 @@
+"""Event-behavior analytics: windowed top-k and transition mining.
+
+- ``hourly_top_spenders``: per-hour top-3 users by spend — the
+  grouped-agg → ranking-window → filter shape. One shuffle for the
+  aggregate, one for the rank partition; deterministic ties
+  (user_id ascending).
+- ``event_transitions``: first-order Markov transition counts over
+  each user's event sequence (``lag`` over (user, time)), with the
+  per-source total carried so downstream can form exact rational
+  probabilities. The sequence shuffle is keyed by user; counts are a
+  map-side-combined aggregate over (prev, next).
+- ``compression_ratio``: zlib-compressibility per document — the
+  classic repetition/quality signal (highly repetitive text
+  compresses far below typical prose). Arrow-batched ``mapInPandas``;
+  DuckDB has no zlib, so this entry ships without an oracle (the
+  driver records a rows-only check) and its semantics are pinned by
+  ``tests/test_properties.py`` invariants instead.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from psd_project_spark.sources.registry import load_table
+
+_DEC = "decimal(27,15)"
+
+
+# --- hourly_top_spenders -----------------------------------------------------
+
+def hourly_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3 users by total purchase value within every hour."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+        )
+        .agg(
+            F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 6).alias(
+                "spend"
+            )
+        )
+    )
+    w = Window.partitionBy("hour").orderBy(
+        F.col("spend").desc(), F.col("user_id")
+    )
+    return (
+        hourly.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("hour", "rank", "user_id", "spend")
+    )
+
+
+TOP_SPENDERS_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, user_id,
+         round(CAST(sum(CAST(value AS DECIMAL(27,15))) AS DOUBLE), 6) AS spend
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT hour, CAST(rank AS INT) AS rank, user_id, spend
+FROM (
+  SELECT hour, user_id, spend,
+         row_number() OVER (PARTITION BY hour
+                            ORDER BY spend DESC, user_id) AS rank
+  FROM hourly
+)
+WHERE rank <= 3
+"""
+
+
+# --- event_transitions -------------------------------------------------------
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev_type → event_type) transition counts across all users,
+    with the per-source total for exact transition probabilities."""
+    e = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(seq))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n").alias("n_from_prev")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            "n_from_prev",
+            (F.col("n") / F.col("n_from_prev")).alias("p_transition"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+TRANSITIONS_ORACLE = """
+WITH seqd AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ns(ts), event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type, count(*) AS n
+  FROM seqd WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT prev_type, sum(n) AS n_from_prev FROM pairs GROUP BY 1
+)
+SELECT p.prev_type, p.event_type, p.n, t.n_from_prev,
+       p.n / t.n_from_prev AS p_transition
+FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+ORDER BY p.prev_type, p.event_type
+"""
+
+
+# --- compression_ratio -------------------------------------------------------
+
+_CR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("n_compressed", IntegerType()),
+        StructField("compression_ratio", DoubleType()),
+    ]
+)
+
+
+def _cr_kernel(batches):
+    for pdf in batches:
+        raw = [t.encode("utf-8") for t in pdf["text"]]
+        comp = [len(zlib.compress(b, 6)) for b in raw]
+        n = [len(b) for b in raw]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_bytes": n,
+                "n_compressed": comp,
+                "compression_ratio": [
+                    (c / b if b else 0.0) for c, b in zip(comp, n)
+                ],
+            }
+        )
+
+
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-level-6 compressed size / raw size per document (lower =
+    more repetitive). No DuckDB oracle (no zlib there) — invariants
+    pinned in tests/test_properties.py."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_cr_kernel, schema=_CR_SCHEMA)
+
+
+QUERIES = {
+    "hourly_top_spenders": (hourly_top_spenders, TOP_SPENDERS_ORACLE),
+    "event_transitions": (event_transitions, TRANSITIONS_ORACLE),
+    "compression_ratio": (compression_ratio, None),
+}

@@ -136,3 +136,25 @@ def test_media_resize_matches_local_recompute(spark):
         assert g["resized_bytes"] == len(small)
         assert bytes(g["resized"]) == small
         assert g["resized_md5"] == hashlib.md5(small).hexdigest()
+
+
+def test_compression_ratio_invariants(spark):
+    """zlib signal: ratios positive, bounded, and repetitive docs
+    compress at least as well as the corpus median."""
+    from psd_project_spark.operators.behavior import compression_ratio
+    from tests.conftest import SF_DIR
+
+    rows = compression_ratio(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bytes"] > 0
+        assert 0 < r["n_compressed"] <= r["n_bytes"] + 32
+        assert abs(r["compression_ratio"] - r["n_compressed"] / r["n_bytes"]) < 1e-15
+    import zlib as _z
+
+    # spot-check one row against a local recompute
+    from psd_project_spark.sources.registry import load_table
+
+    doc = load_table(spark, SF_DIR, "documents").limit(1).collect()[0]
+    got = [r for r in rows if r["doc_id"] == doc["doc_id"]][0]
+    assert got["n_compressed"] == len(_z.compress(doc["text"].encode(), 6))
