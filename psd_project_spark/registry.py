@@ -32,6 +32,7 @@ _MODULES = (
     "psd_project_spark.operators.skew",
     "psd_project_spark.sources.jsonl",
     "psd_project_spark.streaming.jobs",
+    "psd_project_spark.streaming.foreach_sink",
 )
 
 

@@ -1,0 +1,162 @@
+"""foreachBatch production sinks: idempotent append + keyed upsert.
+
+Structured Streaming's built-in file sink can only append. Real
+pipelines also need (a) retry-safe batch output and (b) a
+continuously-maintained keyed state table ("latest row per key" —
+what a MERGE INTO does on a lakehouse). Both are foreachBatch
+patterns, reimplemented here storage-free on plain parquet:
+
+- ``run_foreachbatch_append``: each epoch writes to a deterministic
+  ``batch_id=N`` directory with ``overwrite`` mode — a retried epoch
+  (micro-batch replay after a crash) overwrites its own directory
+  instead of duplicating rows. Exactly-once = checkpointed offsets +
+  idempotent per-epoch writes.
+- ``run_foreachbatch_upsert``: maintains a compact keyed table.
+  Per epoch: keep-latest within the batch, anti-join-free merge with
+  the current table (union → rank → keep-latest), write a new
+  immutable version directory, then atomically repoint a ``current``
+  symlink. Readers always see a complete version; a replayed epoch
+  rebuilds the same version directory and the swap is idempotent.
+  At scale the same pattern is a lakehouse MERGE (Delta/Iceberg); the
+  plan shape — broadcast-free keyed dedup of (state ∪ delta) — is
+  identical.
+
+The reference has no recovery or upsert story at all: a crash
+re-prints every alert (StreamingJob.java:439 print sink).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from psd_project_spark.streaming.jobs import STATE_PARTITIONS
+
+
+def _run(result: DataFrame, batch_fn, ckpt: str, state_partitions) -> None:
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def run_foreachbatch_append(
+    result: DataFrame,
+    out_dir: str,
+    ckpt: str,
+    state_partitions: int | None = STATE_PARTITIONS,
+) -> None:
+    """Epoch-keyed idempotent append; read back with
+    ``spark.read.parquet(out_dir)`` (batch_id becomes a column)."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    _run(result, write_batch, ckpt, state_partitions)
+
+
+def current_upsert_table(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "current"))
+
+
+def run_foreachbatch_upsert(
+    result: DataFrame,
+    out_dir: str,
+    ckpt: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_partitions: int | None = STATE_PARTITIONS,
+) -> None:
+    """Maintain latest-row-per-key across epochs with atomic version
+    swap. ``order_cols`` must totally order rows within a key (e.g.
+    ``["ts_ns", "event_id"]``) so the kept row is deterministic."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        delta = df.withColumn("_epoch", F.lit(batch_id).cast("long"))
+        current = os.path.join(out_dir, "current")
+        if os.path.lexists(current):
+            # Replay guard: if the swap for this (or a later) epoch
+            # already happened, the epoch was fully applied — reapplying
+            # would read and clobber the same version directory.
+            applied = int(os.readlink(current).lstrip("v"))
+            if applied >= batch_id:
+                return
+            merged = spark.read.parquet(current).unionByName(delta)
+        else:
+            merged = delta
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        version = os.path.join(out_dir, f"v{batch_id}")
+        latest.write.mode("overwrite").parquet(version)
+        tmp = os.path.join(out_dir, f".swap{batch_id}")
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(f"v{batch_id}", tmp)
+        os.replace(tmp, current)  # atomic repoint
+
+    _run(result, write_batch, ckpt, state_partitions)
+
+
+# --- registry query ----------------------------------------------------------
+
+def stream_upsert_latest(spark, sf_dir: str) -> DataFrame:
+    """Run the events stream through the keyed upsert sink; the
+    maintained state table must equal the batch keep-latest dedup
+    (same oracle as ``latest_event_per_user``)."""
+    import tempfile
+
+    from psd_project_spark.streaming.jobs import stream_events
+
+    out_dir = tempfile.mkdtemp(prefix="psd_upsert_")
+    ckpt = tempfile.mkdtemp(prefix="psd_upsert_ckpt_")
+    src = stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_ns", "event_type", "value"
+    )
+    run_foreachbatch_upsert(
+        src, out_dir, ckpt,
+        key_cols=["user_id"], order_cols=["ts_ns", "event_id"],
+    )
+    return current_upsert_table(spark, out_dir).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        "ts_ns",
+        "event_type",
+        "value",
+    )
+
+
+STREAM_UPSERT_ORACLE = """
+SELECT user_id, event_id AS last_event_id, ts_ns, event_type, value
+FROM (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "stream_upsert_latest": (stream_upsert_latest, STREAM_UPSERT_ORACLE),
+}
