@@ -22,6 +22,7 @@ _MODULES = (
     "psd_project_spark.operators.timeseries",
     "psd_project_spark.operators.fuzzy_join",
     "psd_project_spark.operators.behavior",
+    "psd_project_spark.operators.governance",
     "psd_project_spark.operators.text_analysis",
     "psd_project_spark.operators.text_curation",
     "psd_project_spark.operators.dedup",

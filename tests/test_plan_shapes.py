@@ -95,3 +95,21 @@ def test_roundtrip_query_prunes_returnflag_partition(spark):
     df = partitioned_parquet_roundtrip(spark, SF_DIR)
     pf = partition_filters(df)
     assert any("l_returnflag" in f for f in pf), pf
+
+
+def test_training_shards_are_sorted_within_files(spark):
+    """Each exported shard file must be sorted by (user_id, ts_ns) —
+    the sequential-read contract of the export path."""
+    import glob
+
+    from psd_project_spark.operators.governance import (
+        _shard_dir,
+        training_shard_export,
+    )
+
+    training_shard_export(spark, SF_DIR).collect()  # ensure written
+    files = glob.glob(f"{_shard_dir(SF_DIR)}/shard=0/*.parquet")
+    assert files
+    pdf = spark.read.parquet(files[0]).toPandas()
+    key = list(zip(pdf["user_id"], pdf["ts_ns"]))
+    assert key == sorted(key)
