@@ -41,18 +41,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # Raw ns epoch → µs TimestampType; integer DIV avoids the double
-        # round-trip that loses precision above 2^53 ns.
-        # ts_ns is truncated to µs-aligned ns: DuckDB (the oracle) reads
-        # TIMESTAMP(NANOS) parquet at µs precision, so exact-parity
-        # arithmetic must not see sub-µs digits either.
-        df = (
+        df = _normalize_events(df)
+    return df
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """Expose ``ts`` (µs TimestampType) + ``ts_ns`` (µs-aligned ns long)
+    regardless of how the driver's parquet stores the column:
+
+    - TIMESTAMP(NANOS) → Spark reads it as a raw ns long (via
+      ``spark.sql.legacy.parquet.nanosAsLong``); integer DIV avoids the
+      double round-trip that loses precision above 2^53 ns, and ts_ns is
+      truncated to µs-aligned ns because DuckDB (the oracle) reads that
+      encoding at µs precision.
+    - TIMESTAMP(MICROS) (plain or NTZ) → native read; cast is a no-op
+      under the UTC session timezone and ts_ns = unix_micros * 1000.
+    """
+    if df.schema["ts"].dataType.typeName() == "long":
+        return (
             df.withColumnRenamed("ts", "_raw_ns")
             .withColumn("ts", F.expr("timestamp_micros(_raw_ns DIV 1000)"))
             .withColumn("ts_ns", F.expr("(_raw_ns DIV 1000) * 1000"))
             .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
         )
-    return df
+    return df.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 def spread_small(df: DataFrame, spark: SparkSession) -> DataFrame:

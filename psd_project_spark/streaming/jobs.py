@@ -55,18 +55,18 @@ from psd_project_spark.streaming.count_window import (
 
 _sink_ids = itertools.count()
 
-#: events.parquet schema for the file-stream source (ts read as raw
-#: nanosecond long via spark.sql.legacy.parquet.nanosAsLong).
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+#: events.parquet schema for the file-stream source, minus ``ts`` whose
+#: physical type depends on the driver's writer (TIMESTAMP(NANOS) → raw
+#: ns long via spark.sql.legacy.parquet.nanosAsLong; TIMESTAMP(MICROS)
+#: → native timestamp). ``stream_events`` sniffs the actual type from
+#: the parquet footer (one cheap batch-read of metadata) so the declared
+#: stream schema always matches the files.
+_EVENTS_FIELDS_TAIL = [
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+]
 
 
 def _stream_dir(sf_dir: str, table: str) -> str:
@@ -82,15 +82,31 @@ def _stream_dir(sf_dir: str, table: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream source over events.parquet (S1 analog)."""
+    """File-stream source over events.parquet (S1 analog).
+
+    ``ts``/``ts_ns`` normalization mirrors
+    ``sources/registry._normalize_events`` for both parquet encodings.
+    """
     ensure_conf(spark)
-    return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(_stream_dir(sf_dir, "events"))
-        .withColumnRenamed("ts", "_raw_ns")
-        .withColumn("ts", F.expr("timestamp_micros(_raw_ns DIV 1000)"))
-        .withColumn("ts_ns", F.expr("(_raw_ns DIV 1000) * 1000"))
-        .drop("_raw_ns")
+    d = _stream_dir(sf_dir, "events")
+    ts_type = spark.read.parquet(d).schema["ts"].dataType
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            *_EVENTS_FIELDS_TAIL,
+        ]
+    )
+    raw = spark.readStream.schema(schema).parquet(d)
+    if ts_type.typeName() == "long":
+        return (
+            raw.withColumnRenamed("ts", "_raw_ns")
+            .withColumn("ts", F.expr("timestamp_micros(_raw_ns DIV 1000)"))
+            .withColumn("ts_ns", F.expr("(_raw_ns DIV 1000) * 1000"))
+            .drop("_raw_ns")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
     )
 
 
