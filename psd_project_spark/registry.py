@@ -18,6 +18,7 @@ _MODULES = (
     "psd_project_spark.operators.risk",
     "psd_project_spark.operators.relational",
     "psd_project_spark.operators.relational_tpch",
+    "psd_project_spark.operators.relational_tpch3",
     "psd_project_spark.operators.analytics_extra",
     "psd_project_spark.operators.timeseries",
     "psd_project_spark.operators.fuzzy_join",
