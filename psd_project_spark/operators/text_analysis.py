@@ -408,8 +408,112 @@ FROM h
 """
 
 
+# --- bm25_rank ---------------------------------------------------------------
+
+#: Fixed retrieval query for the BM25 battery (high-mid-frequency terms).
+BM25_TERMS = ("join", "hash", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a fixed term query under BM25 scoring —
+    the classic sparse-retrieval primitive of a training-data pipeline
+    (quality-biased selection, retrieval-augmented filtering).
+
+    Same log-free convention as ``tfidf_top_terms``: idf uses the
+    rational Robertson form ``(N − df + 0.5) / (df + 0.5)`` *without*
+    the ln() wrapper so both engines produce bit-identical doubles
+    (per-term monotone in df either way; term-saturation k1 and length
+    normalization b are standard BM25). All term counting is JVM-side
+    higher-order ``filter`` over one tokenization — no explode, no
+    Python. Corpus stats (N, avgdl, per-term df) are a 1-row aggregate
+    broadcast back via crossJoin, so at 100 TB this is two columnar
+    scans of one string column and a 1-row exchange — no wide shuffle
+    at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.expr(f"CAST(size({T.tokens_expr()}) AS DOUBLE)").alias("dl"),
+        *[
+            F.expr(
+                f"CAST(size(filter({T.tokens_expr()}, x -> x = '{t}')) AS DOUBLE)"
+            ).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    norm = F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+    contribs = [
+        ((F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+         / (F.col(f"df_{i}") + F.lit(0.5)))
+        * ((F.col(f"tf_{i}") * F.lit(BM25_K1 + 1.0))
+           / (F.col(f"tf_{i}") + F.lit(BM25_K1) * norm))
+        for i in range(len(BM25_TERMS))
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    hit = F.col("tf_0") + F.col("tf_1") + F.col("tf_2") > 0
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(hit)
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_defs = ",\n    ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_defs = ",\n    ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    k1p1 = BM25_K1 + 1.0
+    contribs = " + ".join(
+        f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * ((tf_{i} * {k1p1!r}) / (tf_{i} + {BM25_K1!r}"
+        f" * ({1.0 - BM25_B!r} + {BM25_B!r} * (dl / avgdl))))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len({T.tokens_sql()}) AS DOUBLE) AS dl,
+    {tf_defs.replace('toks', T.tokens_sql())}
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+    sum(dl) / count(*) AS avgdl,
+    {df_defs}
+  FROM base
+)
+SELECT doc_id, round({contribs}, 6) AS score
+FROM base, stats
+WHERE tf_0 + tf_1 + tf_2 > 0
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
 QUERIES = {
     "doc_stats": (doc_stats, DOC_STATS_ORACLE),
+    "bm25_rank": (bm25_rank, _bm25_oracle()),
     "corpus_quality_filter": (corpus_quality_filter, CORPUS_FILTER_ORACLE),
     "curation_pipeline": (curation_pipeline, CURATION_ORACLE),
     "lang_id": (lang_id, _lang_id_oracle()),
