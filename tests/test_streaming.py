@@ -333,3 +333,35 @@ def test_foreachbatch_upsert_latest_per_key(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """The 100 TB state path: the same stateful query (keyed dedup →
+    count-distinct) must produce identical results under the RocksDB
+    state-store provider (with changelog checkpointing, the
+    large-state production config) as under the default HDFS-backed
+    in-memory provider. Pins that no query logic secretly depends on
+    provider-specific behavior."""
+    from psd_project_spark.streaming.jobs import stream_dedup_users
+
+    baseline = _sorted_frame(stream_dedup_users(spark, SF_DIR))
+
+    conf_keys = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf_keys}
+    try:
+        for k, v in conf_keys.items():
+            spark.conf.set(k, v)
+        rocks = _sorted_frame(stream_dedup_users(spark, SF_DIR))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert rocks.equals(baseline)
