@@ -239,8 +239,83 @@ FROM c
 """
 
 
+# --- moment_stats ------------------------------------------------------------
+
+def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (stddev, covariance, Pearson
+    correlation) of quantity vs extended price per return flag.
+
+    Built-in ``corr``/``covar_samp``/``stddev`` stream partial states
+    whose float accumulation order varies with partitioning, so their
+    last bits are not reproducible across engines or cluster layouts.
+    Instead the five raw moments (Σx, Σy, Σx², Σy², Σxy) accumulate in
+    DECIMAL(27,15) — order-independent, one map-side-combined shuffle —
+    and the derived statistics are a fixed IEEE expression over the
+    exact sums (sqrt is correctly rounded per IEEE-754, so even corr is
+    bit-identical to the DuckDB oracle). This is also the 100 TB shape:
+    moments merge associatively, so partial aggregation does all the
+    reduction work before the exchange.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    dec = "decimal(38,15)"
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    mxx = sxx - sx * sx / n
+    myy = syy - sy * sy / n
+    mxy = sxy - sx * sy / n
+    return agg.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(sy / n, 6).alias("mean_price"),
+        F.round(F.sqrt(mxx / (n - F.lit(1.0))), 6).alias("std_qty"),
+        F.round(F.sqrt(myy / (n - F.lit(1.0))), 6).alias("std_price"),
+        F.round(mxy / (n - F.lit(1.0)), 6).alias("covar_qp"),
+        F.round(mxy / F.sqrt(mxx * myy), 6).alias("corr_qp"),
+    ).orderBy("l_returnflag")
+
+
+MOMENT_STATS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(38,15))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,15))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,15))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,15))) AS DOUBLE) AS syy,
+    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,15))) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT l_returnflag,
+  CAST(n AS BIGINT) AS n,
+  round(sx / n, 6) AS mean_qty,
+  round(sy / n, 6) AS mean_price,
+  round(sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS std_qty,
+  round(sqrt((syy - sy * sy / n) / (n - 1.0)), 6) AS std_price,
+  round((sxy - sx * sy / n) / (n - 1.0), 6) AS covar_qp,
+  round((sxy - sx * sy / n)
+        / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qp
+FROM m
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "funnel_conversion": (funnel_conversion, FUNNEL_ORACLE),
+    "moment_stats": (moment_stats, MOMENT_STATS_ORACLE),
     "part_price_quartiles": (part_price_quartiles, PART_QUARTILES_ORACLE),
     "vector_quantize_int8": (vector_quantize_int8, VECTOR_QUANTIZE_ORACLE),
 }
