@@ -157,8 +157,78 @@ ORDER BY l_linestatus
 """
 
 
+# --- ewma_user_value ---------------------------------------------------------
+
+#: EWMA depth and decay. Decay 1/2 is deliberate: every weight 2^-k is
+#: an exact dyadic double, so the only rounding in the whole feature is
+#: the per-term multiply and the fixed left-to-right sum — bit-identical
+#: across engines (no pow(), no libm).
+EWMA_DEPTH = 8
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event exponentially-weighted moving average of ``value`` over
+    each user's last 8 events — the standard rolling feature of an ML
+    feature pipeline (recency-weighted activity level).
+
+    Written as an explicit chain of ``lag`` terms over one
+    (user, time)-ordered window rather than collect_list+HOF: the sum
+    order is fixed by the expression text, every weight is a dyadic
+    literal, and partial windows renormalize by the weights actually
+    present. One shuffle on ``user_id``; the window is evaluated inside
+    whole-stage codegen with no array materialization at all.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_ns", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    num = None
+    den = None
+    for k in range(EWMA_DEPTH):
+        wk = F.lit(0.5**k)
+        vk = F.lag("value", k).over(w) if k else F.col("value")
+        term = F.coalesce(vk, F.lit(0.0)) * wk
+        mask = F.when(vk.isNotNull(), wk).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mask if den is None else den + mask
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_ns",
+        "value",
+        F.round(num / den, 6).alias("ewma8"),
+    )
+
+
+def _ewma_oracle() -> str:
+    terms = " + ".join(
+        (
+            f"coalesce(lag(value, {k}) OVER w, 0.0) * {0.5 ** k!r}"
+            if k
+            else "value * 1.0"
+        )
+        for k in range(EWMA_DEPTH)
+    )
+    masks = " + ".join(
+        (
+            f"(CASE WHEN lag(value, {k}) OVER w IS NOT NULL"
+            f" THEN {0.5 ** k!r} ELSE 0.0 END)"
+            if k
+            else "1.0"
+        )
+        for k in range(EWMA_DEPTH)
+    )
+    return f"""
+SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value,
+       round(({terms}) / ({masks}), 6) AS ewma8
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+"""
+
+
 QUERIES = {
     "resample_ffill": (resample_ffill, RESAMPLE_ORACLE),
+    "ewma_user_value": (ewma_user_value, _ewma_oracle()),
     "partitioned_parquet_roundtrip": (
         partitioned_parquet_roundtrip,
         ROUNDTRIP_ORACLE,
