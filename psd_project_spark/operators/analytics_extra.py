@@ -313,9 +313,151 @@ ORDER BY l_returnflag
 """
 
 
+# --- value_outliers ----------------------------------------------------------
+
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: how many events are >3 sample standard
+    deviations from the type mean, and the largest |z| observed — the
+    standard data-quality screen before a table feeds training.
+
+    Same order-independent construction as ``moment_stats``: per-type
+    (n, Σv, Σv²) in decimal → mean/std as fixed IEEE expressions; the
+    tiny per-type stats frame broadcasts back onto the scan, so the
+    whole screen is two scans of one column and zero wide shuffles.
+    z is computed per row with the identical expression both engines
+    evaluate; max() over it is order-independent.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dec = "decimal(38,15)"
+    stats = e.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast(dec)).cast("double").alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast(dec))
+        .cast("double")
+        .alias("svv"),
+    )
+    mean = F.col("sv") / F.col("n")
+    std = F.sqrt(
+        (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+        / (F.col("n") - F.lit(1.0))
+    )
+    z = (F.col("value") - mean) / std
+    return (
+        e.join(F.broadcast(stats), F.col("event_type") == F.col("et"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.abs(z) > 3.0, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max(F.abs(z)), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_OUTLIERS_ORACLE = """
+WITH stats AS (
+  SELECT event_type AS et,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(CAST(value AS DECIMAL(38,15))) AS DOUBLE) AS sv,
+    CAST(sum(CAST(value * value AS DECIMAL(38,15))) AS DOUBLE) AS svv
+  FROM events GROUP BY 1
+)
+SELECT event_type, count(*) AS n,
+  sum(CASE WHEN abs((value - sv / n)
+               / sqrt((svv - sv * sv / n) / (n - 1.0))) > 3.0
+           THEN 1 ELSE 0 END) AS n_outliers,
+  round(max(abs((value - sv / n)
+                / sqrt((svv - sv * sv / n) / (n - 1.0)))), 6) AS max_abs_z
+FROM events JOIN stats ON event_type = et
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- table_profile -----------------------------------------------------------
+
+_PROFILE_NUMERIC = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_STRING = ("l_returnflag", "l_linestatus")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over lineitem: null count, exact
+    distinct count, min/max, and (for numerics) a decimal-accumulated
+    mean — the schema-discovery / data-contract primitive every
+    ingestion pipeline runs before accepting a drop.
+
+    All per-column statistics are computed in a SINGLE aggregate over
+    one scan (Spark plans multi-distinct via expand — still one pass
+    over the input), then unpivoted to (column, stat) rows driver-side
+    via a literal-width select+union of the 1-row frame — no second
+    scan, no per-column jobs.
+    """
+    cols = [*_PROFILE_NUMERIC, *_PROFILE_STRING]
+    l = load_table(spark, sf_dir, "lineitem").select(*cols)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    for c in _PROFILE_NUMERIC:
+        aggs.append(
+            F.round(
+                F.sum(F.col(c).cast("decimal(38,15)")).cast("double")
+                / F.count(F.col(c)),
+                6,
+            ).alias(f"avg_{c}")
+        )
+    one = l.agg(*aggs)
+    pieces = []
+    for c in cols:
+        mean_col = (
+            F.col(f"avg_{c}") if c in _PROFILE_NUMERIC
+            else F.lit(None).cast("double")
+        )
+        pieces.append(
+            one.select(
+                F.lit(c).alias("column"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_str"),
+                F.col(f"mx_{c}").alias("max_str"),
+                mean_col.alias("mean"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column")
+
+
+def _table_profile_oracle() -> str:
+    sel = []
+    for c in (*_PROFILE_NUMERIC, *_PROFILE_STRING):
+        mean = (
+            "round(CAST(sum(CAST({c} AS DECIMAL(38,15))) AS DOUBLE)"
+            " / count({c}), 6)".format(c=c)
+            if c in _PROFILE_NUMERIC
+            else "CAST(NULL AS DOUBLE)"
+        )
+        sel.append(
+            f"SELECT '{c}' AS \"column\","
+            f" sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,"
+            f" count(DISTINCT {c}) AS n_distinct,"
+            f" CAST(min({c}) AS VARCHAR) AS min_str,"
+            f" CAST(max({c}) AS VARCHAR) AS max_str,"
+            f" {mean} AS mean FROM lineitem"
+        )
+    return " UNION ALL ".join(sel) + ' ORDER BY "column"'
+
+
 QUERIES = {
     "funnel_conversion": (funnel_conversion, FUNNEL_ORACLE),
     "moment_stats": (moment_stats, MOMENT_STATS_ORACLE),
+    "value_outliers": (value_outliers, VALUE_OUTLIERS_ORACLE),
+    "table_profile": (table_profile, _table_profile_oracle()),
     "part_price_quartiles": (part_price_quartiles, PART_QUARTILES_ORACLE),
     "vector_quantize_int8": (vector_quantize_int8, VECTOR_QUANTIZE_ORACLE),
 }
