@@ -113,3 +113,32 @@ def test_training_shards_are_sorted_within_files(spark):
     pdf = spark.read.parquet(files[0]).toPandas()
     key = list(zip(pdf["user_id"], pdf["ts_ns"]))
     assert key == sorted(key)
+
+
+def test_q21_self_joins_share_one_key_no_cartesian(spark):
+    """Q21's EXISTS / NOT-EXISTS references plan as semi + anti joins
+    co-keyed on l_orderkey — never a cartesian/nested-loop product,
+    which is what a naive OR-of-inequalities join degenerates to."""
+    from psd_project_spark.operators.relational_tpch3 import (
+        q21_waiting_suppliers,
+    )
+
+    plan = executed_plan(q21_waiting_suppliers(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q2_broadcasts_filtered_dims(spark):
+    """Q2's filtered part / region-0 supplier dims must broadcast onto
+    the offers aggregate; the min-per-part equality join's build side
+    (per-part minima) must broadcast too — no shuffle of lineitem
+    beyond its own aggregation."""
+    from psd_project_spark.operators.relational_tpch3 import (
+        q2_min_cost_supplier,
+    )
+
+    df = q2_min_cost_supplier(spark, SF_DIR)
+    assert has_broadcast_hash_join(df)
+    assert "CartesianProduct" not in executed_plan(df)
