@@ -170,8 +170,73 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_cr_kernel, schema=_CR_SCHEMA)
 
 
+# --- rolling_dau -------------------------------------------------------------
+
+def rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day distinct active users — the canonical
+    engagement metric, and the canonical distinct-over-sliding-window
+    trap: COUNT(DISTINCT) cannot ride a window frame, and a naive
+    day×events range join is a nested-loop product.
+
+    Shape chosen for scale: dedup to (day, user) pairs first (the only
+    wide shuffle, on a shrinking input), then *fan out* each pair to
+    the ≤7 window-days it contributes to via ``explode(sequence(...))``
+    — a pure map-side 7× expansion that turns the range join into an
+    equi-groupBy on window_day. Exact COUNT(DISTINCT) per day then
+    shuffles (day, user) once more. At 100 TB the exact tail (billions
+    of users/day) swaps to per-day HLL sketches merged over the 7-day
+    window — same fan-out shape, approximate merge (documented, not
+    needed at test SF).
+    """
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .distinct()
+    )
+    daily = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    fanned = pairs.select(
+        F.explode(
+            F.expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("window_day"),
+        "user_id",
+    )
+    rolling = (
+        fanned.join(
+            F.broadcast(daily.select(F.col("day").alias("window_day"))),
+            "window_day",
+            "left_semi",
+        )
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("dau_7d"))
+    )
+    return (
+        daily.join(rolling, daily["day"] == rolling["window_day"])
+        .select("day", "dau", "dau_7d")
+        .orderBy("day")
+    )
+
+
+ROLLING_DAU_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+  FROM events
+), daily AS (
+  SELECT day, count(DISTINCT user_id) AS dau FROM pairs GROUP BY 1
+), rolling AS (
+  SELECT d.day AS window_day, count(DISTINCT p.user_id) AS dau_7d
+  FROM daily d
+  JOIN pairs p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY 1
+)
+SELECT day, dau, dau_7d
+FROM daily JOIN rolling ON day = window_day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "hourly_top_spenders": (hourly_top_spenders, TOP_SPENDERS_ORACLE),
+    "rolling_dau": (rolling_dau, ROLLING_DAU_ORACLE),
     "event_transitions": (event_transitions, TRANSITIONS_ORACLE),
     "compression_ratio": (compression_ratio, None),
 }
