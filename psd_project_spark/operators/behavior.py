@@ -234,9 +234,118 @@ ORDER BY day
 """
 
 
+# --- nearest_view_lag (cogrouped applyInPandas) ------------------------------
+
+#: Max |purchase − view| distance considered a match (1 h, in ns).
+_NV_TOL_NS = 3_600_000_000_000
+
+_NV_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("n_matched", LongType()),
+        StructField("sum_lag_ns", LongType()),
+    ]
+)
+
+
+def _nv_kernel(key, purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
+    """Per user: align each purchase to its nearest view within 1 h
+    (ties: the earlier view wins) via sorted searchsorted — O((p+v)·log v),
+    no pairwise product. Output is integer-only (counts + signed ns lag
+    sum), so there is no float rounding anywhere in this operator."""
+    import numpy as np
+
+    if len(purchases) == 0:
+        return pd.DataFrame(columns=_NV_SCHEMA.fieldNames()).astype("int64")
+    tp = purchases["ts_ns"].to_numpy(dtype="int64")
+    tv = np.sort(views["ts_ns"].to_numpy(dtype="int64"))
+    n_matched = 0
+    sum_lag = 0
+    if len(tv):
+        idx = np.searchsorted(tv, tp)
+        prev_i = np.clip(idx - 1, 0, len(tv) - 1)
+        next_i = np.clip(idx, 0, len(tv) - 1)
+        prev_d = np.where(idx > 0, tp - tv[prev_i], np.iinfo("int64").max)
+        next_d = np.where(idx < len(tv), tv[next_i] - tp, np.iinfo("int64").max)
+        take_prev = prev_d <= next_d
+        best = np.where(take_prev, tv[prev_i], tv[next_i])
+        dist = np.where(take_prev, prev_d, next_d)
+        ok = dist <= _NV_TOL_NS
+        n_matched = int(ok.sum())
+        sum_lag = int((tp[ok] - best[ok]).sum())
+    return pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_purchases": [len(tp)],
+            "n_matched": [n_matched],
+            "sum_lag_ns": [sum_lag],
+        }
+    )
+
+
+def nearest_view_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: each purchase aligned to the nearest view within 1 h —
+    the attribution-style nearest-in-time join that neither equi-joins
+    nor as-of joins (which only look one direction) express.
+
+    This is the engine's **cogrouped applyInPandas** surface: the two
+    event subsets are grouped on ``user_id`` and handed to a pandas
+    kernel per key — one shuffle on the key for each side, Arrow
+    transfer, no cross product (the kernel is searchsorted, not a
+    pairwise distance matrix). Outputs are pure integers (ns lag sums),
+    so Spark and the DuckDB oracle agree bit-for-bit with no float
+    convention at all. Scale: state per task is one user's events;
+    skewed users are the caveat (cap or pre-aggregate per (user, hour)
+    if a key outgrows a task)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ns"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts_ns")
+    out = (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(_nv_kernel, schema=_NV_SCHEMA)
+    )
+    return out.orderBy("user_id")
+
+
+NEAREST_VIEW_ORACLE = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tp FROM events
+  WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, epoch_ns(ts) AS tv FROM events WHERE event_type = 'view'
+), cand AS (
+  SELECT p.user_id, p.event_id, tp, tv,
+         row_number() OVER (
+           PARTITION BY p.user_id, p.event_id
+           ORDER BY abs(tp - tv), tv
+         ) AS rn
+  FROM p JOIN v ON p.user_id = v.user_id
+  WHERE abs(tp - tv) <= {_NV_TOL_NS}
+), best AS (
+  SELECT user_id, tp - tv AS lag_ns FROM cand WHERE rn = 1
+), per_user AS (
+  SELECT user_id, count(*) AS n_purchases FROM p GROUP BY 1
+)
+SELECT pu.user_id, pu.n_purchases,
+       coalesce(b.n_matched, 0) AS n_matched,
+       coalesce(b.sum_lag_ns, 0) AS sum_lag_ns
+FROM per_user pu
+LEFT JOIN (
+  SELECT user_id, count(*) AS n_matched, sum(lag_ns) AS sum_lag_ns
+  FROM best GROUP BY 1
+) b USING (user_id)
+ORDER BY pu.user_id
+"""
+
+
 QUERIES = {
     "hourly_top_spenders": (hourly_top_spenders, TOP_SPENDERS_ORACLE),
     "rolling_dau": (rolling_dau, ROLLING_DAU_ORACLE),
+    "nearest_view_lag": (nearest_view_lag, NEAREST_VIEW_ORACLE),
     "event_transitions": (event_transitions, TRANSITIONS_ORACLE),
     "compression_ratio": (compression_ratio, None),
 }
