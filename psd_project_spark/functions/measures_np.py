@@ -110,11 +110,22 @@ def windowed_measures_np(
             return pd.DataFrame({f.name: [] for f in schema.fields})
         windows = sliding_window_view(v, window_size)[own]
         s = np.sort(windows, axis=1)
-        cols = _measures_vectorized(s, digits)
+        # digits=None: rounding happens JVM-side below. The kernel's
+        # per-element decimal rounding loop costs more than all the
+        # numpy math combined (~600k interpreted calls at sf0.1).
+        cols = _measures_vectorized(s, None)
         out = {k: pdf[k].iloc[0] for k in keys}
         out["seq"] = ends[own]
         for name, c in zip(MEASURES, cols):
             out[name] = c
         return pd.DataFrame(out)
 
-    return grouped.groupBy(*keys, "_chunk").applyInPandas(kernel, schema)
+    raw = grouped.groupBy(*keys, "_chunk").applyInPandas(kernel, schema)
+    if digits is None:
+        return raw
+    # F.round is HALF_UP on the exact decimal value of the double —
+    # the same convention _round_half_up implements (pinned by the
+    # numpy-vs-HOF differential test), but vectorized in codegen.
+    return raw.select(
+        *keys, "seq", *[F.round(F.col(m), digits).alias(m) for m in MEASURES]
+    )
