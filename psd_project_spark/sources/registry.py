@@ -42,6 +42,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = _normalize_events(df)
+    elif name == "embeddings":
+        # Engine contract: embedding is array<float>. The driver has
+        # re-generated testdata with changed physical types before
+        # (events.ts); pin the logical type here so every vector op
+        # sees float32 regardless of the writer (float64 → float32 is
+        # the only lossy direction and matches the oracle's FLOAT[]).
+        if df.schema["embedding"].dataType.simpleString() != "array<float>":
+            df = df.withColumn(
+                "embedding", F.col("embedding").cast("array<float>")
+            )
     return df
 
 
