@@ -511,9 +511,64 @@ LIMIT {BM25_TOP_K}
 """
 
 
+# --- trigram_udtf_freq -------------------------------------------------------
+
+def trigram_udtf_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 word trigrams via a Python **UDTF** in a
+    LATERAL join — the set-returning-function surface (the reference's
+    only row-expanders are two hard-coded flatMaps,
+    StreamingJob.java:61-81/419-426; SURVEY.md §2.9 lists the UDTF
+    surface as absent).
+
+    Deliberately the slow path shown once: a UDTF runs per-row Python.
+    The engine's production n-gram expansion is the JVM-side shingles
+    HOF (functions/text.py) used by the dedup battery — this query
+    exists to prove the UDTF registration + LATERAL plumbing works and
+    stays correct (same oracle as a set-returning SQL equivalent).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, tri: string")
+    class Trigrams:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            toks = text.strip().split(" ") if text else []
+            for i in range(len(toks) - 2):
+                yield i, " ".join(toks[i : i + 3])
+
+    spark.udtf.register("psd_trigrams", Trigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT t.tri, count(*) AS n
+        FROM _docs_udtf d, LATERAL psd_trigrams(d.text) t
+        GROUP BY 1
+        ORDER BY n DESC, tri
+        LIMIT 100
+        """
+    )
+
+
+TRIGRAM_UDTF_ORACLE = f"""
+WITH t AS (
+  SELECT {T.tokens_sql()} AS toks FROM documents
+), tri AS (
+  SELECT array_to_string(toks[i:i+2], ' ') AS tri
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)
+)
+SELECT tri, count(*) AS n
+FROM tri
+GROUP BY 1
+ORDER BY n DESC, tri
+LIMIT 100
+"""
+
+
 QUERIES = {
     "doc_stats": (doc_stats, DOC_STATS_ORACLE),
     "bm25_rank": (bm25_rank, _bm25_oracle()),
+    "trigram_udtf_freq": (trigram_udtf_freq, TRIGRAM_UDTF_ORACLE),
     "corpus_quality_filter": (corpus_quality_filter, CORPUS_FILTER_ORACLE),
     "curation_pipeline": (curation_pipeline, CURATION_ORACLE),
     "lang_id": (lang_id, _lang_id_oracle()),
