@@ -171,8 +171,45 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as ``json_props_stats`` but through Spark 4's
+    **VARIANT** type: ``parse_json`` once into the binary variant
+    encoding, then typed ``variant_get`` paths — the modern
+    semi-structured path (parse once, extract many, no per-path string
+    re-parsing, shredding-friendly at rest). Integer-only outputs, so
+    parity with the DuckDB JSON oracle is exact by construction."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        e.select("event_type", v.alias("pv"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_VARIANT_ORACLE = """
+SELECT event_type, count(*) AS n,
+  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+  count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_distinct_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "json_props_stats": (json_props_stats, JSON_PROPS_ORACLE),
+    "props_variant_stats": (props_variant_stats, PROPS_VARIANT_ORACLE),
     "approx_distinct_users": (approx_distinct_users, None),
     "approx_price_quantiles": (approx_price_quantiles, None),
     "orders_by_month": (orders_by_month, ORDERS_BY_MONTH_ORACLE),
