@@ -378,8 +378,63 @@ FROM comp
 """
 
 
+# --- decontaminate_ngrams ----------------------------------------------------
+
+#: Shingle width for eval-set decontamination. Wider than the dedup
+#: shingles (3): decontamination flags *verbatim leakage*, where longer
+#: n-grams cut false positives from common phrases.
+DECON_K = 4
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing ≥1 exact
+    4-word shingle with the held-out eval split (every 50th doc_id) —
+    the standard pre-training hygiene pass, and a different op from
+    near-dup dedup: the overlap test is *asymmetric* (small eval set vs
+    the whole corpus) and any single verbatim n-gram is a hit.
+
+    Plan shape for 100 TB: the eval side collapses to a distinct
+    shingle set (tiny — eval benchmarks are small by definition) and
+    broadcasts; the training side explodes shingles and inner-joins
+    that broadcast — no shuffle of the corpus at all, overlap counted
+    per doc with map-side combine.
+    """
+    d = (
+        spread_small(load_table(spark, sf_dir, "documents"), spark)
+        .withColumn("_toks", F.expr(T.tokens_expr()))
+        .withColumn("_sh", F.expr(T.shingles_expr("_toks", k=DECON_K)))
+        .select("doc_id", F.explode("_sh").alias("s"))
+    )
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_shingles = d.filter(is_eval).select("s").distinct()
+    return (
+        d.filter(~is_eval)
+        .join(F.broadcast(eval_shingles), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "doc_id")
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {T.tokens_sql()} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({T.shingles_sql('toks', k=DECON_K)}) AS s FROM t
+), ev AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+)
+SELECT sh.doc_id, count(DISTINCT sh.s) AS n_shared
+FROM sh JOIN ev USING (s)
+WHERE sh.doc_id % 50 <> 0
+GROUP BY 1
+ORDER BY n_shared DESC, doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
+    "decontaminate_ngrams": (decontaminate_ngrams, DECONTAMINATE_ORACLE),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_ORACLE),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
