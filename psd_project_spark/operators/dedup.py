@@ -432,9 +432,58 @@ ORDER BY n_shared DESC, doc_id
 """
 
 
+# --- dedup_canonical ---------------------------------------------------------
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of the dedup pipeline: pick ONE canonical document
+    per near-dup cluster (keep-longest rule, doc_id tiebreak) — what a
+    curation run actually ships after pairs → clusters.
+
+    Composes ``dedup_components`` (iterative label propagation) with a
+    per-cluster argmax: one rank window over the cluster key. The
+    cluster frame is tiny relative to the corpus (only docs with a
+    duplicate), so the window shuffle is on the already-collapsed
+    output, never on the corpus.
+    """
+    comps = dedup_components(spark, sf_dir)
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        comps.join(meta, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "n_members",
+            F.col("n_chars").alias("canonical_n_chars"),
+        )
+        .orderBy("component_id")
+    )
+
+
+DEDUP_CANONICAL_ORACLE = f"""
+WITH comps AS ({DEDUP_COMPONENTS_ORACLE.replace(';', '')}
+), ranked AS (
+  SELECT component_id, c.doc_id, n_members, n_chars,
+         row_number() OVER (
+           PARTITION BY component_id ORDER BY n_chars DESC, c.doc_id
+         ) AS rk
+  FROM comps c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT component_id, doc_id AS canonical_doc_id, n_members,
+       n_chars AS canonical_n_chars
+FROM ranked WHERE rk = 1
+ORDER BY component_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
     "decontaminate_ngrams": (decontaminate_ngrams, DECONTAMINATE_ORACLE),
+    "dedup_canonical": (dedup_canonical, DEDUP_CANONICAL_ORACLE),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_ORACLE),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
