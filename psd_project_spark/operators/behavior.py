@@ -342,10 +342,60 @@ ORDER BY pu.user_id
 """
 
 
+# --- retention_cohorts -------------------------------------------------------
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle over orders: customers grouped
+    by first-order month, counted again in each subsequent month they
+    ordered (months_since 0, 1, 2, …).
+
+    Shape: one aggregate to (customer, month) activity, one more for
+    each customer's cohort month (min over the first — input already
+    collapsed), then a broadcast join back and the final
+    (cohort, age) count — every shuffle is on a key that only shrinks.
+    months_since via integer month arithmetic (no date subtraction
+    float), so parity is exact.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("m"),
+    )
+    active = o.distinct()
+    cohort = active.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    return (
+        active.join(F.broadcast(cohort), "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).alias("months_since"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+RETENTION_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT o_custkey,
+    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS m
+  FROM orders
+), cohort AS (
+  SELECT o_custkey, min(m) AS m0 FROM active GROUP BY 1
+)
+SELECT m0 AS cohort_month, m - m0 AS months_since,
+       count(DISTINCT active.o_custkey) AS n_customers
+FROM active JOIN cohort USING (o_custkey)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "hourly_top_spenders": (hourly_top_spenders, TOP_SPENDERS_ORACLE),
     "rolling_dau": (rolling_dau, ROLLING_DAU_ORACLE),
     "nearest_view_lag": (nearest_view_lag, NEAREST_VIEW_ORACLE),
+    "retention_cohorts": (retention_cohorts, RETENTION_ORACLE),
     "event_transitions": (event_transitions, TRANSITIONS_ORACLE),
     "compression_ratio": (compression_ratio, None),
 }
