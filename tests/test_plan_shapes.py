@@ -142,3 +142,49 @@ def test_q2_broadcasts_filtered_dims(spark):
     df = q2_min_cost_supplier(spark, SF_DIR)
     assert has_broadcast_hash_join(df)
     assert "CartesianProduct" not in executed_plan(df)
+
+
+def test_no_accidental_cartesian_in_batch_plans(spark):
+    """Blanket guard: no pure-batch registry query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only for
+    queries that deliberately crossJoin a 1-row aggregate (scalar
+    thresholds / corpus stats). Catches an accidentally-unkeyed join
+    in any future query before it ships as an O(n²) plan."""
+    from psd_project_spark import registry
+
+    # Deliberate tiny-side cross joins: scalar-subquery 1-row
+    # aggregates (thresholds / corpus stats / global max), the 42-cell
+    # (measure × series) domain grid, and the vector-search query-set ×
+    # codebook / brute-force-baseline products.
+    one_row_cross = {
+        "alert_counts", "bm25_rank", "ivf_ann_cosine", "knn_cosine",
+        "q11_important_parts", "q22_idle_high_balance", "tfidf_top_terms",
+        "weighted_sample",
+    }
+    # Queries that execute work at plan-construction time (streaming
+    # runs, iterative fixpoints, staged side-effect sinks) — their
+    # plans are exercised by their own tests.
+    skip_prefixes = ("stream_", "measures_window_stream", "alerts_stream",
+                     "events_time_windows")
+    skip_exact = {
+        "dedup_components", "dedup_canonical", "kmeans_embeddings",
+        "partitioned_parquet_roundtrip", "training_shard_export",
+        "events_jsonl_source", "lineitem_orc_source", "media_resize",
+        "compression_ratio", "media_features", "frame_sample",
+        "vector_quantize_int8",
+    }
+    qs = registry.queries()
+    checked = 0
+    for name, fn in sorted(qs.items()):
+        if name.startswith(skip_prefixes) or name in skip_exact:
+            continue
+        df = fn(spark, SF_DIR)
+        plan = executed_plan(df)
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name in one_row_cross, (
+                f"{name} plans BroadcastNestedLoopJoin but is not a "
+                f"declared 1-row crossJoin query:\n{plan}"
+            )
+        checked += 1
+    assert checked > 60, f"only {checked} plans checked"
