@@ -38,6 +38,8 @@ from pyspark.sql.types import (
 
 from psd_project_spark.sources.registry import load_table
 
+_DEC = "decimal(27,15)"
+
 # --- funnel_conversion -------------------------------------------------------
 
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,11 +455,72 @@ def _table_profile_oracle() -> str:
     return " UNION ALL ".join(sel) + ' ORDER BY "column"'
 
 
+# --- incremental_rollup ------------------------------------------------------
+
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The backfill/merge contract, executed: aggregate history
+    (shipdate < 1996) and the increment (≥ 1996) *separately*, then
+    merge the partials — and the result must be bit-identical to the
+    one-shot aggregate the oracle computes.
+
+    This only holds because partials stay DECIMAL through the merge
+    (decimal addition is associative; double addition is not) — the
+    same property that makes map-side partial aggregation and
+    micro-batch incremental maintenance exact at 100 TB. The final
+    cast/round happens once, after the merge.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", _revenue_col().alias("rev")
+    )
+    cutoff = F.lit("1996-01-01")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("rev").cast(_DEC)).alias("psum"),
+        )
+
+    hist = partial(l.filter(F.col("l_shipdate") < cutoff))
+    inc = partial(l.filter(F.col("l_shipdate") >= cutoff))
+    return (
+        hist.unionByName(inc)
+        .groupBy("l_returnflag")
+        .agg(F.sum("pn").alias("n"), F.sum("psum").alias("msum"))
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(F.col("msum").cast("double"), 6).alias("revenue"),
+            F.round(
+                F.col("msum").cast("double") / F.col("n").cast("double"), 6
+            ).alias("avg_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _revenue_col() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+INCREMENTAL_ROLLUP_ORACLE = """
+SELECT l_returnflag, count(*) AS n,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(27,15))) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS avg_revenue
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "funnel_conversion": (funnel_conversion, FUNNEL_ORACLE),
     "moment_stats": (moment_stats, MOMENT_STATS_ORACLE),
     "value_outliers": (value_outliers, VALUE_OUTLIERS_ORACLE),
     "table_profile": (table_profile, _table_profile_oracle()),
+    "incremental_rollup": (incremental_rollup, INCREMENTAL_ROLLUP_ORACLE),
     "part_price_quartiles": (part_price_quartiles, PART_QUARTILES_ORACLE),
     "vector_quantize_int8": (vector_quantize_int8, VECTOR_QUANTIZE_ORACLE),
 }
