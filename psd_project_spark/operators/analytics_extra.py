@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -455,6 +455,69 @@ def _table_profile_oracle() -> str:
     return " UNION ALL ".join(sel) + ' ORDER BY "column"'
 
 
+# --- weighted_median ---------------------------------------------------------
+
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag: the
+    smallest price p whose cumulative quantity reaches half the total.
+
+    Neither engine has a weighted-percentile builtin, so both sides
+    compute the *definition*: collapse to (group, price) weight sums
+    first (shrinks the window input and makes tie order irrelevant —
+    the cumulative weight at a price is well-defined regardless of row
+    order), one running-sum window per group, then the first qualifying
+    price. Quantities are integral, so every comparison is exact
+    integer arithmetic; the only doubles in the output are the input
+    prices themselves.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    g = l.groupBy("l_returnflag", "price").agg(F.sum("w").alias("pw"))
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.withColumn("cw", F.sum("pw").over(win))
+    tot = g.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.sum("pw").alias("tw")
+    )
+    return (
+        cum.join(F.broadcast(tot), F.col("l_returnflag") == F.col("rf"))
+        .filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.max("tw").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         sum(CAST(l_quantity AS BIGINT)) AS pw
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, price, pw,
+         sum(pw) OVER (PARTITION BY l_returnflag ORDER BY price
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(pw) OVER (PARTITION BY l_returnflag) AS tw
+  FROM g
+)
+SELECT l_returnflag, min(price) AS weighted_median_price,
+       max(tw) AS total_weight
+FROM c
+WHERE 2 * cw >= tw
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # --- incremental_rollup ------------------------------------------------------
 
 def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,6 +584,7 @@ QUERIES = {
     "value_outliers": (value_outliers, VALUE_OUTLIERS_ORACLE),
     "table_profile": (table_profile, _table_profile_oracle()),
     "incremental_rollup": (incremental_rollup, INCREMENTAL_ROLLUP_ORACLE),
+    "weighted_median": (weighted_median, WEIGHTED_MEDIAN_ORACLE),
     "part_price_quartiles": (part_price_quartiles, PART_QUARTILES_ORACLE),
     "vector_quantize_int8": (vector_quantize_int8, VECTOR_QUANTIZE_ORACLE),
 }
