@@ -365,9 +365,9 @@ WITH stats AS (
   FROM events GROUP BY 1
 )
 SELECT event_type, count(*) AS n,
-  sum(CASE WHEN abs((value - sv / n)
+  CAST(sum(CASE WHEN abs((value - sv / n)
                / sqrt((svv - sv * sv / n) / (n - 1.0))) > 3.0
-           THEN 1 ELSE 0 END) AS n_outliers,
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
   round(max(abs((value - sv / n)
                 / sqrt((svv - sv * sv / n) / (n - 1.0)))), 6) AS max_abs_z
 FROM events JOIN stats ON event_type = et
@@ -446,7 +446,7 @@ def _table_profile_oracle() -> str:
         )
         sel.append(
             f"SELECT '{c}' AS \"column\","
-            f" sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
             f" count(DISTINCT {c}) AS n_distinct,"
             f" CAST(min({c}) AS VARCHAR) AS min_str,"
             f" CAST(max({c}) AS VARCHAR) AS max_str,"
@@ -510,7 +510,7 @@ WITH g AS (
   FROM g
 )
 SELECT l_returnflag, min(price) AS weighted_median_price,
-       max(tw) AS total_weight
+       CAST(max(tw) AS BIGINT) AS total_weight
 FROM c
 WHERE 2 * cw >= tw
 GROUP BY 1

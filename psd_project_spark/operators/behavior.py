@@ -124,7 +124,7 @@ pairs AS (
   GROUP BY 1, 2
 ),
 totals AS (
-  SELECT prev_type, sum(n) AS n_from_prev FROM pairs GROUP BY 1
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from_prev FROM pairs GROUP BY 1
 )
 SELECT p.prev_type, p.event_type, p.n, t.n_from_prev,
        p.n / t.n_from_prev AS p_transition
@@ -228,7 +228,7 @@ WITH pairs AS (
   JOIN pairs p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
   GROUP BY 1
 )
-SELECT day, dau, dau_7d
+SELECT CAST(day AS TIMESTAMP) AS day, dau, dau_7d
 FROM daily JOIN rolling ON day = window_day
 ORDER BY day
 """
@@ -332,7 +332,7 @@ WITH p AS (
 )
 SELECT pu.user_id, pu.n_purchases,
        coalesce(b.n_matched, 0) AS n_matched,
-       coalesce(b.sum_lag_ns, 0) AS sum_lag_ns
+       CAST(coalesce(b.sum_lag_ns, 0) AS BIGINT) AS sum_lag_ns
 FROM per_user pu
 LEFT JOIN (
   SELECT user_id, count(*) AS n_matched, sum(lag_ns) AS sum_lag_ns

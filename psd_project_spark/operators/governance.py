@@ -125,7 +125,7 @@ WITH e AS (
   FROM events
 )
 SELECT event_type,
-       sum(CASE WHEN u < value / vmax THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(sum(CASE WHEN u < value / vmax THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        count(*) AS n_total,
        round(CAST(sum(CAST(CASE WHEN u < value / vmax THEN value ELSE 0.0 END AS DECIMAL(27,15))) AS DOUBLE), 6) AS sampled_value
 FROM e

@@ -95,7 +95,7 @@ WITH stats AS (
   FROM stats
 )
 SELECT lang, pack_id, count(*) AS n_docs,
-       sum(n_tokens) AS pack_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
        min(doc_id) AS first_doc_id
 FROM packed
 GROUP BY lang, pack_id

@@ -74,7 +74,7 @@ SELECT CAST(year(o_orderdate) AS INT) AS order_year,
        CAST(month(o_orderdate) AS INT) AS order_month,
        count(*) AS n_orders,
        round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_price,
-       min(date_trunc('month', o_orderdate)) AS month_start
+       CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS month_start
 FROM orders
 GROUP BY 1, 2, 3
 """
@@ -199,7 +199,7 @@ PROPS_VARIANT_ORACLE = """
 SELECT event_type, count(*) AS n,
   min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_distinct_k
 FROM events
 GROUP BY event_type

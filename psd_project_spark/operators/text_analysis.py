@@ -219,7 +219,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_FILTER_ORACLE = f"""
 WITH stats AS ({DOC_STATS_ORACLE})
 SELECT lang, count(*) AS n_docs_kept,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(CAST(sum(CAST(quality_score AS DECIMAL(27,15))) AS DOUBLE)
              / count(*), 6) AS avg_quality
 FROM stats
@@ -276,8 +276,8 @@ kept AS (
   ) WHERE rn = 1
 )
 SELECT lang, source, count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
-       sum(n_subword_tokens) AS total_subword_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_subword_tokens) AS BIGINT) AS total_subword_tokens,
        round(CAST(sum(CAST(quality_score AS DECIMAL(27,15))) AS DOUBLE)
              / count(*), 6) AS avg_quality
 FROM stats JOIN kept USING (doc_id)
