@@ -87,13 +87,39 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # The driver captures only the TAIL of stdout, so the final line must
+    # stay short: headline + worst-5 queries inline, full per-query detail
+    # in BENCH_detail.json next to this script.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    worst = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    summary = {n: timings[n] for n in HEADLINE if n in timings}
+    summary.update(worst)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": summary,
+                "n_queries": len(timings),
+                "detail": "BENCH_detail.json",
                 "sf": sf_val,
             }
         )

@@ -284,20 +284,12 @@ def _nv_kernel(key, purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFram
     )
 
 
-def nearest_view_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per user: each purchase aligned to the nearest view within 1 h —
-    the attribution-style nearest-in-time join that neither equi-joins
-    nor as-of joins (which only look one direction) express.
-
-    This is the engine's **cogrouped applyInPandas** surface: the two
-    event subsets are grouped on ``user_id`` and handed to a pandas
-    kernel per key — one shuffle on the key for each side, Arrow
-    transfer, no cross product (the kernel is searchsorted, not a
-    pairwise distance matrix). Outputs are pure integers (ns lag sums),
-    so Spark and the DuckDB oracle agree bit-for-bit with no float
-    convention at all. Scale: state per task is one user's events;
-    skewed users are the caveat (cap or pre-aggregate per (user, hour)
-    if a key outgrows a task)."""
+def nearest_view_lag_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-``applyInPandas`` form of :func:`nearest_view_lag` —
+    kept as the engine's cogroup surface and as a differential oracle
+    for the JVM-side registry form (tests/test_behavior_differential.py).
+    Per-key Python invocation makes it ~4× slower than the windowed
+    plan at sf0.1, which is why it is no longer the registry entry."""
     e = load_table(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts_ns"
@@ -307,6 +299,70 @@ def nearest_view_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases.groupBy("user_id")
         .cogroup(views.groupBy("user_id"))
         .applyInPandas(_nv_kernel, schema=_NV_SCHEMA)
+    )
+    return out.orderBy("user_id")
+
+
+#: Sentinel distance for "no view on this side" — far above any real
+#: ns gap, far below int64 overflow when compared/negated.
+_NV_FAR_NS = 1 << 62
+
+
+def nearest_view_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: each purchase aligned to the nearest view within 1 h —
+    the attribution-style nearest-in-time join that neither equi-joins
+    nor as-of joins (which only look one direction) express.
+
+    Pure-JVM plan: union both event subsets into one per-user stream
+    ordered by ``(ts_ns, is_view)`` (views sort AFTER purchases at equal
+    timestamps), then a single window pass computes, for every purchase,
+    the previous view (strictly earlier, ``last ignorenulls`` over
+    preceding rows) and the next view (same-or-later, ``first
+    ignorenulls`` over following rows). Integer comparisons pick the
+    nearer side — ties go to the earlier view — so the output is pure
+    integers and bit-identical to the DuckDB oracle with no float
+    convention. One shuffle on ``user_id``; the trailing groupBy reuses
+    the window's hash partitioning, so no second exchange. At 100 TB the
+    state per task is one sort run, not one user's events in Python —
+    this replaced a cogrouped-pandas kernel whose per-key Python
+    invocation dominated (6.4 s → JVM-side, see BENCH.md)."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        "user_id",
+        "ts_ns",
+        (F.col("event_type") == "view").cast("int").alias("is_view"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "is_view")
+    view_ts = F.when(F.col("is_view") == 1, F.col("ts_ns"))
+    prev_view = F.last(view_ts, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_view = F.first(view_ts, ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_d = F.coalesce(F.col("ts_ns") - prev_view, F.lit(_NV_FAR_NS))
+    next_d = F.coalesce(next_view - F.col("ts_ns"), F.lit(_NV_FAR_NS))
+    purchases = (
+        s.withColumn("prev_d", prev_d)
+        .withColumn("next_d", next_d)
+        .filter(F.col("is_view") == 0)
+        .withColumn("dist", F.least("prev_d", "next_d"))
+        # signed lag tp - tv: +prev_d when the earlier view wins the
+        # tie-or-nearer test, else -(next_d)
+        .withColumn(
+            "lag_ns",
+            F.when(F.col("prev_d") <= F.col("next_d"), F.col("prev_d")).otherwise(
+                -F.col("next_d")
+            ),
+        )
+        .withColumn("matched", (F.col("dist") <= F.lit(_NV_TOL_NS)).cast("long"))
+    )
+    out = purchases.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("matched").alias("n_matched"),
+        F.sum(
+            F.when(F.col("matched") == 1, F.col("lag_ns")).otherwise(F.lit(0))
+        ).alias("sum_lag_ns"),
     )
     return out.orderBy("user_id")
 
