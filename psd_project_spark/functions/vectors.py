@@ -152,6 +152,46 @@ def make_nn_kernel(index_df, dup_threshold: float = 0.95):
     return kernel
 
 
+def nn_block_kernel(key, probes: pd.DataFrame, index: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped per-block 1-NN partial: each probe row against THIS
+    index block only, quantized-exact cosine, block-local tie-break
+    (max rounded cosine, then min neighbor id). The global reduce over
+    block partials — ``max(struct(cosine, -nn_id))`` — recovers exactly
+    the all-pairs answer because the rounded cosines are identical
+    integers across blocks. Self-pairs are masked here; a probe whose
+    block contains only itself emits nothing (other blocks cover it)."""
+    if len(probes) == 0 or len(index) == 0:
+        return pd.DataFrame({"vec_id": [], "nn_id": [], "cosine": []}).astype(
+            {"vec_id": "int64", "nn_id": "int64", "cosine": "float64"}
+        )
+    idx_ids = index["vec_id"].to_numpy(dtype=np.int64)
+    m = _stack(index["_v"])
+    order = np.argsort(idx_ids, kind="stable")
+    idx_ids, m = idx_ids[order], m[order]
+    sq_m = _q(m * m).sum(axis=1).astype(np.float64) / QSCALE
+
+    ids = probes["vec_id"].to_numpy(dtype=np.int64)
+    a = _stack(probes["_v"])
+    sq_a = _q(a * a).sum(axis=1).astype(np.float64) / QSCALE
+    out = []
+    chunk = max(1, 125_000 // max(m.shape[0] * m.shape[1], 1))
+    for lo in range(0, len(ids), chunk):
+        hi = min(lo + chunk, len(ids))
+        terms = _q(a[lo:hi, None, :] * m[None, :, :])  # (c, N, dim)
+        dots = terms.sum(axis=2).astype(np.float64) / QSCALE
+        cos = dots / (np.sqrt(sq_a[lo:hi])[:, None] * np.sqrt(sq_m)[None, :])
+        cos_r = np.floor(cos * CSCALE + 0.5) / CSCALE
+        for j in range(hi - lo):
+            row = cos_r[j]
+            mask = idx_ids != ids[lo + j]
+            if not mask.any():
+                continue
+            best = np.max(row[mask])
+            nn = idx_ids[mask][row[mask] == best].min()
+            out.append((int(ids[lo + j]), int(nn), float(best)))
+    return pd.DataFrame(out, columns=["vec_id", "nn_id", "cosine"])
+
+
 def make_bucket_udf(planes: list[list[float]]):
     """Pandas UDF: LSH bucket key — one sign bit per ±1 hyperplane,
     decided on the quantized-integer dot so both engines agree."""

@@ -242,19 +242,66 @@ WHERE {T.hamming_sql('sim_a', 'sim_b')} <= {T.SIMHASH_MAX_HAMMING}
 
 # --- dedup_embedding_1nn -----------------------------------------------------
 
+#: Index blocks for the distributed block-nested-loop 1-NN. Per-task
+#: index state is (n/B)·dim·8 bytes; probes replicate B×. At 100 TB
+#: pick B ≈ n·dim·8 / (executor-memory budget) — the grid stays an
+#: equi-cogroup on the block key either way.
+_NN_BLOCKS = 8
+
+
 def dedup_embedding_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest neighbor per vector by quantized-exact cosine + dup flag.
 
-    Brute-force all-pairs is the correctness baseline — but done the
-    scalable way: the *index side* is collected once (it is the
-    broadcast side of a block-nested-loop; ~0.5 MB per 2k × 64-dim
-    block) and each partition scans its own rows against it in numpy
-    via ``mapInPandas``. No 4M-row pair materialization, no Arrow
-    shuffle of duplicated vectors, no window — the earlier
-    crossJoin+window form moved ~4 GB through Arrow for sf0.1. At real
-    scale the index side is sharded by IVF/LSH bucket first
-    (``ann_lsh_cosine``) and this kernel runs per bucket.
+    Exact all-pairs, done as a **distributed block-nested-loop**: index
+    vectors are tagged with ``vec_id % B``; probes fan out to every
+    block via ``explode``; a cogrouped pandas kernel computes the
+    block-local best per probe; ``max(struct(cosine, -nn_id))`` reduces
+    partials to the global argmax with the oracle's exact tie-break
+    (cosine DESC, nn_id ASC — rounded cosines are identical integers
+    across blocks, so the reduce is exact). Nothing is collected to the
+    driver and no (n²) pair set is materialized — per-task memory is
+    one index block + one probe chunk, and both the fan-out join and
+    the reduce are equi-shuffles on small keys. Approximate variants
+    (``ann_lsh_cosine``, ``ivf_ann_cosine``) are the recall<1 scale
+    path; this is the exact one.
     """
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("_v", F.expr(V.to_double_expr()))
+        .select("vec_id", "_v")
+    )
+    idx = e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(_NN_BLOCKS)))
+    probes = spread_small(e, spark).withColumn(
+        "blk", F.explode(F.array(*[F.lit(i) for i in range(_NN_BLOCKS)]))
+    )
+    partials = (
+        probes.groupBy("blk")
+        .cogroup(idx.groupBy("blk"))
+        .applyInPandas(V.nn_block_kernel, schema="vec_id long, nn_id long, cosine double")
+    )
+    best = (
+        partials.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosine").alias("c"), (-F.col("nn_id")).alias("negid")
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            (-F.col("b.negid")).alias("nn_id"),
+            F.col("b.c").alias("cosine"),
+            (F.col("b.c") >= F.lit(COSINE_DUP_THRESHOLD)).alias("is_near_dup"),
+        )
+    )
+    return best
+
+
+def dedup_embedding_1nn_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-the-index baseline form (driver-side closure broadcast)
+    — kept only as a differential oracle for the blocked registry form;
+    see tests/test_dedup_blocked.py."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .withColumn("_v", F.expr(V.to_double_expr()))
