@@ -164,10 +164,28 @@ def _cr_kernel(batches):
 
 def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib-level-6 compressed size / raw size per document (lower =
-    more repetitive). No DuckDB oracle (no zlib there) — invariants
-    pinned in tests/test_properties.py."""
+    more repetitive). DuckDB has no zlib, so the oracle joins a
+    content-addressed fixture (md5(text) → n_compressed, regenerated by
+    tools/gen_zlib_fixture.py and freshness-pinned in
+    tests/test_properties.py) — raw lengths and the ratio division are
+    recomputed live in SQL."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_cr_kernel, schema=_CR_SCHEMA)
+
+
+#: Content-addressed zlib sizes for the oracle (see gen_zlib_fixture).
+_ZLIB_FIXTURE = "/root/repo/tests/fixtures/zlib_by_md5.parquet"
+
+COMPRESSION_RATIO_ORACLE = f"""
+SELECT d.doc_id,
+  CAST(octet_length(encode(d.text)) AS INT) AS n_bytes,
+  CAST(f.n_compressed AS INT) AS n_compressed,
+  CASE WHEN octet_length(encode(d.text)) = 0 THEN 0.0
+       ELSE CAST(f.n_compressed AS DOUBLE) / octet_length(encode(d.text))
+  END AS compression_ratio
+FROM documents d
+JOIN '{_ZLIB_FIXTURE}' f ON md5(d.text) = f.text_md5
+"""
 
 
 # --- rolling_dau -------------------------------------------------------------
@@ -453,5 +471,5 @@ QUERIES = {
     "nearest_view_lag": (nearest_view_lag, NEAREST_VIEW_ORACLE),
     "retention_cohorts": (retention_cohorts, RETENTION_ORACLE),
     "event_transitions": (event_transitions, TRANSITIONS_ORACLE),
-    "compression_ratio": (compression_ratio, None),
+    "compression_ratio": (compression_ratio, COMPRESSION_RATIO_ORACLE),
 }

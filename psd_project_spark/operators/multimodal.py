@@ -148,6 +148,25 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_extract_features, schema=FEATURES_SCHEMA)
 
 
+# The corpus is pure ASCII (pinned by tests/test_multimodal_oracles.py),
+# so byte k of the payload == code point of character k and DuckDB can
+# mirror the byte-level feature math exactly: ascii() for first/last
+# byte, a per-character HOF sum for byte_sum_mod, md5 of the text for
+# the payload hash. Integer-only — no float convention anywhere.
+MEDIA_FEATURES_ORACLE = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CASE WHEN length(text) = 0 THEN NULL
+       ELSE CAST(ascii(substring(text, 1, 1)) AS INT) END AS first_byte,
+  CASE WHEN length(text) = 0 THEN NULL
+       ELSE CAST(ascii(substring(text, length(text), 1)) AS INT) END AS last_byte,
+  CAST(coalesce(list_sum(list_transform(generate_series(1, length(text)),
+       i -> ascii(substring(text, i, 1)))), 0) % 997 AS BIGINT) AS byte_sum_mod,
+  md5(text) AS payload_md5
+FROM documents
+"""
+
+
 # --- frame_sample ------------------------------------------------------------
 
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,14 +257,13 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
 
-def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Downsample every payload to every 4th byte — the resize/resample
-    slot of the multimodal pipeline (SURVEY.md §7 M5). The Spark
-    plumbing (binary column in, binary column + size/hash metadata
-    out, Arrow batches, partition-parallel) is real; the kernel is the
-    deterministic byte-stride stand-in since this container ships no
-    codecs. Rows-only driver check; tests pin exact sizes and hashes
-    against a local recompute."""
+def media_resize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full binary→binary form (includes the resized payload column) —
+    the shape a downstream consumer reads. Not the registry entry:
+    pandas-side value comparison cannot sort/hash raw byte columns
+    (bytearray is unhashable), so the driver-facing projection below
+    drops the payload and keeps its exact witnesses (length + md5).
+    Exercised by tests/test_multimodal_oracles.py local recompute."""
     d = load_table(spark, sf_dir, "documents")
     media = d.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
@@ -253,9 +271,42 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
 
 
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every payload to every 4th byte — the resize/resample
+    slot of the multimodal pipeline (SURVEY.md §7 M5). The Spark
+    plumbing (binary column in, binary column + size/hash metadata out,
+    Arrow batches, partition-parallel) is real; the kernel is the
+    deterministic byte-stride stand-in since this container ships no
+    codecs. The registry projection carries the resized payload's exact
+    witnesses (byte count + md5) rather than the raw bytes — see
+    :func:`media_resize_binary`."""
+    return media_resize_binary(spark, sf_dir).select(
+        "doc_id", "orig_bytes", "resized_bytes", "resized_md5"
+    )
+
+
+# ASCII corpus ⇒ "every RESIZE_STRIDE-th byte" == every RESIZE_STRIDE-th
+# character: rebuild the downsampled string with a step-ped
+# generate_series and hash/measure it exactly as the kernel does.
+MEDIA_RESIZE_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, octet_length(encode(text)) AS orig_bytes,
+    array_to_string(list_transform(
+      generate_series(1, length(text), {RESIZE_STRIDE}),
+      i -> substring(text, i, 1)), '') AS resized_str
+  FROM documents
+)
+SELECT doc_id,
+  CAST(orig_bytes AS BIGINT) AS orig_bytes,
+  CAST(octet_length(encode(resized_str)) AS BIGINT) AS resized_bytes,
+  md5(resized_str) AS resized_md5
+FROM r
+"""
+
+
 QUERIES = {
     "media_catalog": (media_catalog, MEDIA_CATALOG_ORACLE),
-    "media_features": (media_features, None),
-    "media_resize": (media_resize, None),
+    "media_features": (media_features, MEDIA_FEATURES_ORACLE),
+    "media_resize": (media_resize, MEDIA_RESIZE_ORACLE),
     "frame_sample": (frame_sample, FRAME_SAMPLE_ORACLE),
 }

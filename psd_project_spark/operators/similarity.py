@@ -353,9 +353,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on anything bigger than (cluster, dim). Only the O(K·d)
     codebook and the scalar inertia ever reach the driver (model
     state, like MLlib). Returns the per-iteration convergence report;
-    tests/test_ann_quality.py pins monotone non-increasing inertia.
-    No oracle: 3 unrolled argmin/re-mean rounds are beyond reasonable
-    SQL — the driver records the rows-only check."""
+    tests/test_ann_quality.py pins monotone non-increasing inertia and
+    the oracle (``_kmeans_oracle_sql``: the 3 Lloyd rounds unrolled as
+    CTEs, same fold order / decimal means) pins exact values."""
     e = _embeddings(spark, sf_dir).select("vec_id", "_v").cache()
     cents = e.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cid"), F.col("_v").alias("_vc")
@@ -418,10 +418,78 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         report, "iteration int, inertia double, n_active_clusters int"
     )
 
+def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
+                       dim: int = 64) -> str:
+    """DuckDB mirror of :func:`kmeans_embeddings`: the 3 Lloyd rounds
+    unrolled as CTEs. Exactness argument, mirroring the Spark side
+    op-for-op:
+
+    - d2 is the same left fold — Spark ``aggregate(zip_with(...), 0.0,
+      acc+x)`` == DuckDB ``list_reduce(list_prepend(0.0, terms))`` —
+      over the same ``(x-y)*(x-y)`` IEEE terms in the same order, so
+      every distance double is bit-identical.
+    - argmin tie-break is ``ORDER BY d2, cid`` in both.
+    - centroid update is an order-independent DECIMAL(27,15) sum cast
+      to double, divided by a bigint count — identical on both sides.
+    - inertia: decimal sum of d2, cast double, round 6 — both sides.
+    """
+    # one shared distance/assignment template per iteration
+    def assign(src_e: str, src_c: str, n: int) -> str:
+        terms = (
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> (e.v[i] - c.vc[i]) * (e.v[i] - c.vc[i]))"
+        )
+        d2 = f"list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
+        return f"""a{n} AS (
+  SELECT vec_id, v, cid, d2 FROM (
+    SELECT e.vec_id, e.v, c.cid, {d2} AS d2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {d2}, c.cid) AS rk
+    FROM {src_e} e CROSS JOIN {src_c} c
+  ) WHERE rk = 1
+)"""
+
+    def update(n: int) -> str:
+        return f"""u{n} AS (
+  SELECT cid, t.i AS pos,
+         CAST(sum(CAST(v[t.i] AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS cval
+  FROM a{n}, (SELECT unnest(generate_series(1, {dim})) AS i) t
+  GROUP BY cid, t.i
+), c{n} AS (
+  SELECT cid, list(cval ORDER BY pos) AS vc FROM u{n} GROUP BY cid
+)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {k})",
+    ]
+    reports = []
+    for it in range(1, iters + 1):
+        ctes.append(assign("e", f"c{it - 1}", it))
+        if it < iters:
+            ctes.append(update(it))
+        reports.append(
+            f"SELECT CAST({it} AS INT) AS iteration, "
+            f"(SELECT round(CAST(sum(CAST(d2 AS DECIMAL(27,15))) AS DOUBLE), 6) "
+            f"FROM a{it}) AS inertia, "
+            f"(SELECT CAST(count(DISTINCT cid) AS INT) FROM a{it}) "
+            f"AS n_active_clusters"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(reports) + "\n) ORDER BY iteration"
+    )
+
+
+KMEANS_ORACLE = _kmeans_oracle_sql()
+
 QUERIES = {
     "knn_cosine": (knn_cosine, KNN_ORACLE),
     "ann_lsh_cosine": (ann_lsh_cosine, ANN_ORACLE),
     "ivf_ann_cosine": (ivf_ann_cosine, IVF_ORACLE),
     "embedding_centroids": (embedding_centroids, CENTROIDS_ORACLE),
-    "kmeans_embeddings": (kmeans_embeddings, None),
+    "kmeans_embeddings": (kmeans_embeddings, KMEANS_ORACLE),
 }

@@ -17,14 +17,14 @@ from tests.oracle_utils import duck_connection
 _SPARK_CLASS = {
     "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
     "float": "float", "double": "float",
-    "string": "str", "date": "date", "boolean": "bool",
+    "string": "str", "date": "date", "boolean": "bool", "binary": "bin",
 }
 
 _DUCK_CLASS = {
     "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
     "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
     "FLOAT": "float", "REAL": "float", "DOUBLE": "float",
-    "VARCHAR": "str", "DATE": "date", "BOOLEAN": "bool",
+    "VARCHAR": "str", "DATE": "date", "BOOLEAN": "bool", "BLOB": "bin",
 }
 
 

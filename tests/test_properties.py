@@ -120,12 +120,12 @@ def test_media_resize_matches_local_recompute(spark):
 
     from psd_project_spark.operators.multimodal import (
         RESIZE_STRIDE,
-        media_resize,
+        media_resize_binary,
     )
     from psd_project_spark.sources.registry import load_table
     from tests.conftest import SF_DIR
 
-    got = {r["doc_id"]: r for r in media_resize(spark, SF_DIR).collect()}
+    got = {r["doc_id"]: r for r in media_resize_binary(spark, SF_DIR).collect()}
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
     assert len(got) == len(docs)
     for r in docs[:50]:
@@ -136,6 +136,32 @@ def test_media_resize_matches_local_recompute(spark):
         assert g["resized_bytes"] == len(small)
         assert bytes(g["resized"]) == small
         assert g["resized_md5"] == hashlib.md5(small).hexdigest()
+
+
+def test_zlib_fixture_is_fresh():
+    """The compression_ratio oracle reads tests/fixtures/zlib_by_md5
+    .parquet. Recompute it from the CURRENT testdata and require every
+    current doc to be covered with the same compressed size — catches a
+    driver testdata regeneration at round start, loudly, before the
+    oracle turns an opaque red. Regenerate: python tools/gen_zlib_fixture.py"""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+
+    from gen_zlib_fixture import OUT, build_rows
+
+    fresh = build_rows()
+    con = duckdb.connect()
+    stored = dict(
+        con.execute(f"SELECT text_md5, n_compressed FROM '{OUT}'").fetchall()
+    )
+    missing = [k for k in fresh if k not in stored]
+    stale = [k for k in fresh if k in stored and stored[k] != fresh[k]]
+    assert not missing and not stale, (
+        f"zlib fixture stale ({len(missing)} missing, {len(stale)} changed): "
+        "run python tools/gen_zlib_fixture.py"
+    )
 
 
 def test_compression_ratio_invariants(spark):
