@@ -123,9 +123,14 @@ def windowed_measures_np(
     raw = grouped.groupBy(*keys, "_chunk").applyInPandas(kernel, schema)
     if digits is None:
         return raw
-    # F.round is HALF_UP on the exact decimal value of the double —
-    # the same convention _round_half_up implements (pinned by the
-    # numpy-vs-HOF differential test), but vectorized in codegen.
+    # F.round on DoubleType is HALF_UP on the SHORTEST-DECIMAL
+    # representation of the double (Scala BigDecimal(d) ==
+    # Double.toString), exactly matching the HOF path's F.round by
+    # construction. NOTE: _round_half_up (count_window.py) quantizes
+    # Decimal(x) — the exact binary value — which can differ from the
+    # shortest-repr convention on half-way boundary doubles; the
+    # numpy-vs-HOF differential test pins agreement on real data, but
+    # the conventions are not theoretically identical.
     return raw.select(
         *keys, "seq", *[F.round(F.col(m), digits).alias(m) for m in MEASURES]
     )

@@ -425,8 +425,12 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one aggregate to (customer, month) activity, one more for
     each customer's cohort month (min over the first — input already
-    collapsed), then a broadcast join back and the final
-    (cohort, age) count — every shuffle is on a key that only shrinks.
+    collapsed), a join back on o_custkey, and the final (cohort, age)
+    count — every shuffle is on a key that only shrinks. The cohort
+    frame is customer-cardinality (unbounded at 100 TB), so NO
+    broadcast hint: both sides are already hash-partitioned on
+    o_custkey from their aggregates, making the sort-merge join
+    exchange-free, and AQE may still choose broadcast at small SF.
     months_since via integer month arithmetic (no date subtraction
     float), so parity is exact.
     """
@@ -439,7 +443,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = o.distinct()
     cohort = active.groupBy("o_custkey").agg(F.min("m").alias("m0"))
     return (
-        active.join(F.broadcast(cohort), "o_custkey")
+        active.join(cohort, "o_custkey")
         .groupBy(
             F.col("m0").alias("cohort_month"),
             (F.col("m") - F.col("m0")).alias("months_since"),

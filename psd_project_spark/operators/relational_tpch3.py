@@ -64,8 +64,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated ``MIN(ps_supplycost)`` subquery is decorrelated into a
     second aggregate over the *same* filtered offers frame joined back
     by part + cost equality; part and supplier dims are filtered before
-    joining and broadcast. ``min`` is order-independent, so the float
-    equality join is deterministic across partitionings.
+    joining and broadcast (selective filters on bounded dims). The
+    per-part minima frame is part-cardinality — unbounded at 100 TB —
+    so it carries NO broadcast hint: both join sides are already
+    hash-partitioned on p_partkey from their aggregates (exchange-free
+    sort-merge), and AQE still picks broadcast when it measures small.
+    ``min`` is order-independent, so the float equality join is
+    deterministic across partitionings.
     """
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
@@ -94,7 +99,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         offers.join(
-            F.broadcast(best),
+            best,
             (F.col("p_partkey") == F.col("bk"))
             & (F.col("unit_cost") == F.col("best_cost")),
         )

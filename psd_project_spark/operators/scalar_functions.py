@@ -179,10 +179,13 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-parsing, shredding-friendly at rest). Integer-only outputs, so
     parity with the DuckDB JSON oracle is exact by construction."""
     e = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    # parse once into a variant column, then extract typed paths FROM
+    # that column — the second select references pv, so the plan parses
+    # each props string exactly once however many paths are read.
+    parsed = e.select("event_type", F.parse_json("props").alias("pv"))
+    k = F.expr("variant_get(pv, '$.k', 'long')")
     return (
-        e.select("event_type", v.alias("pv"), k.alias("k"))
+        parsed.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -31,8 +31,19 @@ from psd_project_spark.sources.registry import load_table
 
 
 def _stage_lineitem_orc(spark: SparkSession, sf_dir: str) -> str:
-    """Write lineitem as ORC once per sf_dir under /tmp; idempotent."""
-    key = sf_dir.strip("/").replace("/", "_")
+    """Write lineitem as ORC once per SOURCE CONTENT under /tmp.
+
+    The staging key includes the source parquet's (mtime_ns, size)
+    fingerprint: the test-data driver regenerates /root/testdata in
+    place between rounds, and a path-only key would silently serve
+    stale ORC against a fresh-parquet oracle. Same-fingerprint reruns
+    still short-circuit on the _SUCCESS marker."""
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    key = (
+        f"{sf_dir.strip('/').replace('/', '_')}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
     out = f"/tmp/psd_spark_orc/{key}/lineitem"
     marker = f"{out}/_SUCCESS"
     if not os.path.exists(marker):

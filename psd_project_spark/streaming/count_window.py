@@ -263,6 +263,20 @@ def streaming_count_window_measures_tws(
     because TWS is where upstream investment is going (state schema
     evolution, state data source); the classic one still wins on
     setup latency for small local jobs."""
+    # TWS runs a Python "driver worker" speaking a protobuf protocol to
+    # the JVM state server; without protobuf that worker just crashes
+    # mid-stream with an opaque STREAM_FAILED. Gate up front instead.
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(TWS state-server protocol); it is not installed in this "
+            "environment. Use the applyInPandasWithState backend "
+            "(streaming_count_window_measures), which implements the "
+            "same operator semantics."
+        ) from exc
+
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
