@@ -40,6 +40,45 @@ def _hash32(features: list[str]) -> np.ndarray:
     )
 
 
+def make_shingles_udf(k: int):
+    """Arrow-batched distinct k-word shingles of a text column.
+
+    Same strings, same first-occurrence order as the expression form
+    ``shingles_expr(tokens_expr())`` (split on single spaces after
+    space-trim, ``' '.join`` of each k-window, dict-dedup ==
+    ``array_distinct``) — pinned by tests/test_text_differential.py.
+
+    Exists because ``explode(<HOF-computed array>)`` re-evaluates the
+    *interpreted* lambda per OUTPUT row (~50× per doc): a full-corpus
+    shingle explode took ~9 s at sf0.1 through Catalyst's interpreter
+    vs <0.5 s here. The HOF fragments remain the DuckDB-oracle half.
+    """
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def shingles(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = t.strip(" ").split(" ")
+            n = len(toks)
+            if n >= k:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + k]) for i in range(n - k + 1)
+                        )
+                    )
+                )
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return shingles
+
+
+#: Shared instance for the default near-dup shingle width.
+shingles_udf = make_shingles_udf(3)
+
+
 @F.pandas_udf(ArrayType(LongType()))
 def minhash_sig_udf(features: pd.Series) -> pd.Series:
     """K universal-hash minima per row of feature lists."""

@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from psd_project_spark.functions import text as T
 from psd_project_spark.functions import vectors as V
-from psd_project_spark.functions.text_udfs import minhash_sig_udf, simhash_udf
+from psd_project_spark.functions.text_udfs import (
+    make_shingles_udf,
+    minhash_sig_udf,
+    shingles_udf,
+    simhash_udf,
+)
 from psd_project_spark.sources.registry import load_table, spread_small
 
 COSINE_DUP_THRESHOLD = 0.95
@@ -61,8 +66,7 @@ FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
 def _with_signatures(d: DataFrame, spark: SparkSession) -> DataFrame:
     return (
         spread_small(d, spark)
-        .withColumn("_toks", F.expr(T.tokens_expr()))
-        .withColumn("_sh", F.expr(T.shingles_expr("_toks")))
+        .withColumn("_sh", shingles_udf(F.col("text")))
         .withColumn("_sig", minhash_sig_udf(F.col("_sh")))
         .select("doc_id", "_sh", "_sig")
     )
@@ -179,8 +183,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = T.SIMHASH_BITS // 2
     d = (
         spread_small(load_table(spark, sf_dir, "documents"), spark)
-        .withColumn("_toks", F.expr(T.tokens_expr()))
-        .withColumn("_sh", F.expr(T.shingles_expr("_toks")))
+        .withColumn("_sh", shingles_udf(F.col("text")))
         .withColumn("simhash", simhash_udf(F.col("_sh")))
         .select(
             "doc_id",
@@ -448,8 +451,7 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = (
         spread_small(load_table(spark, sf_dir, "documents"), spark)
-        .withColumn("_toks", F.expr(T.tokens_expr()))
-        .withColumn("_sh", F.expr(T.shingles_expr("_toks", k=DECON_K)))
+        .withColumn("_sh", make_shingles_udf(DECON_K)(F.col("text")))
         .select("doc_id", F.explode("_sh").alias("s"))
     )
     is_eval = F.col("doc_id") % 50 == 0

@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psd_project_spark.functions import text as T
-from psd_project_spark.functions.text_udfs import minhash_sig_udf, simhash_udf
+from psd_project_spark.functions.text_udfs import (
+    minhash_sig_udf,
+    shingles_udf,
+    simhash_udf,
+)
 from psd_project_spark.sources.registry import load_table, spread_small
 
 #: (lang, stopword list) in tie-break priority order.
@@ -380,8 +384,7 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small(load_table(spark, sf_dir, "documents"), spark)
     d = (
-        d.withColumn("_toks", F.expr(T.tokens_expr()))
-        .withColumn("_sh", F.expr(T.shingles_expr("_toks")))
+        d.withColumn("_sh", shingles_udf(F.col("text")))
         .withColumn("_sig", minhash_sig_udf(F.col("_sh")))
     )
     return d.select(
