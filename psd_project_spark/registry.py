@@ -101,6 +101,7 @@ _MODULES = (
     "psd_project_spark.operators.similarity",
     "psd_project_spark.operators.multimodal",
     "psd_project_spark.operators.scalar_functions",
+    "psd_project_spark.operators.sketches",
     "psd_project_spark.operators.skew",
     "psd_project_spark.sources.jsonl",
     "psd_project_spark.sources.orc",
