@@ -105,6 +105,7 @@ _MODULES = (
     "psd_project_spark.operators.skew",
     "psd_project_spark.sources.jsonl",
     "psd_project_spark.sources.orc",
+    "psd_project_spark.sources.python_ds_query",
     "psd_project_spark.streaming.jobs",
     "psd_project_spark.streaming.foreach_sink",
 )
