@@ -106,6 +106,7 @@ _MODULES = (
     "psd_project_spark.sources.jsonl",
     "psd_project_spark.sources.orc",
     "psd_project_spark.sources.python_ds_query",
+    "psd_project_spark.sources.alert_log",
     "psd_project_spark.streaming.jobs",
     "psd_project_spark.streaming.foreach_sink",
 )

@@ -1,0 +1,66 @@
+"""Alert-log DataSource: commit protocol and parser fidelity.
+Value-level round-trip correctness is the alert_log_roundtrip golden
+check in test_oracle_parity (parsed text vs raw-parquet oracle)."""
+
+import os
+
+from psd_project_spark.sources import alert_log
+from tests.conftest import SF_DIR
+
+
+def test_write_commit_layout_and_reparse(spark, tmp_path):
+    alert_log.register(spark)
+    df = spark.createDataFrame(
+        [
+            (1, "mean", 7, 0.0123456789012345, -0.001),
+            (2, "sm2", 8, -0.09999404883965363, 0.25),
+        ],
+        alert_log._SCHEMA_DDL,
+    )
+    out = str(tmp_path / "log")
+    df.write.format("psd_alert_log").option("path", out).mode("append").save()
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not [n for n in names if n.startswith("_tmp-")], "tmp files leak"
+    parts = [n for n in names if n.startswith("part-")]
+    assert parts
+
+    # wire format is the reference's tuple text
+    lines = []
+    for p in parts:
+        lines += open(os.path.join(out, p)).read().splitlines()
+    assert sorted(lines)[0].startswith("(") and sorted(lines)[0].endswith(")")
+
+    back = (
+        spark.read.format("psd_alert_log").option("path", out).load().collect()
+    )
+    assert sorted(map(tuple, back)) == sorted(map(tuple, df.collect()))
+
+
+def test_roundtrip_is_bit_exact_on_real_alerts(spark):
+    from psd_project_spark.operators.risk import alerts_batch
+    from psd_project_spark.sources.alert_log import alert_log_roundtrip
+
+    got = {
+        (r["user_id"], r["measure"]): (r["n_alerts"], r["sum_value"])
+        for r in alert_log_roundtrip(spark, SF_DIR).collect()
+    }
+    import pyspark.sql.functions as F
+
+    direct = {
+        (r["user_id"], r["measure"]): (r["n_alerts"], r["sum_value"])
+        for r in alerts_batch(spark, SF_DIR)
+        .groupBy("user_id", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_alerts"),
+            F.round(
+                F.sum(F.col("measure_value").cast("decimal(27,15)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == direct and len(got) > 0
