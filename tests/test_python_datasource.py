@@ -71,6 +71,79 @@ def test_stream_batches_are_deterministic_and_contiguous(spark):
     assert rows == batch
 
 
+def test_stream_through_count_window_matches_batch(spark):
+    """The reference's full topology — generator feed → 7-series
+    unpivot → sliding count-window measures — run END-TO-END from the
+    custom streaming source through the stateful operator, compared
+    row-for-row against the batch window path over the identical
+    generated rows (stream batch b == batch-mode chunk b by the seed
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from psd_project_spark.functions.measures import windowed_measures
+    from psd_project_spark.streaming.count_window import (
+        streaming_count_window_measures,
+    )
+
+    python_datasource.register(spark)
+    batch_rows, want_batches = 400, 3
+    horizon = batch_rows * want_batches
+    stack = "stack(7, 'a1', a1, 'a2', a2, 'a3', a3, 'a4', a4, 'a5', a5, 'a6', a6, 'p', portfolio) AS (series, value)"
+
+    stream = (
+        spark.readStream.format("psd_samples")
+        .option("seed", 5)
+        .option("rows_per_batch", batch_rows)
+        .load()
+        .select(F.col("seq").alias("sample_seq"), F.expr(stack))
+    )
+    out = streaming_count_window_measures(
+        stream,
+        key_cols=["series"],
+        order_col="sample_seq",
+        value_col="value",
+        window_size=30,
+        digits=9,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("psd_e2e")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    expected_rows = 7 * (horizon - 29)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if (
+                spark.sql("SELECT count(*) FROM psd_e2e").collect()[0][0]
+                >= expected_rows
+            ):
+                break
+            time.sleep(0.5)
+        got = (
+            spark.sql(f"SELECT * FROM psd_e2e WHERE seq <= {horizon}")
+            .orderBy("series", "seq")
+            .collect()
+        )
+    finally:
+        q.stop()
+
+    batch_src = _read(
+        spark, n=horizon, seed=5, partitions=want_batches
+    ).select(F.col("seq").alias("sample_seq"), F.expr(stack))
+    want = (
+        windowed_measures(
+            batch_src, ["series"], "sample_seq", "value", 30, digits=9
+        )
+        .orderBy("series", "seq")
+        .collect()
+    )
+    assert len(got) == len(want) == expected_rows
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_stream_replay_between_offsets(spark):
     """Checkpoint-recovery contract: re-reading an offset range must
     regenerate identical rows."""
