@@ -578,6 +578,78 @@ ORDER BY 1
 """
 
 
+# --- mad_by_type (grouped-aggregate pandas UDF / UDAF surface) ---------------
+
+import pandas as pd  # noqa: E402  (annotation needed by the UDAF hint)
+
+
+@F.pandas_udf(LongType())  # type object: DDL strings need a live session at import
+def _mad_q12_udaf(v: pd.Series) -> int:  # Series -> scalar == GROUPED_AGG
+    """Exact median absolute deviation, quantized to 1e-12 integers.
+
+    Median rule is fixed explicitly (avg of the two middle order
+    statistics, lower==upper when n is odd) so the DuckDB oracle can
+    evaluate the *same* IEEE expression — no reliance on either
+    engine's median() interpolation. Runs as Spark's grouped-aggregate
+    pandas UDF: whole-group Series in, scalar out, Arrow both ways —
+    the one Pandas-UDF evaluation mode the rest of the engine didn't
+    already exercise (scalar, iterator, grouped-map, cogrouped, UDTF
+    are all elsewhere)."""
+    import numpy as np
+
+    a = np.sort(v.to_numpy(dtype=np.float64))
+    n = len(a)
+    med = (a[(n - 1) // 2] + a[n // 2]) / 2.0
+    d = np.sort(np.abs(a - med))
+    mad = (d[(n - 1) // 2] + d[n // 2]) / 2.0
+    return int(np.floor(mad * 1e12 + 0.5))
+
+
+def mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust dispersion (exact MAD) via the
+    grouped-aggregate pandas UDF. Whole-group state is inherent to an
+    exact MAD (two data-dependent sorts); at 100 TB the same call
+    becomes per-(type, shard) partial MADs or swaps to the
+    moment-based screen (``value_outliers``) — this entry is the UDAF
+    API surface with an exact oracle."""
+    e = load_table(spark, sf_dir, "events")
+    # A grouped-agg pandas UDF cannot share an agg() with built-in
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT): two aggregations on
+    # the same key, joined — both sides arrive hash-partitioned on
+    # event_type, so the join adds no exchange.
+    mad = e.groupBy("event_type").agg(
+        _mad_q12_udaf(F.col("value")).alias("mad_q12")
+    )
+    cnt = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cnt.join(mad, "event_type")
+        .select("event_type", "n", "mad_q12")
+        .orderBy("event_type")
+    )
+
+
+MAD_BY_TYPE_ORACLE = """
+WITH g AS (
+  SELECT event_type, list_sort(list(value)) AS a,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), m AS (
+  SELECT event_type, a, n,
+         (a[(n - 1) // 2 + 1] + a[n // 2 + 1]) / 2.0 AS med
+  FROM g
+), d AS (
+  SELECT event_type, n,
+         list_sort(list_transform(a, x -> abs(x - med))) AS dd
+  FROM m
+)
+SELECT event_type, n,
+  CAST(floor(((dd[(n - 1) // 2 + 1] + dd[n // 2 + 1]) / 2.0) * 1e12 + 0.5)
+       AS BIGINT) AS mad_q12
+FROM d
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "funnel_conversion": (funnel_conversion, FUNNEL_ORACLE),
     "moment_stats": (moment_stats, MOMENT_STATS_ORACLE),
@@ -587,4 +659,5 @@ QUERIES = {
     "weighted_median": (weighted_median, WEIGHTED_MEDIAN_ORACLE),
     "part_price_quartiles": (part_price_quartiles, PART_QUARTILES_ORACLE),
     "vector_quantize_int8": (vector_quantize_int8, VECTOR_QUANTIZE_ORACLE),
+    "mad_by_type": (mad_by_type, MAD_BY_TYPE_ORACLE),
 }
