@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -94,14 +95,60 @@ class AlertLogWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class AlertLogStreamWriter(DataSourceStreamWriter):
+    """Epoch-keyed variant for ``writeStream``: each micro-batch
+    commits a ``_SUCCESS-epoch-N`` manifest naming that epoch's files.
+    A REPLAYED epoch (failure between sink write and checkpoint
+    commit) deletes the previous attempt's files and replaces the
+    manifest — the sink is idempotent per epoch, which is exactly the
+    foreachBatch discipline, expressed at the DataSource API level."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, rows: Iterator) -> _FileCommit:
+        return AlertLogWriter({"path": self.path}).write(rows)
+
+    def commit(self, messages: list[_FileCommit], batchId: int) -> None:
+        manifest = os.path.join(self.path, f"_SUCCESS-epoch-{batchId}")
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                for line in fh:
+                    if line.strip():
+                        stale = os.path.join(self.path, line.split("\t")[0])
+                        if os.path.exists(stale):
+                            os.remove(stale)
+        finals = []
+        for i, m in enumerate(messages):
+            final = os.path.join(
+                self.path, f"epoch-{batchId}-part-{i:05d}.txt"
+            )
+            os.replace(m.tmp_path, final)
+            finals.append((os.path.basename(final), m.rows))
+        tmp_manifest = manifest + ".tmp"
+        with open(tmp_manifest, "w") as fh:
+            for name, rows in finals:
+                fh.write(f"{name}\t{rows}\n")
+        os.replace(tmp_manifest, manifest)
+
+    def abort(self, messages: list[_FileCommit], batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class AlertLogReader(DataSourceReader):
     def __init__(self, options):
         self.path = options["path"]
 
     def partitions(self) -> list[InputPartition]:
-        manifest = os.path.join(self.path, "_SUCCESS")
-        with open(manifest) as fh:
-            names = [line.split("\t")[0] for line in fh if line.strip()]
+        names: list[str] = []
+        for entry in sorted(os.listdir(self.path)):
+            if entry == "_SUCCESS" or entry.startswith("_SUCCESS-epoch-"):
+                with open(os.path.join(self.path, entry)) as fh:
+                    names += [
+                        line.split("\t")[0] for line in fh if line.strip()
+                    ]
         return [_FilePartition(os.path.join(self.path, n)) for n in names]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
@@ -127,6 +174,9 @@ class AlertLogDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> AlertLogWriter:
         return AlertLogWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> AlertLogStreamWriter:
+        return AlertLogStreamWriter(self.options)
 
 
 def register(spark) -> None:

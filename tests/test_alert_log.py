@@ -38,6 +38,61 @@ def test_write_commit_layout_and_reparse(spark, tmp_path):
     assert sorted(map(tuple, back)) == sorted(map(tuple, df.collect()))
 
 
+def test_stream_writer_epochs_and_replay_idempotence(spark, tmp_path):
+    """writeStream through the sink: epoch manifests land per
+    micro-batch, a restart with the same checkpoint adds nothing, and
+    a manually replayed epoch REPLACES its files instead of
+    duplicating (the exactly-once sink contract)."""
+    import pyspark.sql.functions as F
+
+    from psd_project_spark.sources.registry import load_table
+
+    alert_log.register(spark)
+    out, ckpt = str(tmp_path / "log"), str(tmp_path / "ckpt")
+    src_dir = str(tmp_path / "events_src")
+    events = load_table(spark, SF_DIR, "events").limit(200)
+    sel = events.select(
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("measure"),
+        "user_id",
+        F.col("value").alias("measure_value"),
+        F.lit(0.0).alias("ref_value"),
+    )
+    sel.write.mode("overwrite").parquet(src_dir)
+
+    def run():
+        q = (
+            spark.readStream.schema(sel.schema)
+            .parquet(src_dir)
+            .writeStream.format("psd_alert_log")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    first = sorted(os.listdir(out))
+    assert any(n.startswith("_SUCCESS-epoch-") for n in first)
+    n1 = spark.read.format("psd_alert_log").option("path", out).load().count()
+    assert n1 == 200
+
+    run()  # restart, no new data: nothing changes
+    assert sorted(os.listdir(out)) == first
+    assert (
+        spark.read.format("psd_alert_log").option("path", out).load().count()
+        == 200
+    )
+
+    # manual replay of epoch 0 with different rows: replaced, not added
+    w = alert_log.AlertLogStreamWriter({"path": out})
+    msg = w.write(iter(sel.limit(10).collect()))
+    w.commit([msg], 0)
+    n2 = spark.read.format("psd_alert_log").option("path", out).load().count()
+    assert n2 == 10
+
+
 def test_roundtrip_is_bit_exact_on_real_alerts(spark):
     from psd_project_spark.operators.risk import alerts_batch
     from psd_project_spark.sources.alert_log import alert_log_roundtrip
