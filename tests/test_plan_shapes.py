@@ -188,3 +188,40 @@ def test_no_accidental_cartesian_in_batch_plans(spark):
             )
         checked += 1
     assert checked > 60, f"only {checked} plans checked"
+
+
+def test_hll_rollup_plan_is_sketch_partial_agg(spark):
+    """Sketches, not user-id sets, must cross the shuffle: the daily
+    aggregate runs as ObjectHashAggregate (DataSketches buffers) with a
+    map-side partial, and there is no join anywhere in the plan."""
+    from psd_project_spark.operators.sketches import hll_reach_rollup
+    from tests.conftest import SF_DIR
+
+    plan = (
+        hll_reach_rollup(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ObjectHashAggregate" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, bad
+
+
+def test_mad_by_type_plan_uses_arrow_aggregate(spark):
+    """The UDAF must run as the Arrow grouped-aggregate node (whole
+    group in, scalar out), with the count joined on the same key — no
+    nested-loop and at most the two keyed aggregations' exchanges."""
+    from psd_project_spark.operators.analytics_extra import mad_by_type
+    from tests.conftest import SF_DIR
+
+    plan = (
+        mad_by_type(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert plan.count("hashpartitioning(event_type") <= 2
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
