@@ -418,6 +418,87 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         report, "iteration int, inertia double, n_active_clusters int"
     )
 
+# --- dedup_embedding_lsh (all-pairs near-dup via banded LSH) -----------------
+
+#: Pair threshold, calibrated to this synthetic corpus: it contains no
+#: true duplicates (max off-diagonal cosine ≈ 0.51 at sf0.01 — the
+#: honest signal dedup_embedding_1nn reports), so the "near-dup" bar
+#: sits where the operator has work to do. Production uses ~0.95.
+EMB_PAIR_THRESHOLD = 0.4
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding near-dup via banded LSH — the sub-quadratic
+    scale path for embedding dedup (`dedup_embedding_1nn` is the exact
+    O(n²) form). Same discipline as ``dedup_minhash_lsh``: candidates
+    are a band-key EQUI-self-join over bare ids (vectors never ride
+    the explode), deduped before the exact quantized-cosine verify.
+    Recall < 1 by design; the oracle generates candidates with the
+    IDENTICAL banding, so parity is exact whatever the recall."""
+    e = _embeddings(spark, sf_dir).withColumn(
+        "sig", _sig_udf(F.col("_v"))
+    ).cache()
+    bands = F.array(
+        *[
+            F.substring("sig", 1 + BAND_BITS * b, BAND_BITS)
+            for b in range(N_BANDS)
+        ]
+    )
+    eb = e.select("vec_id", F.posexplode(bands).alias("band", "bkey"))
+    pairs = (
+        eb.alias("a")
+        .join(
+            eb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    verified = (
+        pairs.join(
+            e.select(F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va")),
+            "vec_a",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb")),
+            "vec_b",
+        )
+        .withColumn("cosine", V.cosine_q(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= F.lit(EMB_PAIR_THRESHOLD))
+    )
+    return verified.select("vec_a", "vec_b", "cosine").orderBy(
+        F.desc("cosine"), "vec_a", "vec_b"
+    )
+
+
+DEDUP_EMB_LSH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
+), sigs AS (
+  SELECT vec_id, v, {V.bucket_sql('v', SIG_PLANES)} AS sig FROM e
+), bands AS (
+  SELECT vec_id, g.b AS band,
+         substring(sig, 1 + {BAND_BITS} * g.b, {BAND_BITS}) AS bkey
+  FROM sigs, generate_series(0, {N_BANDS - 1}) AS g(b)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       {V.cosine_sql('ea.v', 'eb.v')} AS cosine
+FROM cand c
+JOIN e ea ON c.vec_a = ea.vec_id
+JOIN e eb ON c.vec_b = eb.vec_id
+WHERE {V.cosine_sql('ea.v', 'eb.v')} >= {EMB_PAIR_THRESHOLD}
+ORDER BY cosine DESC, vec_a, vec_b
+"""
+
+
 def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
                        dim: int = 64) -> str:
     """DuckDB mirror of :func:`kmeans_embeddings`: the 3 Lloyd rounds
@@ -492,4 +573,5 @@ QUERIES = {
     "ivf_ann_cosine": (ivf_ann_cosine, IVF_ORACLE),
     "embedding_centroids": (embedding_centroids, CENTROIDS_ORACLE),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_ORACLE),
+    "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMB_LSH_ORACLE),
 }
