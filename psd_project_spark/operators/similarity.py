@@ -426,6 +426,15 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sits where the operator has work to do. Production uses ~0.95.
 EMB_PAIR_THRESHOLD = 0.4
 
+#: Band layout for the all-pairs SELF-join: the ANN layout (8 bands ×
+#: 4 bits) is recall-tuned for 25 probe vectors and admits ~40% of all
+#: pairs when self-joined; re-slicing the SAME 32-bit signature as
+#: 4 bands × 8 bits cuts candidates to ~2% while keeping ~90% recall
+#: at production-dup cosine (p=0.9 ⇒ 1-(1-p^8)^4). Wider bands as the
+#: corpus grows — r scales with log n to hold bucket sizes flat.
+PAIR_N_BANDS = 4
+PAIR_BAND_BITS = 8
+
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-dup via banded LSH — the sub-quadratic
@@ -440,8 +449,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     bands = F.array(
         *[
-            F.substring("sig", 1 + BAND_BITS * b, BAND_BITS)
-            for b in range(N_BANDS)
+            F.substring("sig", 1 + PAIR_BAND_BITS * b, PAIR_BAND_BITS)
+            for b in range(PAIR_N_BANDS)
         ]
     )
     eb = e.select("vec_id", F.posexplode(bands).alias("band", "bkey"))
@@ -482,8 +491,8 @@ WITH e AS (
   SELECT vec_id, v, {V.bucket_sql('v', SIG_PLANES)} AS sig FROM e
 ), bands AS (
   SELECT vec_id, g.b AS band,
-         substring(sig, 1 + {BAND_BITS} * g.b, {BAND_BITS}) AS bkey
-  FROM sigs, generate_series(0, {N_BANDS - 1}) AS g(b)
+         substring(sig, 1 + {PAIR_BAND_BITS} * g.b, {PAIR_BAND_BITS}) AS bkey
+  FROM sigs, generate_series(0, {PAIR_N_BANDS - 1}) AS g(b)
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bands a JOIN bands b
