@@ -58,6 +58,10 @@ def make_shingles_udf(k: int):
     def shingles(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
+            if t is None:
+                # Match the expression form: HOFs propagate NULL.
+                out.append(None)
+                continue
             toks = t.strip(" ").split(" ")
             n = len(toks)
             if n >= k:

@@ -164,6 +164,15 @@ def nn_block_kernel(key, probes: pd.DataFrame, index: pd.DataFrame) -> pd.DataFr
         return pd.DataFrame({"vec_id": [], "nn_id": [], "cosine": []}).astype(
             {"vec_id": "int64", "nn_id": "int64", "cosine": "float64"}
         )
+    if "vec_id" not in probes.columns or "vec_id" not in index.columns:
+        # A non-empty side without its data columns means Catalyst
+        # pruned a cogroup input (seen with self-cogroup shared
+        # lineage). Returning empty here would silently corrupt the
+        # result — fail loudly instead.
+        raise ValueError(
+            "nn_block_kernel received a pruned cogroup input: "
+            f"probes={list(probes.columns)} index={list(index.columns)}"
+        )
     idx_ids = index["vec_id"].to_numpy(dtype=np.int64)
     m = _stack(index["_v"])
     order = np.argsort(idx_ids, kind="stable")
@@ -218,4 +227,44 @@ def bucket_sql(v: str, planes: list[list[float]], dim: int = EMB_DIM) -> str:
             f"i -> CAST(floor({v}[i] * ({lit})[i] * {QSCALE} + 0.5) AS BIGINT)))"
         )
         bits.append(f"CASE WHEN {d} > 0 THEN '1' ELSE '0' END")
-    return " || ".join(bits)
+    # flat concat(), not a || chain: DuckDB binds || recursively and
+    # overflows its 128-deep binder stack at wide signatures
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def bucket_cte_sql(planes: list[list[float]], dim: int = EMB_DIM) -> str:
+    """Set-based form of :func:`bucket_sql` for wide plane pools.
+
+    The expression form evaluates one interpreted lambda per (row,
+    plane) — ~35 s for 128 planes × 500 rows in DuckDB. This emits the
+    same signature as a vectorized unnest → join → hash-aggregate
+    (sub-second at the same size). Exactness is unchanged: identical
+    per-term quantization (``floor(v[i]·w·Q + 0.5)`` with w ∈ ±1.0
+    exact), and the per-plane dot is a BIGINT sum — order-independent.
+
+    Splice into a WITH list after a CTE ``e(vec_id, v)``; it defines
+    ``sigs(vec_id, v, sig)`` plus private ``_planes``/``_dots``/
+    ``_sig`` helpers.  Planes are encoded as '1'/'0' strings (one row
+    per plane), not inline list literals, keeping the SQL text small.
+    """
+    rows = ", ".join(
+        f"({j}, '{''.join('1' if x > 0 else '0' for x in row)}')"
+        for j, row in enumerate(planes)
+    )
+    return f"""_planes(plane, bits) AS (
+  SELECT * FROM (VALUES {rows}) AS t(plane, bits)
+), _dots AS (
+  SELECT e.vec_id, p.plane,
+         sum(CAST(floor(e.v[g.i] * (CASE WHEN substring(p.bits, g.i, 1) = '1'
+                                         THEN CAST(1.0 AS DOUBLE)
+                                         ELSE CAST(-1.0 AS DOUBLE) END)
+                        * {QSCALE} + 0.5) AS BIGINT)) AS dot
+  FROM e, _planes p, generate_series(1, {dim}) AS g(i)
+  GROUP BY e.vec_id, p.plane
+), _sig AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS sig
+  FROM _dots GROUP BY vec_id
+), sigs AS (
+  SELECT e.vec_id, e.v, s.sig FROM e JOIN _sig s USING (vec_id)
+)"""

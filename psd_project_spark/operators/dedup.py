@@ -252,6 +252,44 @@ WHERE {T.hamming_sql('sim_a', 'sim_b')} <= {T.SIMHASH_MAX_HAMMING}
 _NN_BLOCKS = 8
 
 
+def _nn_block_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-local 1-NN partials — the cogroup grid feeding
+    :func:`dedup_embedding_1nn`. Exposed so tests can assert full grid
+    coverage (every probe × every block)."""
+    def fresh_side() -> DataFrame:
+        # Each cogroup side gets its OWN scan. A self-cogroup (both
+        # sides sharing one DataFrame) gives both sides the same
+        # attribute IDs; Catalyst then treats the index side's data
+        # columns as "already provided by the probe side" and prunes
+        # them under partial-column consumption (count()-shaped
+        # plans), handing the kernel an index frame with no vec_id/_v.
+        return (
+            load_table(spark, sf_dir, "embeddings")
+            .withColumn("_v", F.expr(V.to_double_expr()))
+            .select("vec_id", "_v")
+        )
+
+    # Both cogroup keys MUST be the same type: pmod(bigint, …) yields
+    # bigint while explode(array(lit(int))) yields int, and Spark's
+    # cogroup pairs groups by binary row key — mismatched key types
+    # silently pair only a subset of groups (observed at sf0.1: half
+    # the block partials vanished, best-neighbor wrong for 1006/2000
+    # probes; regression-pinned by tests/test_dedup_blocked.py).
+    idx = fresh_side().withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(_NN_BLOCKS)).cast("int")
+    )
+    probes = spread_small(fresh_side(), spark).withColumn(
+        "blk", F.explode(F.array(*[F.lit(i) for i in range(_NN_BLOCKS)]))
+    )
+    return (
+        probes.groupBy("blk")
+        .cogroup(idx.groupBy("blk"))
+        .applyInPandas(
+            V.nn_block_kernel, schema="vec_id long, nn_id long, cosine double"
+        )
+    )
+
+
 def dedup_embedding_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest neighbor per vector by quantized-exact cosine + dup flag.
 
@@ -264,24 +302,18 @@ def dedup_embedding_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     across blocks, so the reduce is exact). Nothing is collected to the
     driver and no (n²) pair set is materialized — per-task memory is
     one index block + one probe chunk, and both the fan-out join and
-    the reduce are equi-shuffles on small keys. Approximate variants
-    (``ann_lsh_cosine``, ``ivf_ann_cosine``) are the recall<1 scale
-    path; this is the exact one.
+    the reduce are equi-shuffles on small keys.
+
+    **Role: exact-verification baseline, not the default path.** The
+    CANONICAL embedding-dedup entry a user should reach first is
+    ``dedup_embedding_lsh`` (similarity.py) — sub-quadratic banded-LSH
+    candidates + exact cosine verify; at 100 TB the O(n²) form here
+    exists to measure the LSH path's recall and to serve corpora small
+    enough that exactness is worth the quadratic work. Approximate
+    query-time variants (``ann_lsh_cosine``, ``ivf_ann_cosine``) are
+    the recall<1 search path.
     """
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .withColumn("_v", F.expr(V.to_double_expr()))
-        .select("vec_id", "_v")
-    )
-    idx = e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(_NN_BLOCKS)))
-    probes = spread_small(e, spark).withColumn(
-        "blk", F.explode(F.array(*[F.lit(i) for i in range(_NN_BLOCKS)]))
-    )
-    partials = (
-        probes.groupBy("blk")
-        .cogroup(idx.groupBy("blk"))
-        .applyInPandas(V.nn_block_kernel, schema="vec_id long, nn_id long, cosine double")
-    )
+    partials = _nn_block_partials(spark, sf_dir)
     best = (
         partials.groupBy("vec_id")
         .agg(

@@ -46,7 +46,6 @@ def _daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.groupBy("event_type", "day").agg(
         F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"),
-        F.count_distinct("user_id").alias("exact_daily"),
     )
 
 
@@ -55,10 +54,13 @@ def hll_reach_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at scale: the daily groupBy is the only wide shuffle of
     raw data (map-side partial sketch combine — sketches, not user ids,
-    cross the exchange); the rollup then moves one ~2^14-register
-    sketch per (event_type, day) — kilobytes — regardless of corpus
-    size. ``sum(exact_daily)`` rides along to show the
-    sum-of-dailies ≠ distinct-reach gap the sketch exists to close.
+    cross the exchange; the stored daily state is sketch-only, no
+    distinct-aggregate expansion rides along); the rollup then moves
+    one ~2^14-register sketch per (event_type, day) — kilobytes —
+    regardless of corpus size.  ``sum_daily_distinct_approx`` (the sum
+    of per-day sketch ESTIMATES, derived from the same stored
+    sketches) rides along to show the sum-of-dailies ≠ distinct-reach
+    gap the mergeable sketch exists to close.
     """
     daily = _daily_sketches(spark, sf_dir)
     return (
@@ -66,7 +68,7 @@ def hll_reach_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_days"),
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("reach_approx"),
-            F.sum("exact_daily").alias("sum_daily_distinct"),
+            F.sum(F.hll_sketch_estimate("sk")).alias("sum_daily_distinct_approx"),
         )
         .orderBy("event_type")
     )

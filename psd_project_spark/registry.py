@@ -15,14 +15,50 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness driver only checks the FIRST 50 registry entries (in
-# iteration order), so ordering is part of the verification contract:
-# _PRIORITY pins one-or-more representatives of every operator family
-# (risk, dedup, similarity, text, curation, multimodal, governance,
-# sampling, streaming, behavior, skew, sources) into that window.  The
-# TPC-H battery and the remaining long tail — all driver-verified in
-# round 1 — follow in module order.
+# iteration order), so ordering is part of the verification contract.
+# Round-3 rotation: positions 1-31 are the 29 queries never checked by
+# the driver in rounds 1-2 (registry minus r01∪r02 windows) plus the
+# two round-1 hash failures whose oracle-typing casts landed in commit
+# c818c16 but were never driver-re-verified (q12_late_shipment_priority,
+# value_outliers).  Positions 32-50 re-verify the highest-value
+# representatives (the reference risk surface + one per extension
+# family).  With this window green, every one of the 122 registry
+# queries has at least one driver-green CORRECTNESS row across rounds.
 _PRIORITY = (
-    # reference risk surface (SURVEY §2.1-2.8)
+    # -- never driver-checked (rounds 1-2) ---------------------------
+    "table_profile",
+    "incremental_rollup",
+    "weighted_median",
+    "part_price_quartiles",
+    "vector_quantize_int8",
+    "mad_by_type",
+    "resample_ffill",
+    "ewma_user_value",
+    "partitioned_parquet_roundtrip",
+    "fuzzy_name_match",
+    "hourly_top_spenders",
+    "rolling_dau",
+    "retention_cohorts",
+    "event_transitions",
+    "compression_ratio",
+    "trigram_udtf_freq",
+    "corpus_quality_filter",
+    "curation_pipeline",
+    "dedup_embedding_lsh",
+    "json_props_stats",
+    "props_variant_stats",
+    "approx_distinct_users",
+    "approx_price_quantiles",
+    "orders_by_month",
+    "customer_name_parse",
+    "distinct_users_per_type",
+    "hll_reach_rollup",
+    "psd_samples_source",
+    "alert_log_roundtrip",
+    # -- cast-fixed in round 2, pending driver re-verification -------
+    "q12_late_shipment_priority",
+    "value_outliers",
+    # -- re-verification: reference risk surface (SURVEY §2.1-2.8) ---
     "measures_agg",
     "measures_window",
     "measures_window_np",
@@ -30,58 +66,19 @@ _PRIORITY = (
     "alert_counts",
     "portfolio_projection",
     "value_histogram",
-    # dedup family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_1nn",
-    "dedup_components",
-    "dedup_canonical",
-    "decontaminate_ngrams",
-    # similarity / ANN family
-    "knn_cosine",
-    "ann_lsh_cosine",
-    "ivf_ann_cosine",
-    "embedding_centroids",
-    "kmeans_embeddings",
-    # text analysis
-    "doc_stats",
-    "tfidf_top_terms",
-    "bm25_rank",
-    "lang_id",
-    "token_freq",
-    "doc_fingerprint",
-    # text curation
-    "doc_chunking",
-    "repetition_metrics",
-    "pii_redact",
-    # multimodal
-    "media_catalog",
-    "media_features",
-    "media_resize",
-    "frame_sample",
-    # governance
-    "k_anonymity_release",
-    "weighted_sample",
-    "training_shard_export",
-    # sampling
-    "train_val_split",
-    "stratified_sample",
-    "token_budget_packing",
-    # streaming (batch-equivalent registry forms)
     "measures_window_stream",
-    "alerts_stream",
+    # -- re-verification: one per extension family -------------------
+    "dedup_minhash_lsh",
+    "dedup_embedding_1nn",
+    "ann_lsh_cosine",
+    "kmeans_embeddings",
+    "doc_fingerprint",
+    "pii_redact",
+    "media_features",
+    "k_anonymity_release",
     "events_time_windows",
-    "stream_dedup_users",
-    "stream_session_windows",
     "stream_stream_join",
-    "stream_upsert_latest",
-    # behavior / skew / sources representatives
     "nearest_view_lag",
-    "salted_event_stats",
-    "events_jsonl_source",
-    "lineitem_orc_source",
 )
 
 _MODULES = (

@@ -63,8 +63,18 @@ class _FilePartition(InputPartition):
 
 
 class AlertLogWriter(DataSourceWriter):
-    def __init__(self, options):
+    """Batch writer with real append/overwrite semantics.
+
+    Final part names carry a per-job uuid, so a second ``append`` job
+    into the same directory can never clobber an earlier job's parts;
+    the ``_SUCCESS`` manifest is merged (append) or replaced with the
+    prior job's parts deleted (overwrite) — both via atomic rename.
+    """
+
+    def __init__(self, options, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, rows: Iterator) -> _FileCommit:
         os.makedirs(self.path, exist_ok=True)
@@ -80,14 +90,31 @@ class AlertLogWriter(DataSourceWriter):
         return _FileCommit(tmp, n)
 
     def commit(self, messages: list[_FileCommit]) -> None:
+        manifest = os.path.join(self.path, "_SUCCESS")
+        prior: list[str] = []
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                prior = [line.rstrip("\n") for line in fh if line.strip()]
         finals = []
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.txt")
+            final = os.path.join(
+                self.path, f"part-{self.job_id}-{i:05d}.txt"
+            )
             os.replace(m.tmp_path, final)
             finals.append((os.path.basename(final), m.rows))
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+        if self.overwrite:
+            for line in prior:
+                stale = os.path.join(self.path, line.split("\t")[0])
+                if os.path.exists(stale):
+                    os.remove(stale)
+            prior = []
+        tmp_manifest = manifest + f".tmp-{self.job_id}"
+        with open(tmp_manifest, "w") as fh:
+            for line in prior:
+                fh.write(line + "\n")
             for name, rows in finals:
                 fh.write(f"{name}\t{rows}\n")
+        os.replace(tmp_manifest, manifest)
 
     def abort(self, messages: list[_FileCommit]) -> None:
         for m in messages:
@@ -173,7 +200,7 @@ class AlertLogDataSource(DataSource):
         return AlertLogReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> AlertLogWriter:
-        return AlertLogWriter(self.options)
+        return AlertLogWriter(self.options, overwrite=overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> AlertLogStreamWriter:
         return AlertLogStreamWriter(self.options)

@@ -38,6 +38,43 @@ def test_write_commit_layout_and_reparse(spark, tmp_path):
     assert sorted(map(tuple, back)) == sorted(map(tuple, df.collect()))
 
 
+def test_append_appends_and_overwrite_replaces(spark, tmp_path):
+    """Two append jobs into one directory must keep both jobs' rows
+    (per-job uuid part names, merged manifest); a subsequent overwrite
+    job must drop every prior part and leave only its own."""
+    alert_log.register(spark)
+    out = str(tmp_path / "log")
+    a = spark.createDataFrame(
+        [(1, "mean", 7, 0.5, 0.1)], alert_log._SCHEMA_DDL
+    )
+    b = spark.createDataFrame(
+        [(2, "sm1", 8, 0.25, 0.2), (3, "sm2", 9, 0.125, 0.3)],
+        alert_log._SCHEMA_DDL,
+    )
+    a.write.format("psd_alert_log").option("path", out).mode("append").save()
+    b.write.format("psd_alert_log").option("path", out).mode("append").save()
+    back = spark.read.format("psd_alert_log").option("path", out).load()
+    assert back.count() == 3
+    assert sorted(r["seq"] for r in back.collect()) == [1, 2, 3]
+
+    c = spark.createDataFrame(
+        [(9, "mean", 1, 1.0, 1.0)], alert_log._SCHEMA_DDL
+    )
+    c.write.format("psd_alert_log").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back2 = spark.read.format("psd_alert_log").option("path", out).load()
+    assert [r["seq"] for r in back2.collect()] == [9]
+    # no orphaned parts left behind on disk
+    manifest = {
+        line.split("\t")[0]
+        for line in open(os.path.join(out, "_SUCCESS"))
+        if line.strip()
+    }
+    on_disk = {n for n in os.listdir(out) if n.startswith("part-")}
+    assert on_disk == manifest
+
+
 def test_stream_writer_epochs_and_replay_idempotence(spark, tmp_path):
     """writeStream through the sink: epoch manifests land per
     micro-batch, a restart with the same checkpoint adds nothing, and

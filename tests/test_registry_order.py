@@ -1,33 +1,66 @@
 """Pin the registry iteration order contract.
 
-The correctness driver checks only the FIRST 50 registry entries, so
-the first-50 window must span every operator family.  This test fails
-if someone adds/renames a query in a way that pushes a family out of
-the window.
+The correctness driver checks only the FIRST 50 registry entries.
+Round-3 rotation: the window is the 29 queries never driver-checked in
+rounds 1-2 plus the two cast-fixed round-1 failures (positions 1-31),
+then re-verification representatives of every family (32-50).  With
+this window green every registry query has a driver CORRECTNESS row.
 """
+
+import json
+import pathlib
 
 from psd_project_spark import registry
 
+_REPO = pathlib.Path(__file__).resolve().parents[1]
+
+# Queries whose only driver rows predate the round-2 oracle-typing
+# casts (commit c818c16) — must sit in the round-3 window.
+CAST_FIXED = {"q12_late_shipment_priority", "value_outliers"}
+
 FAMILY_REPRESENTATIVES = {
     "risk": {"measures_agg", "alerts_batch"},
-    "dedup": {"dedup_minhash_lsh", "dedup_components"},
-    "similarity": {"ann_lsh_cosine", "ivf_ann_cosine"},
-    "text_analysis": {"tfidf_top_terms", "bm25_rank"},
-    "text_curation": {"doc_chunking"},
-    "multimodal": {"media_resize"},
+    "dedup": {"dedup_minhash_lsh", "dedup_embedding_lsh"},
+    "similarity": {"ann_lsh_cosine", "kmeans_embeddings"},
+    "text_analysis": {"doc_fingerprint", "trigram_udtf_freq"},
+    "text_curation": {"pii_redact", "curation_pipeline"},
+    "multimodal": {"media_features"},
     "governance": {"k_anonymity_release"},
-    "sampling": {"stratified_sample"},
-    "streaming": {"measures_window_stream", "alerts_stream"},
-    "behavior": {"nearest_view_lag"},
-    "skew": {"salted_event_stats"},
-    "sources": {"events_jsonl_source", "lineitem_orc_source"},
+    "sampling": {"weighted_median"},
+    "streaming": {"measures_window_stream", "events_time_windows"},
+    "behavior": {"nearest_view_lag", "retention_cohorts"},
+    "sketches": {"hll_reach_rollup", "approx_distinct_users"},
+    "sources": {"psd_samples_source", "partitioned_parquet_roundtrip"},
 }
+
+
+def _driver_checked_rounds_1_2() -> set[str]:
+    checked: set[str] = set()
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = _REPO / fname
+        if path.exists():
+            checked |= set(json.loads(path.read_text()))
+    return checked
 
 
 def test_first_50_is_priority_list():
     names = list(registry.queries())
     assert len(registry._PRIORITY) == 50
     assert names[: len(registry._PRIORITY)] == list(registry._PRIORITY)
+
+
+def test_window_covers_all_never_checked_queries():
+    """Every registry query never checked in r01/r02 must be in the
+    round-3 window — this is the whole point of the rotation."""
+    checked = _driver_checked_rounds_1_2()
+    if not checked:  # artifacts absent (e.g. fresh clone)
+        return
+    names = list(registry.queries())
+    window = set(names[:50])
+    never = [q for q in names if q not in checked]
+    missing = [q for q in never if q not in window]
+    assert not missing, f"never-driver-checked queries outside window: {missing}"
+    assert CAST_FIXED <= window
 
 
 def test_driver_window_covers_every_family():
@@ -39,4 +72,4 @@ def test_driver_window_covers_every_family():
 def test_no_names_lost_by_reorder():
     names = list(registry.queries())
     assert len(names) == len(set(names))
-    assert len(names) >= 117
+    assert len(names) >= 122

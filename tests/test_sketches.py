@@ -50,7 +50,10 @@ def test_estimate_within_error_band_and_below_sum_of_dailies(spark):
         rel = abs(r["reach_approx"] - exact[et]) / exact[et]
         assert rel < 0.05, (et, r["reach_approx"], exact[et])
         # distinct reach can never exceed the sum of daily distincts
-        assert r["reach_approx"] <= r["sum_daily_distinct"] * 1.05
+        # (both sides sketch-estimated from the same stored state —
+        # the daily state is deliberately sketch-only, so the
+        # comparison carries the estimates' error band)
+        assert r["reach_approx"] <= r["sum_daily_distinct_approx"] * 1.05
 
 
 def test_daily_sketch_state_is_small(spark):
