@@ -102,17 +102,59 @@ def _norm_ppf(p: np.ndarray) -> np.ndarray:
     return x
 
 
+def _inv6(a: np.ndarray) -> np.ndarray:
+    """6×6 inverse via Gauss-Jordan with partial pivoting, in plain
+    Python floats — deliberately NOT ``np.linalg.inv``: LAPACK results
+    vary in the last ulp with the BLAS thread count (OMP_NUM_THREADS),
+    and Spark's Python workers run single-threaded while driver-side
+    tools may not. Every user of this generator (the psd_samples
+    DataSource golden oracle, fixture writers) depends on the output
+    being a pure function of (n, seed) regardless of environment."""
+    m = [[float(v) for v in row] for row in a]
+    k = len(m)
+    inv = [[1.0 if i == j else 0.0 for j in range(k)] for i in range(k)]
+    for col in range(k):
+        piv = max(range(col, k), key=lambda r: abs(m[r][col]))
+        m[col], m[piv] = m[piv], m[col]
+        inv[col], inv[piv] = inv[piv], inv[col]
+        d = m[col][col]
+        for j in range(k):
+            m[col][j] /= d
+            inv[col][j] /= d
+        for r in range(k):
+            if r == col:
+                continue
+            f = m[r][col]
+            if f == 0.0:
+                continue
+            for j in range(k):
+                m[r][j] -= f * m[col][j]
+                inv[r][j] -= f * inv[col][j]
+    return np.array(inv, dtype=np.float64)
+
+
+def _matvec_cols(mat: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
+    """Fixed left-to-right fold of Σₖ mat[:,k]·coeffs[k] — elementwise
+    numpy ufuncs only (deterministic under any thread count), replacing
+    ``mat @ coeffs`` whose BLAS dgemv fold order is environment-
+    dependent."""
+    acc = mat[:, 0] * coeffs[0]
+    for k in range(1, coeffs.size):
+        acc = acc + mat[:, k] * coeffs[k]
+    return acc
+
+
 def sample_returns(n: int, seed: int = 42, sweeps: int = 40) -> np.ndarray:
     """n × 6 truncated multivariate-t draws (vectorized Gibbs)."""
     rng = np.random.default_rng(seed)
-    prec = np.linalg.inv(SIGMA)
+    prec = _inv6(SIGMA)
     w = rng.chisquare(DF, size=n) / DF  # t scale mixture, one per chain
     x = np.tile(np.clip(MU, -BOUND, BOUND), (n, 1))
     for _ in range(sweeps):
         for i in range(MU.size):
             dev = x - MU  # (n, 6)
             # conditional mean/sd of coord i given the rest
-            m = MU[i] - (dev @ prec[i] - prec[i, i] * dev[:, i]) / prec[i, i]
+            m = MU[i] - (_matvec_cols(dev, prec[i]) - prec[i, i] * dev[:, i]) / prec[i, i]
             sd = 1.0 / np.sqrt(prec[i, i] * w)
             lo = _norm_cdf((-BOUND - m) / sd)
             hi = _norm_cdf((BOUND - m) / sd)
@@ -124,7 +166,7 @@ def sample_returns(n: int, seed: int = 42, sweeps: int = 40) -> np.ndarray:
 def with_portfolio(samples: np.ndarray) -> np.ndarray:
     """Append the weighted portfolio column (psd.R:21-24)."""
     w = np.asarray(DEFAULT_CONFIG.weights)
-    return np.hstack([samples, (samples @ w)[:, None]])
+    return np.hstack([samples, _matvec_cols(samples, w)[:, None]])
 
 
 def population_measures(xs: np.ndarray) -> dict[str, float]:

@@ -60,13 +60,13 @@ def psd_samples_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partitions=8) — regenerate with tools/gen_psd_samples_golden.py.
 PSD_SAMPLES_ORACLE = """
 SELECT * FROM (VALUES
-  ('a1', CAST(10000 AS BIGINT), CAST('-0.09999404883965363' AS DOUBLE), CAST('0.0999961260178629' AS DOUBLE), CAST(-3292758622026 AS BIGINT)),
-  ('a2', CAST(10000 AS BIGINT), CAST('-0.0999870658209168' AS DOUBLE), CAST('0.09992933239528272' AS DOUBLE), CAST(10884611079366 AS BIGINT)),
-  ('a3', CAST(10000 AS BIGINT), CAST('-0.09998579667216406' AS DOUBLE), CAST('0.09998251269756123' AS DOUBLE), CAST(-6742926802272 AS BIGINT)),
-  ('a4', CAST(10000 AS BIGINT), CAST('-0.099989008448611' AS DOUBLE), CAST('0.0999745699883777' AS DOUBLE), CAST(9424069661223 AS BIGINT)),
-  ('a5', CAST(10000 AS BIGINT), CAST('-0.09999117567001795' AS DOUBLE), CAST('0.09997694857125991' AS DOUBLE), CAST(1332813665020 AS BIGINT)),
-  ('a6', CAST(10000 AS BIGINT), CAST('-0.09998223100524116' AS DOUBLE), CAST('0.09998711243523684' AS DOUBLE), CAST(-5643904248006 AS BIGINT)),
-  ('portfolio', CAST(10000 AS BIGINT), CAST('-0.07981641326847445' AS DOUBLE), CAST('0.08341993266851208' AS DOUBLE), CAST(1218927205178 AS BIGINT))
+  ('a1', CAST(10000 AS BIGINT), CAST('-0.09999404883965253' AS DOUBLE), CAST('0.09999612601786356' AS DOUBLE), CAST(-3292758622026 AS BIGINT)),
+  ('a2', CAST(10000 AS BIGINT), CAST('-0.09998706582091653' AS DOUBLE), CAST('0.09992933239528277' AS DOUBLE), CAST(10884611079369 AS BIGINT)),
+  ('a3', CAST(10000 AS BIGINT), CAST('-0.09998579667216416' AS DOUBLE), CAST('0.09998251269756078' AS DOUBLE), CAST(-6742926802274 AS BIGINT)),
+  ('a4', CAST(10000 AS BIGINT), CAST('-0.0999890084486113' AS DOUBLE), CAST('0.09997456998837864' AS DOUBLE), CAST(9424069661224 AS BIGINT)),
+  ('a5', CAST(10000 AS BIGINT), CAST('-0.09999117567001756' AS DOUBLE), CAST('0.09997694857125991' AS DOUBLE), CAST(1332813665020 AS BIGINT)),
+  ('a6', CAST(10000 AS BIGINT), CAST('-0.09998223100524099' AS DOUBLE), CAST('0.09998711243523681' AS DOUBLE), CAST(-5643904248005 AS BIGINT)),
+  ('portfolio', CAST(10000 AS BIGINT), CAST('-0.07981641326847469' AS DOUBLE), CAST('0.08341993266851168' AS DOUBLE), CAST(1218927205182 AS BIGINT))
 ) AS t(series, n, min_v, max_v, sum_q12)
 ORDER BY series
 """
