@@ -376,6 +376,104 @@ WHERE rank <= {ANN_TOP_K}
 
 
 
+# --- semantic_dedup (SemDeDup-style cell-local pruning) ----------------------
+
+#: Cosine at/above which two same-cell vectors are semantic duplicates.
+#: Matches the embedding near-dup threshold used by the exact 1-NN
+#: baseline (operators/dedup.py COSINE_DUP_THRESHOLD) so the two paths
+#: rank the same pairs as duplicates where their candidate sets overlap.
+SEMDEDUP_T = 0.95
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
+    2303.09540): assign every vector to its nearest of ``N_CELLS``
+    coarse centroids, then compare pairs ONLY within a cell and prune
+    any vector that has a lower-id same-cell neighbor with cosine ≥
+    ``SEMDEDUP_T`` (keep-lowest-id rule — deterministic without a
+    connected-components pass).
+
+    Returns one row per vector: (vec_id, cell, n_cell, pruned).
+
+    Plan shape for 100 TB: the centroid assignment broadcasts a
+    K-row codebook (never shuffles the data side); the pair stage is an
+    equi-join on the cell id, so comparisons are Σ_c n_c² instead of
+    n² — with balanced cells a K× reduction, and the cell id is the
+    natural partition/bucket key. Pairs that cross a cell boundary are
+    deliberately out of scope (the documented SemDeDup recall
+    trade-off); ``dedup_embedding_1nn`` (exact, all-pairs) measures
+    exactly what that trade-off costs."""
+    e = _embeddings(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("_v").alias("_vc")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", V.cosine_q(F.col("_vc"), F.col("_v")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("ccos").desc(), F.col("cid")
+                )
+            ),
+        )
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "_v", F.col("cid").alias("cell"))
+        # cache: feeds both sides of the within-cell pair join and the
+        # final per-vector frame — uncached the N×K assignment runs 3×.
+        .cache()
+    )
+    a = cells.select(F.col("vec_id").alias("keep_id"), F.col("_v").alias("_va"), "cell")
+    b = cells.select(F.col("vec_id").alias("vec_id"), F.col("_v").alias("_vb"), "cell")
+    pruned_ids = (
+        a.join(b, ["cell"])
+        .filter(F.col("keep_id") < F.col("vec_id"))
+        .withColumn("cosine", V.cosine_q(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= F.lit(SEMDEDUP_T))
+        .select("vec_id")
+        .distinct()
+        .withColumn("pruned", F.lit(True))
+    )
+    n_cell = Window.partitionBy("cell")
+    return (
+        cells.withColumn("n_cell", F.count(F.lit(1)).over(n_cell))
+        .join(pruned_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "n_cell",
+            F.coalesce("pruned", F.lit(False)).alias("pruned"),
+        )
+    )
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {N_CELLS}
+), ranked AS (
+  SELECT e.vec_id, e.v, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {V.cosine_sql('c.vc', 'e.v')} DESC, c.cid)
+      AS crank
+  FROM e CROSS JOIN c
+), cells AS (
+  SELECT vec_id, v, cid AS cell FROM ranked WHERE crank = 1
+), pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {V.cosine_sql('a.v', 'b.v')} >= {SEMDEDUP_T}
+)
+SELECT cells.vec_id, cells.cell,
+       count(*) OVER (PARTITION BY cells.cell) AS n_cell,
+       (pruned.vec_id IS NOT NULL) AS pruned
+FROM cells LEFT JOIN pruned ON cells.vec_id = pruned.vec_id
+"""
+
+
 # --- embedding_centroids (per-group vector mean) -----------------------------
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,4 +769,5 @@ QUERIES = {
     "embedding_centroids": (embedding_centroids, CENTROIDS_ORACLE),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_ORACLE),
     "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMB_LSH_ORACLE),
+    "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_ORACLE),
 }
