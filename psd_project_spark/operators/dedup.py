@@ -82,11 +82,9 @@ _SIG_SQL = f"""
 
 # --- dedup_minhash_lsh -------------------------------------------------------
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cache: the signature table feeds band explosion AND both sides of
-    # the pair join — without it the signature UDF would run 3×.
-    sigs = _with_signatures(load_table(spark, sf_dir, "documents"), spark).cache()
-    bands = sigs.select(
+def _band_frame(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) — one row per LSH band per doc."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -96,6 +94,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cache: the signature table feeds band explosion AND both sides of
+    # the pair join — without it the signature UDF would run 3×.
+    sigs = _with_signatures(load_table(spark, sf_dir, "documents"), spark).cache()
+    bands = _band_frame(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -513,6 +518,98 @@ ORDER BY n_shared DESC, doc_id
 """
 
 
+# --- cross_dedup_minhash -----------------------------------------------------
+
+def cross_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset near-dup screen: every held-out eval document
+    (``doc_id % 50 == 0``, the same split as ``decontaminate_ngrams``)
+    reported with its MinHash-LSH candidate count against the training
+    split, how many candidates are true near-dups (exact shingle
+    Jaccard ≥ 0.8), and the worst overlap found. Complements the
+    n-gram screen: that one flags any verbatim 4-gram; this one flags
+    whole-document near-duplication (train/test leakage of fuzzily
+    copied documents).
+
+    Plan shape for 100 TB: the eval split is small by definition — its
+    band table broadcasts, so the training corpus streams through ONE
+    scan with a broadcast-hash probe (no shuffle of the big side at
+    all); exact Jaccard is computed only for banded candidates, and
+    the eval-side shingle vectors ride the same broadcast. Output is
+    one row per eval doc (never empty: eval docs with no candidate
+    report zeros).
+    """
+    sigs = _with_signatures(load_table(spark, sf_dir, "documents"), spark).cache()
+    is_eval = F.col("doc_id") % 50 == 0
+    bands = _band_frame(sigs)
+    eb = bands.filter(is_eval).select(
+        F.col("doc_id").alias("doc_eval"), "band_id", "band_key"
+    )
+    tb = bands.filter(~is_eval).select(
+        F.col("doc_id").alias("doc_train"), "band_id", "band_key"
+    )
+    cand = (
+        tb.join(F.broadcast(eb), ["band_id", "band_key"])
+        .select("doc_train", "doc_eval")
+        .distinct()
+    )
+    st = sigs.select(F.col("doc_id").alias("doc_train"), F.col("_sh").alias("_sht"))
+    se = sigs.filter(is_eval).select(
+        F.col("doc_id").alias("doc_eval"), F.col("_sh").alias("_she")
+    )
+    jac = F.round(F.expr(T.exact_jaccard_expr("_sht", "_she")), 6)
+    per_eval = (
+        cand.join(st, "doc_train")
+        .join(F.broadcast(se), "doc_eval")
+        .withColumn("jac", jac)
+        .groupBy("doc_eval")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("jac") >= T.JACCARD_THRESHOLD).cast("long")).alias(
+                "n_near_dups"
+            ),
+            F.max("jac").alias("max_jaccard"),
+        )
+    )
+    evals = sigs.filter(is_eval).select(F.col("doc_id").alias("doc_eval"))
+    return evals.join(per_eval, "doc_eval", "left").select(
+        "doc_eval",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+    )
+
+
+CROSS_DEDUP_ORACLE = f"""
+WITH sigs AS ({_SIG_SQL}),
+bands AS (
+  SELECT doc_id, b AS band_id, {T.band_key_sql('sig', 'b')} AS band_key
+  FROM sigs, generate_series(0, {T.LSH_BANDS - 1}) AS g(b)
+),
+eb AS (SELECT doc_id AS doc_eval, band_id, band_key FROM bands WHERE doc_id % 50 = 0),
+tb AS (SELECT doc_id AS doc_train, band_id, band_key FROM bands WHERE doc_id % 50 <> 0),
+cand AS (SELECT DISTINCT doc_train, doc_eval FROM tb JOIN eb USING (band_id, band_key)),
+j AS (
+  SELECT c.doc_eval, round({T.exact_jaccard_sql('st.s', 'se.s')}, 6) AS jac
+  FROM cand c
+  JOIN sigs st ON st.doc_id = c.doc_train
+  JOIN sigs se ON se.doc_id = c.doc_eval
+),
+per_eval AS (
+  SELECT doc_eval, count(*) AS n_candidates,
+         CAST(sum(CASE WHEN jac >= {T.JACCARD_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_near_dups,
+         max(jac) AS max_jaccard
+  FROM j GROUP BY 1
+)
+SELECT e.doc_eval,
+       coalesce(p.n_candidates, 0) AS n_candidates,
+       coalesce(p.n_near_dups, 0) AS n_near_dups,
+       coalesce(p.max_jaccard, 0.0) AS max_jaccard
+FROM (SELECT doc_id AS doc_eval FROM documents WHERE doc_id % 50 = 0) e
+LEFT JOIN per_eval p USING (doc_eval)
+"""
+
+
 # --- dedup_canonical ---------------------------------------------------------
 
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,6 +661,7 @@ ORDER BY component_id
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
     "decontaminate_ngrams": (decontaminate_ngrams, DECONTAMINATE_ORACLE),
+    "cross_dedup_minhash": (cross_dedup_minhash, CROSS_DEDUP_ORACLE),
     "dedup_canonical": (dedup_canonical, DEDUP_CANONICAL_ORACLE),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_ORACLE),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),

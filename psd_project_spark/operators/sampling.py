@@ -173,8 +173,88 @@ GROUP BY lang
 """
 
 
+# --- source_mix_rebalance ----------------------------------------------------
+
+#: Target language mix for the rebalanced training corpus.
+TARGET_MIX = (("en", 0.4), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15))
+
+
+def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota data mixing: subsample the corpus so the kept set
+    matches ``TARGET_MIX`` language proportions exactly. The feasible
+    corpus size is ``scale = min_l(n_l / w_l)``; each language keeps
+    its ``floor(scale · w_l)`` lowest-(md5(text), doc_id) documents —
+    content-hash order, so the selection is deterministic, rerun-
+    stable, and independent of partitioning. One row per doc:
+    (doc_id, lang, lang_rank, n_lang, target_n, kept).
+
+    Plan shape for 100 TB: per-language counts are one map-side-
+    combined aggregate collapsed to ≤ |langs| rows (joined back as a
+    broadcast); the rank is one window shuffle on the language key.
+    The per-key sort is the price of an EXACT quota — when an
+    approximate quota suffices, ``stratified_sample`` (hash-threshold,
+    no sort, no window) is the constant-time sibling."""
+    mix = spark.createDataFrame(list(TARGET_MIX), "lang string, w double")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("_h")
+    )
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    scaled = counts.join(F.broadcast(mix), "lang").withColumn(
+        "_cap", F.col("n_lang").cast("double") / F.col("w")
+    )
+    scale = scaled.agg(F.min("_cap").alias("_scale"))
+    targets = scaled.crossJoin(F.broadcast(scale)).select(
+        "lang",
+        "n_lang",
+        F.floor(F.col("_scale") * F.col("w")).alias("target_n"),
+    )
+    w_rank = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    return (
+        d.withColumn("lang_rank", F.row_number().over(w_rank).cast("long"))
+        .join(F.broadcast(targets), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "lang_rank",
+            "n_lang",
+            "target_n",
+            (F.col("lang_rank") <= F.col("target_n")).alias("kept"),
+        )
+    )
+
+
+def _mix_values_sql() -> str:
+    return ", ".join(f"('{lang}', {w})" for lang, w in TARGET_MIX)
+
+
+SOURCE_MIX_ORACLE = f"""
+WITH mix(lang, w) AS (VALUES {_mix_values_sql()}),
+d AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+counts AS (SELECT lang, count(*) AS n_lang FROM d GROUP BY 1),
+scaled AS (
+  SELECT counts.lang, n_lang, w, CAST(n_lang AS DOUBLE) / w AS cap
+  FROM counts JOIN mix USING (lang)
+),
+targets AS (
+  SELECT lang, n_lang,
+         CAST(floor((SELECT min(cap) FROM scaled) * w) AS BIGINT) AS target_n
+  FROM scaled
+),
+ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT)
+           AS lang_rank
+  FROM d
+)
+SELECT r.doc_id, r.lang, r.lang_rank, t.n_lang, t.target_n,
+       r.lang_rank <= t.target_n AS kept
+FROM ranked r JOIN targets t USING (lang)
+"""
+
+
 QUERIES = {
     "train_val_split": (train_val_split, TRAIN_VAL_ORACLE),
+    "source_mix_rebalance": (source_mix_rebalance, SOURCE_MIX_ORACLE),
     "stratified_sample": (stratified_sample, STRATIFIED_ORACLE),
     "token_budget_packing": (token_budget_packing, _packing_oracle()),
 }

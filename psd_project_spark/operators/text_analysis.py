@@ -568,8 +568,96 @@ LIMIT 100
 """
 
 
+# --- ngram_familiarity (integer-exact n-gram LM scoring) ---------------------
+
+#: A bigram seen at most this many times corpus-wide counts as "rare".
+RARE_BIGRAM_MAX = 2
+
+
+def _bigrams_expr(toks: str) -> str:
+    """Spark SQL: token bigrams WITH multiplicity (unlike the distinct
+    dedup shingles — LM statistics need occurrence counts)."""
+    return (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
+def _bigrams_sql(toks: str) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"list_transform(generate_series(1, len({toks}) - 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1]) "
+        f"ELSE [] END"
+    )
+
+
+def ngram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model familiarity score per document: train a
+    corpus bigram table (one count aggregation), then score every doc
+    by the average corpus frequency of its bigrams and its rare-bigram
+    fraction — the integer-exact stand-in for LM perplexity filtering
+    (CCNet/Gopher-style): low familiarity / high rarity ⇒ novel or
+    noisy text. Deliberately log-free: libm ``log`` is not bit-portable
+    across engines, while integer counts and single IEEE divisions are,
+    so the oracle matches exactly.
+
+    Plan shape for 100 TB: bigram extraction is per-row JVM codegen
+    (no Python); the model "training" is one map-side-combined count
+    shuffle on the bigram key; scoring re-joins doc bigrams to the
+    model on that same key — the model is never collected anywhere and
+    may be arbitrarily larger than memory (contrast with perplexity
+    UDFs that broadcast a fixed LM)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(T.tokens_expr()).alias("_toks")
+    )
+    bg = d.select(
+        "doc_id", F.explode(F.expr(_bigrams_expr("_toks"))).alias("bigram")
+    )
+    # cache: feeds both the model aggregation and the scoring join.
+    bg = bg.cache()
+    model = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("corpus_n"))
+    return (
+        bg.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("corpus_n").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_corpus_freq"),
+            F.round(
+                F.sum((F.col("corpus_n") <= RARE_BIGRAM_MAX).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rare_frac"),
+        )
+    )
+
+
+NGRAM_FAMILIARITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {T.tokens_sql()} AS toks FROM documents
+), bgr AS (
+  SELECT doc_id, unnest({_bigrams_sql('toks')}) AS bigram FROM t
+), model AS (
+  SELECT bigram, count(*) AS corpus_n FROM bgr GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+  round(CAST(sum(corpus_n) AS DOUBLE) / count(*), 6) AS avg_corpus_freq,
+  round(CAST(sum(CASE WHEN corpus_n <= {RARE_BIGRAM_MAX} THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS rare_frac
+FROM bgr JOIN model USING (bigram)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "doc_stats": (doc_stats, DOC_STATS_ORACLE),
+    "ngram_familiarity": (ngram_familiarity, NGRAM_FAMILIARITY_ORACLE),
     "bm25_rank": (bm25_rank, _bm25_oracle()),
     "trigram_udtf_freq": (trigram_udtf_freq, TRIGRAM_UDTF_ORACLE),
     "corpus_quality_filter": (corpus_quality_filter, CORPUS_FILTER_ORACLE),

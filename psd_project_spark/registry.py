@@ -20,10 +20,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the driver in rounds 1-2 (registry minus r01∪r02 windows) plus the
 # two round-1 hash failures whose oracle-typing casts landed in commit
 # c818c16 but were never driver-re-verified (q12_late_shipment_priority,
-# value_outliers).  Positions 32-50 re-verify the highest-value
-# representatives (the reference risk surface + one per extension
-# family).  With this window green, every one of the 122 registry
-# queries has at least one driver-green CORRECTNESS row across rounds.
+# value_outliers); then the four round-3 additions (also never checked).
+# The remaining slots re-verify the highest-value representatives (the
+# reference risk surface + one per extension family).  With this window
+# green, every registry query EXCEPT the four r02-double-green rows that
+# made room (portfolio_projection, value_histogram, alert_counts,
+# measures_window_np — all green in r01 and/or r02) has a driver row
+# this round, and every query has one across rounds.
 _PRIORITY = (
     # -- never driver-checked (rounds 1-2) ---------------------------
     "table_profile",
@@ -58,14 +61,15 @@ _PRIORITY = (
     # -- cast-fixed in round 2, pending driver re-verification -------
     "q12_late_shipment_priority",
     "value_outliers",
+    # -- round-3 additions (never driver-checked, by definition) -----
+    "semantic_dedup",
+    "cross_dedup_minhash",
+    "ngram_familiarity",
+    "source_mix_rebalance",
     # -- re-verification: reference risk surface (SURVEY §2.1-2.8) ---
     "measures_agg",
     "measures_window",
-    "measures_window_np",
     "alerts_batch",
-    "alert_counts",
-    "portfolio_projection",
-    "value_histogram",
     "measures_window_stream",
     # -- re-verification: one per extension family -------------------
     "dedup_minhash_lsh",

@@ -160,6 +160,10 @@ def test_no_accidental_cartesian_in_batch_plans(spark):
         "alert_counts", "bm25_rank", "ivf_ann_cosine", "knn_cosine",
         "q11_important_parts", "q22_idle_high_balance", "tfidf_top_terms",
         "weighted_sample",
+        # 16-row codebook broadcast (same shape as ivf_ann_cosine)
+        "semantic_dedup",
+        # 1-row global feasible-scale aggregate broadcast onto ≤5 rows
+        "source_mix_rebalance",
     }
     # Queries that execute work at plan-construction time (streaming
     # runs, iterative fixpoints, staged side-effect sinks) — their
