@@ -655,9 +655,130 @@ GROUP BY doc_id
 """
 
 
+# --- bpe_vocab_train (distributed byte-pair-encoding merges) -----------------
+
+#: Number of BPE merge rounds trained (the merge table is the model).
+BPE_ROUNDS = 5
+
+
+def _bpe_fold_expr(left: str, right: str) -> str:
+    """Spark SQL: one greedy left-to-right BPE merge pass over a
+    symbol array, as a string fold: if the accumulated last token is
+    ``left`` and the next symbol is ``right``, append ``right`` to the
+    last token (making the merged symbol), else start a new token.
+    Literal-inlined per round; split back to an array afterwards."""
+    l, r = left.replace("'", "''"), right.replace("'", "''")
+    return (
+        f"split(aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1), "
+        f"(acc, x) -> CASE WHEN element_at(split(acc, '\\\\|'), -1) = '{l}' "
+        f"AND x = '{r}' THEN concat(acc, '{r}') "
+        f"ELSE concat(acc, '|', x) END), '\\\\|')"
+    )
+
+
+def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train ``BPE_ROUNDS`` byte-pair-encoding merges over the corpus —
+    the tokenizer-training step of an LLM data pipeline, distributed.
+    Returns the merge table (round, sym_left, sym_right, pair_count):
+    per round, the most frequent adjacent symbol pair (occurrence-
+    weighted by word frequency; ties broken lexicographically) is
+    merged greedily left-to-right in every word.
+
+    Plan shape for 100 TB: the corpus collapses to the distinct-word
+    count table in ONE map-side-combined shuffle (Heaps' law makes
+    |vocab| ≪ corpus — exactly why production BPE trainers run on
+    word counts); every round is then a pair-count aggregate over that
+    small table plus a 1-row argmax. Only the O(rounds) merge list
+    ever reaches the driver (model state, same contract as the k-means
+    codebook). The merge pass itself is a JVM HOF fold — no Python in
+    the loop. DuckDB oracle: the identical rounds unrolled as CTEs
+    with the same string-fold (``list_reduce``) semantics."""
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.expr(T.tokens_expr())).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+    seg = wc.withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+    ).cache()
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pairs = seg.select(
+            "wn",
+            F.explode(
+                # CASE guard: Spark's sequence(1, 0) counts DOWN, so a
+                # 1-symbol word would index out of bounds without it.
+                F.expr(
+                    "CASE WHEN size(syms) >= 2 THEN "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r)) "
+                    "ELSE cast(array() as array<struct<l: string, r: string>>) END"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("wn").alias("pc"))
+            .orderBy(F.desc("pc"), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rnd, top["l"], top["r"], int(top["pc"])))
+        # Re-segment with the merge inlined as literals: lineage stays
+        # a chain of HOF folds over the cached word-count table — no
+        # per-round materialization needed (contrast k-means, whose
+        # per-round state is data-sized).
+        seg = seg.withColumn("syms", F.expr(_bpe_fold_expr(top["l"], top["r"])))
+    seg.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, sym_left string, sym_right string, pair_count long"
+    )
+
+
+def _bpe_oracle() -> str:
+    def fold(l: str, r: str) -> str:
+        return (
+            f"list_reduce(syms, (acc, x) -> "
+            f"CASE WHEN (string_split(acc, '|'))[-1] = {l} AND x = {r} "
+            f"THEN acc || {r} ELSE acc || '|' || x END)"
+        )
+
+    sql = f"""
+WITH wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wn
+  FROM (SELECT unnest({T.tokens_sql()}) AS word FROM documents)
+  GROUP BY 1
+), seg0 AS (
+  SELECT word, wn,
+         list_transform(generate_series(1, length(word)),
+                        i -> substring(word, i, 1)) AS syms
+  FROM wc
+)"""
+    for k in range(1, BPE_ROUNDS + 1):
+        sql += f""", p{k} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(wn) AS BIGINT) AS pc
+  FROM seg{k - 1}, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+  GROUP BY 1, 2
+), m{k} AS (
+  SELECT {k} AS round, l, r, pc FROM p{k} ORDER BY pc DESC, l, r LIMIT 1
+), seg{k} AS (
+  SELECT word, wn, string_split({fold('m.l', 'm.r')}, '|') AS syms
+  FROM seg{k - 1}, m{k} m
+)"""
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, BPE_ROUNDS + 1)
+    )
+    sql += (
+        f"\nSELECT round, l AS sym_left, r AS sym_right, pc AS pair_count "
+        f"FROM ({union})"
+    )
+    return sql
+
+
 QUERIES = {
     "doc_stats": (doc_stats, DOC_STATS_ORACLE),
     "ngram_familiarity": (ngram_familiarity, NGRAM_FAMILIARITY_ORACLE),
+    "bpe_vocab_train": (bpe_vocab_train, _bpe_oracle()),
     "bm25_rank": (bm25_rank, _bm25_oracle()),
     "trigram_udtf_freq": (trigram_udtf_freq, TRIGRAM_UDTF_ORACLE),
     "corpus_quality_filter": (corpus_quality_filter, CORPUS_FILTER_ORACLE),

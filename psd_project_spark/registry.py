@@ -20,13 +20,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the driver in rounds 1-2 (registry minus r01∪r02 windows) plus the
 # two round-1 hash failures whose oracle-typing casts landed in commit
 # c818c16 but were never driver-re-verified (q12_late_shipment_priority,
-# value_outliers); then the four round-3 additions (also never checked).
+# value_outliers); then the five round-3 additions (also never checked).
 # The remaining slots re-verify the highest-value representatives (the
 # reference risk surface + one per extension family).  With this window
-# green, every registry query EXCEPT the four r02-double-green rows that
+# green, every registry query EXCEPT the five r01/r02-green rows that
 # made room (portfolio_projection, value_histogram, alert_counts,
-# measures_window_np — all green in r01 and/or r02) has a driver row
-# this round, and every query has one across rounds.
+# measures_window_np, stream_stream_join) has a driver row this round,
+# and every query has one across rounds.
 _PRIORITY = (
     # -- never driver-checked (rounds 1-2) ---------------------------
     "table_profile",
@@ -66,6 +66,7 @@ _PRIORITY = (
     "cross_dedup_minhash",
     "ngram_familiarity",
     "source_mix_rebalance",
+    "bpe_vocab_train",
     # -- re-verification: reference risk surface (SURVEY §2.1-2.8) ---
     "measures_agg",
     "measures_window",
@@ -81,7 +82,6 @@ _PRIORITY = (
     "media_features",
     "k_anonymity_release",
     "events_time_windows",
-    "stream_stream_join",
     "nearest_view_lag",
 )
 
