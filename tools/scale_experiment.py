@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Measured scaling experiment: replicate the sf0.1 FACT tables 10×
+(keys shifted so they stay unique, join integrity preserved) into a
+throwaway directory and time representative queries at both scales.
+
+Usage:
+    python tools/scale_experiment.py build   # write /tmp/scale_sf1
+    python tools/scale_experiment.py run     # time queries, print table
+
+This is evidence for SCALE.md's claims: a query whose plan is
+scan-bound should scale ~linearly in input (ratio ≈ 10 minus fixed
+overhead); a query with an accidental quadratic term would blow past
+it. Dimension tables stay at sf0.1 (growth concentrates in facts —
+also the realistic shape). Documents/embeddings are replicated as
+EXACT copies, which deliberately makes every LSH bucket 10× hot — the
+documented dedup skew case gets exercised, not avoided.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/scale_sf1"
+REPS = 10
+
+#: (table, key columns to shift). Keys shifted by rep * (max+1); the
+#: orderkey shift is shared between lineitem and orders so the join
+#: keeps exactly one matching order per lineitem.
+FACTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+QUERIES = [
+    # scan/agg bound
+    "q1_pricing_summary",
+    # broadcast-dim join + agg
+    "q5_local_supplier_volume",
+    # window/groupBy on events
+    "hourly_top_spenders",
+    "rolling_dau",
+    # text scan + shuffle agg
+    "doc_stats",
+    "ngram_familiarity",
+    # dedup: exact (1 shuffle) and LSH under 10x hot buckets
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    # embedding battery
+    "semantic_dedup",
+    "dedup_embedding_lsh",
+]
+
+
+def build() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    os.makedirs(DST, exist_ok=True)
+    # shared orderkey offset so lineitem⋈orders survives replication
+    omax = pc.max(
+        pq.read_table(f"{SRC}/orders.parquet", columns=["o_orderkey"])[
+            "o_orderkey"
+        ]
+    ).as_py()
+    offsets = {"l_orderkey": omax + 1, "o_orderkey": omax + 1}
+    for name, keys in FACTS.items():
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        for k in keys:
+            if k not in offsets:
+                offsets[k] = pc.max(t[k]).as_py() + 1
+        parts = []
+        for rep in range(REPS):
+            r = t
+            for k in keys:
+                shifted = pc.add(r[k], rep * offsets[k])
+                r = r.set_column(r.schema.get_field_index(k), k, shifted)
+            parts.append(r)
+        out = pa.concat_tables(parts)
+        pq.write_table(out, f"{DST}/{name}.parquet")
+        print(f"built {name}: {len(t)} -> {len(out)} rows", file=sys.stderr)
+    for name in DIMS:
+        pq.write_table(
+            pq.read_table(f"{SRC}/{name}.parquet"), f"{DST}/{name}.parquet"
+        )
+
+
+def run() -> None:
+    import json
+
+    from psd_project_spark.registry import queries
+    from psd_project_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-experiment")
+    qs = queries()
+    result = {}
+    for name in QUERIES:
+        row = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1x10", DST)):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            row[label] = round(best, 3)
+        row["ratio"] = round(row["sf1x10"] / row["sf0.1"], 2)
+        result[name] = row
+        print(f"{name:24s} {row['sf0.1']:7.2f}s {row['sf1x10']:8.2f}s "
+              f"x{row['ratio']}", file=sys.stderr, flush=True)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    {"build": build, "run": run}[sys.argv[1]]()
