@@ -384,6 +384,30 @@ WHERE rank <= {ANN_TOP_K}
 #: rank the same pairs as duplicates where their candidate sets overlap.
 SEMDEDUP_T = 0.95
 
+#: Adaptive cell-count rule: cells double (16 → 256) until the mean
+#: cell holds ≤ SEM_CELL_TARGET vectors, keeping the within-cell pair
+#: work Σn_c² ≈ n·SEM_CELL_TARGET — LINEAR in corpus size instead of
+#: quadratic-with-fixed-K. Same discipline as ``adaptive_band_bits``:
+#: the python rule and the oracle CASE are generated from the same
+#: constants and cannot drift.
+SEM_CELL_TARGET = 80
+SEM_CELLS_MIN, SEM_CELLS_MAX = 16, 256
+
+
+def adaptive_cells(n_corpus: int) -> int:
+    c = SEM_CELLS_MIN
+    while c < SEM_CELLS_MAX and n_corpus > c * SEM_CELL_TARGET:
+        c *= 2
+    return c
+
+
+def _cells_case_sql(count_expr: str) -> str:
+    whens, c = [], SEM_CELLS_MIN
+    while c < SEM_CELLS_MAX:
+        whens.append(f"WHEN {count_expr} <= {c * SEM_CELL_TARGET} THEN {c}")
+        c *= 2
+    return f"(CASE {' '.join(whens)} ELSE {SEM_CELLS_MAX} END)"
+
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
@@ -398,13 +422,16 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape for 100 TB: the centroid assignment broadcasts a
     K-row codebook (never shuffles the data side); the pair stage is an
     equi-join on the cell id, so comparisons are Σ_c n_c² instead of
-    n² — with balanced cells a K× reduction, and the cell id is the
-    natural partition/bucket key. Pairs that cross a cell boundary are
-    deliberately out of scope (the documented SemDeDup recall
-    trade-off); ``dedup_embedding_1nn`` (exact, all-pairs) measures
-    exactly what that trade-off costs."""
+    n² — and K adapts to corpus size (``adaptive_cells``) so the mean
+    cell stays ≤ ``SEM_CELL_TARGET`` and pair work stays ~linear in n.
+    The cell id is the natural partition/bucket key. Pairs that cross
+    a cell boundary are deliberately out of scope (the documented
+    SemDeDup recall trade-off); ``dedup_embedding_1nn`` (exact,
+    all-pairs) measures exactly what that trade-off costs."""
     e = _embeddings(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+    # metadata-cheap parquet row count, same pattern as ann_lsh_cosine
+    n_cells = adaptive_cells(load_table(spark, sf_dir, "embeddings").count())
+    cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("_v").alias("_vc")
     )
     cells = (
@@ -451,8 +478,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMANTIC_DEDUP_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
+), params AS (
+  SELECT {_cells_case_sql('count(*)')} AS n_cells FROM embeddings
 ), c AS (
-  SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {N_CELLS}
+  SELECT vec_id AS cid, v AS vc FROM e, params WHERE vec_id < params.n_cells
 ), ranked AS (
   SELECT e.vec_id, e.v, c.cid,
     row_number() OVER (PARTITION BY e.vec_id
