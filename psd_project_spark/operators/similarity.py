@@ -428,29 +428,31 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cell boundary are deliberately out of scope (the documented
     SemDeDup recall trade-off); ``dedup_embedding_1nn`` (exact,
     all-pairs) measures exactly what that trade-off costs."""
+    import numpy as np
+
     e = _embeddings(spark, sf_dir)
     # metadata-cheap parquet row count, same pattern as ann_lsh_cosine
     n_cells = adaptive_cells(load_table(spark, sf_dir, "embeddings").count())
-    cents = e.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"), F.col("_v").alias("_vc")
+    # O(K·d) codebook to the driver (model state, k-means contract);
+    # assignment is then ONE vectorized mapInPandas argmax — no N×K
+    # crossJoin rows, no window sort, no shuffle. The earlier
+    # crossJoin(broadcast)+row_number form cost ~23µs per (vector,
+    # centroid) pair through the pairwise UDF: 118 s for 20k×256 in
+    # the 10× scale experiment vs ~2 s on this kernel.
+    cb = {
+        r["vec_id"]: r["_v"]
+        for r in e.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "_v")
+        .collect()
+    }
+    codebook = np.array([cb[i] for i in sorted(cb)], dtype=np.float64)
+    cells = e.select("vec_id", "_v").mapInPandas(
+        V.make_cell_assign_kernel(codebook),
+        schema="vec_id long, cell long, _v array<double>",
     )
-    cells = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", V.cosine_q(F.col("_vc"), F.col("_v")))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("ccos").desc(), F.col("cid")
-                )
-            ),
-        )
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "_v", F.col("cid").alias("cell"))
-        # cache: feeds both sides of the within-cell pair join and the
-        # final per-vector frame — uncached the N×K assignment runs 3×.
-        .cache()
-    )
+    # cache: feeds both sides of the within-cell pair join and the
+    # final per-vector frame — uncached the assignment runs 3×.
+    cells = cells.cache()
     a = cells.select(F.col("vec_id").alias("keep_id"), F.col("_v").alias("_va"), "cell")
     b = cells.select(F.col("vec_id").alias("vec_id"), F.col("_v").alias("_vb"), "cell")
     pruned_ids = (
