@@ -1,0 +1,30 @@
+"""Oracle parity at sf0.1 for the SCALE-ADAPTIVE queries.
+
+The CI parity suite (test_oracle_parity.py) runs at sf0.001 and the
+correctness driver at sf0.01 — but the adaptive rules (LSH banding,
+SemDeDup cell count) deliberately CHANGE behavior with corpus size, so
+a small-SF-only check never executes the larger layouts. Round 2's
+cogroup 1-NN bug (silently paired half the blocks, only above sf0.01)
+is exactly this class. These tests re-run the driver comparison at
+sf0.1 for every query whose plan or parameters depend on corpus size.
+"""
+
+import pytest
+
+from tests.oracle_utils import check_query_vs_oracle
+
+SF_LARGE = "/root/testdata/sf0.1"
+
+#: Queries whose banding / cell count / block layout changes with n.
+ADAPTIVE = [
+    "ann_lsh_cosine",      # adaptive_band_bits: 8×4 at sf0.01 → 16×6
+    "semantic_dedup",      # adaptive_cells: 16 → 32
+    "dedup_embedding_lsh",  # candidate volume scales with banding
+    "dedup_minhash_lsh",   # hot-bucket volume grows with corpus
+]
+
+
+@pytest.mark.parametrize("name", ADAPTIVE)
+def test_adaptive_query_matches_oracle_at_sf01(spark, name):
+    sdf = check_query_vs_oracle(spark, name, SF_LARGE, rel=0.0)
+    assert len(sdf) > 0, f"{name} returned no rows at {SF_LARGE}"
