@@ -72,12 +72,17 @@ def _with_signatures(d: DataFrame, spark: SparkSession) -> DataFrame:
     )
 
 
-_SIG_SQL = f"""
+def _sig_sql(table: str = "documents") -> str:
+    """DuckDB signature CTE body over any (doc_id, text) relation."""
+    return f"""
   SELECT doc_id, s, {T.minhash_sig_sql('hints')} AS sig
   FROM (SELECT doc_id, s, {T.hints_sql('s')} AS hints
         FROM (SELECT doc_id, {T.shingles_sql('toks')} AS s
-              FROM (SELECT doc_id, {T.tokens_sql()} AS toks FROM documents)))
+              FROM (SELECT doc_id, {T.tokens_sql()} AS toks FROM {table})))
 """
+
+
+_SIG_SQL = _sig_sql()
 
 
 # --- dedup_minhash_lsh -------------------------------------------------------
@@ -96,10 +101,11 @@ def _band_frame(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_key")
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cache: the signature table feeds band explosion AND both sides of
-    # the pair join — without it the signature UDF would run 3×.
-    sigs = _with_signatures(load_table(spark, sf_dir, "documents"), spark).cache()
+def _minhash_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded-LSH near-dup pairs of a signature frame: band self-join
+    → distinct bare-id candidates → signature-estimate filter + exact
+    shingle Jaccard. Shared by ``dedup_minhash_lsh`` (raw corpus) and
+    ``dedup_exact_then_minhash`` (collapsed corpus)."""
     bands = _band_frame(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -134,6 +140,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cache: the signature table feeds band explosion AND both sides of
+    # the pair join — without it the signature UDF would run 3×.
+    sigs = _with_signatures(load_table(spark, sf_dir, "documents"), spark).cache()
+    return _minhash_pairs(sigs)
+
+
 DEDUP_MINHASH_ORACLE = f"""
 WITH sigs AS ({_SIG_SQL}),
 bands AS (
@@ -151,6 +164,82 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c
 JOIN sigs sa ON c.doc_a = sa.doc_id
 JOIN sigs sb ON c.doc_b = sb.doc_id
+WHERE {T.est_jaccard_sql('sa.sig', 'sb.sig')} >= {T.MINHASH_EST_THRESHOLD}
+"""
+
+
+# --- dedup_exact_then_minhash ------------------------------------------------
+
+def dedup_exact_then_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup pipeline ORDER, as one operator: collapse
+    byte-identical copies first (hash-groupBy, flat cost), THEN run
+    banded MinHash-LSH on the canonical corpus only.
+
+    Why this exists: exact duplicates are the pathological input for
+    LSH — k identical docs share every band key, so each copy-group
+    contributes k²/2 candidate pairs that all verify at Jaccard 1.0.
+    The 10× replication experiment (SCALE.md) measures the raw LSH
+    pass at 15.3 s vs sub-second after collapsing; at 100 TB, where
+    exact-dup rates of 20-50% are typical for web corpora, the
+    collapse-first order is the difference between a bucketed join and
+    a bucket blow-up. Output: near-dup pairs BETWEEN canonical docs,
+    each side carrying how many exact copies it represents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    canon = d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(text, doc_id)").alias("text"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    sigs = _with_signatures(canon, spark).cache()
+    copies = canon.select("doc_id", "n_copies")
+    pairs = _minhash_pairs(sigs)
+    return (
+        pairs.join(
+            copies.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_copies").alias("copies_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            copies.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_copies").alias("copies_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "est_jaccard", "jaccard", "copies_a", "copies_b"
+        )
+    )
+
+
+DEDUP_EXACT_THEN_MINHASH_ORACLE = f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id, min(text) AS text,
+         count(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+),
+sigs AS ({_sig_sql('canon')}),
+bands AS (
+  SELECT doc_id, b AS band_id, {T.band_key_sql('sig', 'b')} AS band_key
+  FROM sigs, generate_series(0, {T.LSH_BANDS - 1}) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+  round({T.est_jaccard_sql('sa.sig', 'sb.sig')}, 6) AS est_jaccard,
+  round({T.exact_jaccard_sql('sa.s', 'sb.s')}, 6) AS jaccard,
+  ca.n_copies AS copies_a, cb.n_copies AS copies_b
+FROM cand c
+JOIN sigs sa ON c.doc_a = sa.doc_id
+JOIN sigs sb ON c.doc_b = sb.doc_id
+JOIN canon ca ON c.doc_a = ca.doc_id
+JOIN canon cb ON c.doc_b = cb.doc_id
 WHERE {T.est_jaccard_sql('sa.sig', 'sb.sig')} >= {T.MINHASH_EST_THRESHOLD}
 """
 
@@ -665,6 +754,7 @@ QUERIES = {
     "dedup_canonical": (dedup_canonical, DEDUP_CANONICAL_ORACLE),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_ORACLE),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
+    "dedup_exact_then_minhash": (dedup_exact_then_minhash, DEDUP_EXACT_THEN_MINHASH_ORACLE),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_ORACLE),
     "dedup_embedding_1nn": (dedup_embedding_1nn, DEDUP_EMBEDDING_ORACLE),

@@ -67,9 +67,9 @@ _PRIORITY = (
     "ngram_familiarity",
     "source_mix_rebalance",
     "bpe_vocab_train",
+    "dedup_exact_then_minhash",
     # -- re-verification: reference risk surface (SURVEY §2.1-2.8) ---
     "measures_agg",
-    "measures_window",
     "alerts_batch",
     "measures_window_stream",
     # -- re-verification: one per extension family -------------------

@@ -54,6 +54,7 @@ QUERIES = [
     # dedup: exact (1 shuffle) and LSH under 10x hot buckets
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_exact_then_minhash",
     # embedding battery
     "semantic_dedup",
     "dedup_embedding_lsh",
