@@ -240,6 +240,47 @@ def make_cell_assign_kernel(codebook: "np.ndarray"):
     return kernel
 
 
+def make_kmeans_assign_kernel(codebook: "np.ndarray", cids: list[int]):
+    """``mapInPandas`` kernel for the Lloyd's assign step: nearest
+    centroid by squared euclidean distance, reproducing the HOF fold
+    ``aggregate(zip_with(v, c, (x,y)->(x-y)²), 0.0, acc+x)`` EXACTLY —
+    (x−y)² is elementwise IEEE-identical and the accumulation below is
+    strictly sequential over dims (same chain as the left fold), so
+    d2 is bit-equal to the Catalyst expression and to the DuckDB
+    oracle. Ties keep the lowest cid (codebook rows are iterated in
+    ascending-cid order with a strict < update), matching
+    ``ORDER BY d2, cid``. Emits (vec_id, _v, cid, d2)."""
+    C = np.asarray(codebook, dtype=np.float64)
+    order = np.argsort(np.asarray(cids))
+    C, cid_arr = C[order], np.asarray(cids, dtype=np.int64)[order]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            best = np.full(len(a), np.inf)
+            cell = np.zeros(len(a), np.int64)
+            for k in range(C.shape[0]):
+                t = (a - C[k]) ** 2
+                acc = np.zeros(len(a))  # 0.0 start, sequential adds
+                for j in range(t.shape[1]):
+                    acc = acc + t[:, j]
+                upd = acc < best  # strict: ties keep the lowest cid
+                best[upd] = acc[upd]
+                cell[upd] = cid_arr[k]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "_v": pdf["_v"],
+                    "cid": cell,
+                    "d2": best,
+                }
+            )
+
+    return kernel
+
+
 def make_bucket_udf(planes: list[list[float]]):
     """Pandas UDF: LSH bucket key — one sign bit per ±1 hyperplane,
     decided on the quantized-integer dot so both engines agree."""

@@ -559,8 +559,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressible. Deterministic: centroids seed from the K lowest
     vec_ids; K=8, 3 iterations.
 
-    Each iteration is two distributed passes — assign (crossJoin with
-    the BROADCAST 8-row codebook + argmin) and update (posexplode →
+    Each iteration is two distributed passes — assign (a mapInPandas
+    argmin kernel over the 8-row codebook held as closure state; one
+    narrow map, no join, no window) and update (posexplode →
     per-(cluster, dim) mean → rebuild arrays) — so the data side never
     shuffles on anything bigger than (cluster, dim). Only the O(K·d)
     codebook and the scalar inertia ever reach the driver (model
@@ -568,39 +569,39 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_quality.py pins monotone non-increasing inertia and
     the oracle (``_kmeans_oracle_sql``: the 3 Lloyd rounds unrolled as
     CTEs, same fold order / decimal means) pins exact values."""
+    import numpy as np
+
     e = _embeddings(spark, sf_dir).select("vec_id", "_v").cache()
-    cents = e.filter(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").alias("cid"), F.col("_v").alias("_vc")
-    )
-    d2 = F.aggregate(
-        F.zip_with("_v", "_vc", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Seed codebook straight to the driver (O(K·d) model state). The
+    # assign step is a mapInPandas argmin kernel with the codebook as
+    # closure state — replaces the earlier crossJoin(broadcast) +
+    # row_number form whose N×K HOF fold ran interpreted per element
+    # (violating the "HOF lambdas only on n≈30 arrays" budget); the
+    # kernel reproduces the fold's d2 bit-exactly (vectors.py).
+    cb = {
+        r["vec_id"]: r["_v"]
+        for r in e.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    }
+    cids = sorted(cb)
+    codebook = np.array([cb[c] for c in cids], dtype=np.float64)
     # Loop shuffles move (cluster, dim) aggregates — 512 groups — so
     # per-iteration task overhead dominates at default partitioning.
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     report = []
     for it in range(1, KMEANS_ITERS + 1):
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-        assigned = (
-            e.crossJoin(F.broadcast(cents))
-            .withColumn("d2", d2)
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("vec_id", "_v", "cid", "d2")
-            .cache()
-        )
+        assigned = e.mapInPandas(
+            V.make_kmeans_assign_kernel(codebook, cids),
+            schema="vec_id long, _v array<double>, cid long, d2 double",
+        ).cache()
         stats = assigned.agg(
             F.round(F.sum(F.col("d2").cast("decimal(27,15)")).cast("double"), 6),
             F.countDistinct("cid"),
         ).collect()[0]
         report.append((it, float(stats[0]), int(stats[1])))
         # Materialize the new codebook on the driver (O(K·d) model
-        # state) and rebuild it as a fresh literal DataFrame: leaving
-        # it lazy would chain every iteration's lineage through the
-        # just-unpersisted assignment and recompute all prior rounds.
+        # state): the next iteration's kernel captures it as closure
+        # state, so no lineage ever chains across iterations.
         cent_rows = (
             assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -619,10 +620,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        cents = spark.createDataFrame(
-            [(r["cid"], r["_vc"]) for r in cent_rows],
-            "cid long, _vc array<double>",
-        )
+        cb = {r["cid"]: r["_vc"] for r in cent_rows}
+        cids = sorted(cb)
+        codebook = np.array([cb[c] for c in cids], dtype=np.float64)
         assigned.unpersist()
     spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     e.unpersist()
