@@ -1,7 +1,7 @@
 """Deduplication operators over ``documents`` / ``embeddings``.
 
-LLM-data-pipeline extension surface (SURVEY.md §7 M5). Four dedup
-families, each a ``queries()`` entry with an exact DuckDB oracle:
+LLM-data-pipeline extension surface (SURVEY.md §7 M5). Each entry is a
+``queries()`` query with an exact DuckDB oracle:
 
 - ``dedup_exact``         — hash-groupBy on md5(text); emits the full
   doc→canonical mapping (never empty, scales as one shuffle).
@@ -9,12 +9,23 @@ families, each a ``queries()`` entry with an exact DuckDB oracle:
   → 4×3 banded LSH → candidate pairs → signature-estimated AND exact
   shingle Jaccard. Candidate generation is an equi-join on
   ``(band_id, band_key)``; no cross product at any scale.
+- ``dedup_exact_then_minhash`` — the production pipeline order:
+  collapse byte-identical copies first, LSH on canonicals only (the
+  hot-bucket mitigation, measured in SCALE.md).
+- ``dedup_ngram_jaccard`` / ``dedup_components`` /
+  ``dedup_canonical``  — exact-verify, clustering, and representative
+  selection stages of the same pipeline.
 - ``dedup_simhash``       — 32-bit shingle SimHash; hamming ≤ 3 pairs
   found via the pigeonhole-halves equi-join (hamming ≤ 3 over 32 bits
   ⇒ at least one 16-bit half identical).
+- ``decontaminate_ngrams`` / ``cross_dedup_minhash`` — asymmetric
+  eval-vs-train leakage screens (verbatim n-gram and whole-document
+  near-dup), both with a broadcast eval side.
 - ``dedup_embedding_1nn`` — per-vector nearest neighbor by exact-
   decimal cosine with a near-dup flag. Brute-force is the small-SF
-  correctness baseline; the LSH-bucketed scale path lives in
+  correctness baseline; the LSH-bucketed scale path
+  (``dedup_embedding_lsh``) and SemDeDup-style cell pruning
+  (``semantic_dedup``) live in
   :mod:`psd_project_spark.operators.similarity`.
 """
 
