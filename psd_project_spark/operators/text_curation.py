@@ -210,8 +210,94 @@ FROM events
 """
 
 
+# --- boilerplate_screen ------------------------------------------------------
+
+#: Non-overlapping token-chunk width and the cross-document frequency
+#: at which a chunk counts as boilerplate.
+BOILER_CHUNK = 8
+BOILER_MIN_DOCS = 3
+
+
+def boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate screening at sub-document granularity:
+    split every document into non-overlapping ``BOILER_CHUNK``-token
+    chunks, count in how many DISTINCT documents each exact chunk
+    occurs corpus-wide, and report per document the fraction of its
+    chunks that are boilerplate (≥ ``BOILER_MIN_DOCS`` docs). This is
+    the intra-document complement of whole-doc dedup: navigation
+    chrome / license headers / templated passages repeat across
+    otherwise-distinct pages and should be stripped, not deduped away.
+
+    Plan shape for 100 TB: chunking is a codegen'd ``sequence`` +
+    ``slice`` + ``concat_ws`` (no Python); the chunk-frequency model
+    is one count-distinct-docs aggregate on the chunk key, re-joined
+    on that same key — like ``ngram_familiarity``, the model is a
+    TABLE (never collected or broadcast), so its size is unbounded.
+    At scale, hash the chunk to a 64-bit key before the shuffle to
+    shrink exchange width."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(tokens_expr()).alias("_toks")
+    )
+    # CASE guard: Spark's sequence(0, -1) counts DOWN, so a 0-token
+    # doc would explode to phantom chunks without it.
+    chunk_expr = (
+        f"CASE WHEN size(_toks) >= 1 THEN "
+        f"transform(sequence(0, cast(ceil(size(_toks) / {BOILER_CHUNK}.0) "
+        f"as int) - 1), i -> concat_ws(' ', slice(_toks, i * {BOILER_CHUNK} "
+        f"+ 1, {BOILER_CHUNK}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    chunks = d.select(
+        "doc_id", F.explode(F.expr(chunk_expr)).alias("chunk")
+    ).cache()  # feeds the frequency model AND the scoring join
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_docs") >= BOILER_MIN_DOCS).cast("long")).alias(
+                "n_boiler"
+            ),
+            F.round(
+                F.sum((F.col("n_docs") >= BOILER_MIN_DOCS).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+BOILERPLATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql()} AS toks FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST(ceil(len(toks) / {BOILER_CHUNK}.0) AS INT) - 1),
+           i -> array_to_string(toks[i * {BOILER_CHUNK} + 1 : i * {BOILER_CHUNK} + {BOILER_CHUNK}], ' ')
+         )) AS chunk
+  FROM t
+), freq AS (
+  SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_chunks,
+  CAST(sum(CASE WHEN n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_boiler,
+  round(CAST(sum(CASE WHEN n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS boiler_frac
+FROM chunks JOIN freq USING (chunk)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "doc_chunking": (doc_chunking, DOC_CHUNKING_ORACLE),
+    "boilerplate_screen": (boilerplate_screen, BOILERPLATE_ORACLE),
     "repetition_metrics": (repetition_metrics, REPETITION_ORACLE),
     "pii_redact": (pii_redact, PII_REDACT_ORACLE),
 }

@@ -68,13 +68,13 @@ _PRIORITY = (
     "source_mix_rebalance",
     "bpe_vocab_train",
     "dedup_exact_then_minhash",
+    "boilerplate_screen",
     # -- re-verification: reference risk surface (SURVEY §2.1-2.8) ---
     "measures_agg",
     "alerts_batch",
     "measures_window_stream",
     # -- re-verification: one per extension family -------------------
     "dedup_minhash_lsh",
-    "dedup_embedding_1nn",
     "ann_lsh_cosine",
     "kmeans_embeddings",
     "doc_fingerprint",
