@@ -411,8 +411,9 @@ def _cells_case_sql(count_expr: str) -> str:
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
-    2303.09540): assign every vector to its nearest of ``N_CELLS``
-    coarse centroids, then compare pairs ONLY within a cell and prune
+    2303.09540): assign every vector to its nearest of
+    ``adaptive_cells(n)`` coarse centroids, then compare pairs ONLY
+    within a cell and prune
     any vector that has a lower-id same-cell neighbor with cosine ≥
     ``SEMDEDUP_T`` (keep-lowest-id rule — deterministic without a
     connected-components pass).

@@ -20,13 +20,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the driver in rounds 1-2 (registry minus r01∪r02 windows) plus the
 # two round-1 hash failures whose oracle-typing casts landed in commit
 # c818c16 but were never driver-re-verified (q12_late_shipment_priority,
-# value_outliers); then the five round-3 additions (also never checked).
-# The remaining slots re-verify the highest-value representatives (the
-# reference risk surface + one per extension family).  With this window
-# green, every registry query EXCEPT the five r01/r02-green rows that
-# made room (portfolio_projection, value_histogram, alert_counts,
-# measures_window_np, stream_stream_join) has a driver row this round,
-# and every query has one across rounds.
+# value_outliers); then the seven round-3 additions (also never
+# checked).  The remaining slots re-verify the highest-value
+# representatives (the reference risk surface + one per extension
+# family).  With this window green, every registry query EXCEPT the
+# seven r01/r02-green rows that made room (portfolio_projection,
+# value_histogram, alert_counts, measures_window_np, measures_window,
+# stream_stream_join, dedup_embedding_1nn — the last grid-pinned at
+# sf0.1 by its own test) has a driver row this round, and every query
+# has one across rounds.
 _PRIORITY = (
     # -- never driver-checked (rounds 1-2) ---------------------------
     "table_profile",
