@@ -204,6 +204,22 @@ def nn_block_kernel(key, probes: pd.DataFrame, index: pd.DataFrame) -> pd.DataFr
     return pd.DataFrame(out, columns=["vec_id", "nn_id", "cosine"])
 
 
+def cosine_int_rows(a: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(n, K) matrix of 6-digit-quantized cosines as int64 — the exact
+    integers the rounded ``cosine_q`` doubles order by. Shared by the
+    assignment kernels and driver-side probe selection so both rank by
+    identical values."""
+    a = np.atleast_2d(np.asarray(a, dtype=np.float64))
+    C = np.asarray(C, dtype=np.float64)
+    na = np.sqrt(_q(a * a).sum(axis=1).astype(np.float64) / QSCALE)
+    nc = np.sqrt(_q(C * C).sum(axis=1).astype(np.float64) / QSCALE)
+    out = np.empty((len(a), len(C)), dtype=np.int64)
+    for k in range(len(C)):
+        dot = _q(a * C[k]).sum(axis=1).astype(np.float64) / QSCALE
+        out[:, k] = np.floor(dot / (na * nc[k]) * CSCALE + 0.5).astype(np.int64)
+    return out
+
+
 def make_cell_assign_kernel(codebook: "np.ndarray"):
     """``mapInPandas`` kernel: assign every vector to its nearest
     codebook row by quantized-exact cosine (rounded 6-digit compare,

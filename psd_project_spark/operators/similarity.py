@@ -280,50 +280,53 @@ N_PROBE = 4
 
 def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: every vector is assigned to its nearest of
-    ``N_CELLS`` centroids (one broadcast of a 16-row codebook — never a
-    shuffle of the data side); each query probes its ``N_PROBE``
-    nearest cells and searches only those cells via an equi-join on
-    cell id. Complements ``ann_lsh_cosine``: IVF recall degrades
-    gracefully with nprobe, and at 100 TB the cell id becomes the
-    partition/bucket key so a probe touches only nprobe/ncells of the
-    data (partition pruning on the candidate scan).
+    ``N_CELLS`` centroids (16-row codebook as mapInPandas closure
+    state — never a shuffle or join of the data side); each query
+    probes its ``N_PROBE`` nearest cells and searches only those cells
+    via an equi-join on cell id. Complements ``ann_lsh_cosine``: IVF
+    recall degrades gracefully with nprobe, and at 100 TB the cell id
+    becomes the partition/bucket key so a probe touches only
+    nprobe/ncells of the data (partition pruning on the candidate
+    scan).
     """
+    import numpy as np
+
     e = _embeddings(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("_v").alias("_vc")
+    # O(K·d) codebook + N_QUERIES query vectors to the driver (model
+    # state): cell assignment becomes the shared mapInPandas argmax
+    # kernel (no N×K crossJoin, no window sort), and each query's
+    # N_PROBE nearest cells are picked driver-side from the SAME
+    # quantized-cosine integers (V.cosine_int_rows) the kernel ranks
+    # by, so assignment and probing cannot disagree.
+    cb = {
+        r["vec_id"]: r["_v"]
+        for r in e.filter(F.col("vec_id") < N_CELLS)
+        .select("vec_id", "_v")
+        .collect()
+    }
+    codebook = np.array([cb[c] for c in sorted(cb)], dtype=np.float64)
+    cells = e.select("vec_id", "_v").mapInPandas(
+        V.make_cell_assign_kernel(codebook),
+        schema="vec_id long, cell long, _v array<double>",
     )
-    # cache: ranked feeds both the cell assignment (rank 1, all rows)
-    # and the query probe list (rank <= N_PROBE) — without it the
-    # N×16 cosine pass runs once per side.
-    ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", V.cosine_q(F.col("_vc"), F.col("_v")))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("ccos").desc(), F.col("cid")
-                )
-            ),
-        )
-        .select("vec_id", "_v", "cid", "crank")
-        .cache()
-    )
-    cells = ranked.filter(F.col("crank") == 1).select("vec_id", "_v", "cid")
-    probes = (
-        ranked.filter(
-            (F.col("crank") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
-        )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("_v").alias("_vq"),
-            F.col("cid").alias("qcid"),
-        )
+    qrows = {
+        r["vec_id"]: r["_v"]
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "_v")
+        .collect()
+    }
+    probe_rows = []
+    for qid in sorted(qrows):
+        ci = V.cosine_int_rows(np.asarray(qrows[qid]), codebook)[0]
+        top = sorted(range(len(ci)), key=lambda k: (-ci[k], k))[:N_PROBE]
+        probe_rows += [(qid, list(qrows[qid]), c) for c in top]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, _vq array<double>, qcid long"
     )
     cand = (
         cells.join(
             F.broadcast(probes),
-            (F.col("cid") == F.col("qcid"))
+            (F.col("cell") == F.col("qcid"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .withColumn("cosine", V.cosine_q(F.col("_vq"), F.col("_v")))
@@ -335,7 +338,7 @@ def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.col("cid").alias("cell"),
+            F.col("cell"),
             "cosine",
             "rank",
         )
