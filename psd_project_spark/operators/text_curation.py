@@ -295,9 +295,85 @@ GROUP BY doc_id
 """
 
 
+# --- quality_features --------------------------------------------------------
+
+def quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble the per-document feature vector a learned quality
+    classifier trains on (the fastText/logistic filter step of a
+    pretraining pipeline): surface statistics, Gopher repetition
+    signals, corpus-LM familiarity, and boilerplate fraction, one wide
+    row per document. Pure composition — each feature family is the
+    already-oracle-verified operator, joined on doc_id, so the feature
+    extraction pipeline is exactly as trustworthy as its parts.
+
+    Plan shape for 100 TB: four scan-parallel feature passes joined on
+    the same key; Catalyst prunes each pass to the columns this frame
+    keeps. Docs with < 2 tokens have no bigram features — LEFT JOIN +
+    COALESCE 0, never dropped (a classifier must see short docs)."""
+    from psd_project_spark.operators.text_analysis import (
+        doc_stats,
+        ngram_familiarity,
+    )
+
+    ds = doc_stats(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens", "ttr", "punct_ratio", "quality_score"
+    )
+    rm = repetition_metrics(spark, sf_dir).select(
+        "doc_id", "dup_token_frac", "top_token_frac", "dup_bigram_frac"
+    )
+    nf = ngram_familiarity(spark, sf_dir).select(
+        "doc_id", "avg_corpus_freq", "rare_frac"
+    )
+    bs = boilerplate_screen(spark, sf_dir).select("doc_id", "boiler_frac")
+    return (
+        ds.join(rm, "doc_id")
+        .join(nf, "doc_id", "left")
+        .join(bs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "ttr",
+            "punct_ratio",
+            "quality_score",
+            "dup_token_frac",
+            "top_token_frac",
+            "dup_bigram_frac",
+            F.coalesce("avg_corpus_freq", F.lit(0.0)).alias("avg_corpus_freq"),
+            F.coalesce("rare_frac", F.lit(0.0)).alias("rare_frac"),
+            "boiler_frac",
+        )
+    )
+
+
+def _quality_features_oracle() -> str:
+    from psd_project_spark.operators.text_analysis import (
+        DOC_STATS_ORACLE,
+        NGRAM_FAMILIARITY_ORACLE,
+    )
+
+    return f"""
+WITH ds AS ({DOC_STATS_ORACLE}),
+rm AS ({REPETITION_ORACLE}),
+nf AS ({NGRAM_FAMILIARITY_ORACLE}),
+bs AS ({BOILERPLATE_ORACLE})
+SELECT ds.doc_id, ds.lang, ds.n_tokens, ds.ttr, ds.punct_ratio,
+       ds.quality_score,
+       rm.dup_token_frac, rm.top_token_frac, rm.dup_bigram_frac,
+       coalesce(nf.avg_corpus_freq, 0.0) AS avg_corpus_freq,
+       coalesce(nf.rare_frac, 0.0) AS rare_frac,
+       bs.boiler_frac
+FROM ds
+JOIN rm ON ds.doc_id = rm.doc_id
+LEFT JOIN nf ON ds.doc_id = nf.doc_id
+JOIN bs ON ds.doc_id = bs.doc_id
+"""
+
+
 QUERIES = {
     "doc_chunking": (doc_chunking, DOC_CHUNKING_ORACLE),
     "boilerplate_screen": (boilerplate_screen, BOILERPLATE_ORACLE),
+    "quality_features": (quality_features, _quality_features_oracle()),
     "repetition_metrics": (repetition_metrics, REPETITION_ORACLE),
     "pii_redact": (pii_redact, PII_REDACT_ORACLE),
 }

@@ -20,15 +20,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the driver in rounds 1-2 (registry minus r01∪r02 windows) plus the
 # two round-1 hash failures whose oracle-typing casts landed in commit
 # c818c16 but were never driver-re-verified (q12_late_shipment_priority,
-# value_outliers); then the seven round-3 additions (also never
+# value_outliers); then the eight round-3 additions (also never
 # checked).  The remaining slots re-verify the highest-value
 # representatives (the reference risk surface + one per extension
 # family).  With this window green, every registry query EXCEPT the
-# seven r01/r02-green rows that made room (portfolio_projection,
+# eight r01/r02-green rows that made room (portfolio_projection,
 # value_histogram, alert_counts, measures_window_np, measures_window,
-# stream_stream_join, dedup_embedding_1nn — the last grid-pinned at
-# sf0.1 by its own test) has a driver row this round, and every query
-# has one across rounds.
+# stream_stream_join, kmeans_embeddings, dedup_embedding_1nn — the
+# last two pinned at sf0.1 by their own tests) has a driver row this
+# round, and every query has one across rounds.
 _PRIORITY = (
     # -- never driver-checked (rounds 1-2) ---------------------------
     "table_profile",
@@ -71,6 +71,7 @@ _PRIORITY = (
     "bpe_vocab_train",
     "dedup_exact_then_minhash",
     "boilerplate_screen",
+    "quality_features",
     # -- re-verification: reference risk surface (SURVEY §2.1-2.8) ---
     "measures_agg",
     "alerts_batch",
@@ -78,7 +79,6 @@ _PRIORITY = (
     # -- re-verification: one per extension family -------------------
     "dedup_minhash_lsh",
     "ann_lsh_cosine",
-    "kmeans_embeddings",
     "doc_fingerprint",
     "pii_redact",
     "media_features",

@@ -21,9 +21,9 @@ CAST_FIXED = {"q12_late_shipment_priority", "value_outliers"}
 FAMILY_REPRESENTATIVES = {
     "risk": {"measures_agg", "alerts_batch"},
     "dedup": {"dedup_minhash_lsh", "dedup_embedding_lsh"},
-    "similarity": {"ann_lsh_cosine", "kmeans_embeddings"},
+    "similarity": {"ann_lsh_cosine"},  # kmeans: r01+r02 driver-green, sf0.1 oracle-pinned in-repo
     "text_analysis": {"doc_fingerprint", "trigram_udtf_freq"},
-    "text_curation": {"pii_redact", "curation_pipeline"},
+    "text_curation": {"pii_redact", "curation_pipeline", "quality_features"},
     "multimodal": {"media_features"},
     "governance": {"k_anonymity_release"},
     "sampling": {"weighted_median"},
