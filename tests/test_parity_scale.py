@@ -15,12 +15,17 @@ from tests.oracle_utils import check_query_vs_oracle
 
 SF_LARGE = "/root/testdata/sf0.1"
 
-#: Queries whose banding / cell count / block layout changes with n.
+#: Queries whose banding / cell count / block layout changes with n,
+#: plus round-3 composites whose candidate/feature distributions only
+#: get interesting at the larger corpus.
 ADAPTIVE = [
     "ann_lsh_cosine",      # adaptive_band_bits: 8×4 at sf0.01 → 16×6
     "semantic_dedup",      # adaptive_cells: 16 → 32
     "dedup_embedding_lsh",  # candidate volume scales with banding
     "dedup_minhash_lsh",   # hot-bucket volume grows with corpus
+    "dedup_exact_then_minhash",  # collapse stage only has work when dups exist
+    "boilerplate_screen",  # cross-doc chunk repeats need the bigger corpus
+    "quality_features",    # composite of distribution-dependent features
 ]
 
 
