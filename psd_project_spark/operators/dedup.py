@@ -475,15 +475,151 @@ FROM ranked WHERE rn = 1
 CC_JACCARD = 0.8
 
 
+#: Target edge rows per fixpoint partition. The label-propagation
+#: loop's cost is pure task/scheduler overhead below this size and
+#: shuffle volume above it; 2M (u, v) int64 rows ≈ 100 MB of shuffle
+#: payload per task — the same bytes-per-task discipline as
+#: ``adaptive_band_bits`` / ``adaptive_cells``.
+FIXPOINT_EDGES_PER_PARTITION = 2_000_000
+
+
+def adaptive_fixpoint_partitions(n_edges: int) -> int:
+    """Partition count for the component fixpoint, from edge count —
+    policy in code, not in a comment: 1 partition per
+    ``FIXPOINT_EDGES_PER_PARTITION`` edges (never 0)."""
+    return max(1, -(-n_edges // FIXPOINT_EDGES_PER_PARTITION))
+
+
+def _union_find_kernel(batches):
+    """Single-task connected components over a (u, v) edge stream:
+    vectorized min-label propagation with pointer jumping (numpy,
+    O(E·log V) total, no per-edge Python). Emits (id, comp) with
+    ``comp`` = smallest vertex id in the component — identical
+    semantics to the distributed fixpoint and the recursive-CTE
+    oracle."""
+    import numpy as np
+    import pandas as pd
+
+    us, vs = [], []
+    for pdf in batches:
+        if len(pdf):
+            us.append(pdf["u"].to_numpy(np.int64))
+            vs.append(pdf["v"].to_numpy(np.int64))
+    if not us:
+        return
+    u, v = np.concatenate(us), np.concatenate(vs)
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    comp = np.arange(len(ids))
+    while True:
+        old = comp.copy()
+        np.minimum.at(comp, vi, comp[ui])  # edges are symmetric
+        comp = np.minimum(comp, comp[comp])  # pointer jump
+        if np.array_equal(old, comp):
+            break
+    yield pd.DataFrame({"id": ids, "comp": ids[comp]})
+
+
+def connected_components(
+    edges_sym: DataFrame, n_edges: int | None = None
+) -> DataFrame:
+    """Connected components over a symmetric edge frame ``(u, v)`` →
+    ``(id, comp)`` for every vertex, ``comp`` = min vertex id in the
+    component. Two physical strategies behind one semantics, chosen
+    from the EDGE count (the ``adaptive_band_bits`` discipline —
+    policy in code, not comments):
+
+    - **Small graph** (≤ ``FIXPOINT_EDGES_PER_PARTITION`` edges — the
+      common case: the duplicate graph is orders of magnitude smaller
+      than the corpus): ONE task runs a vectorized union-find kernel
+      (``mapInPandas``). A distributed per-iteration loop here would
+      pay Spark's per-job scheduling constant ~diameter times to move
+      kilobytes; the kernel is a single job and is itself distributed
+      work (an executor task, not a driver collect).
+    - **Large graph**: iterative min-label propagation, one distributed
+      join + min-agg per round, partitioned to
+      ``adaptive_fixpoint_partitions(n_edges)``. Convergence detection
+      is FUSED into the propagation action: the min-agg carries each
+      vertex's previous label next to the propagated minimum, so
+      ``changed`` falls out of the same job that materializes the new
+      labels — one action and one graph-sized shuffle per iteration,
+      versus the separate join + count a naive loop pays.
+
+    Returns an eagerly local-checkpointed frame: consumers (component
+    sizes, canonical pick) read it twice without re-running either
+    strategy, and no cache-manager entry outlives the call.
+    """
+    if n_edges is None:
+        n_edges = edges_sym.count()
+    edges_raw = edges_sym.toDF("u", "v")
+    if n_edges <= FIXPOINT_EDGES_PER_PARTITION:
+        labels = edges_raw.repartition(1).mapInPandas(
+            _union_find_kernel, schema="id long, comp long"
+        )
+        return labels.localCheckpoint(eager=True)
+    n_part = adaptive_fixpoint_partitions(n_edges)
+    # repartition, NOT coalesce: coalesce would collapse the whole
+    # upstream pipeline (signatures/LSH) into n_part partitions; an
+    # explicit shuffle boundary keeps the expensive part parallel and
+    # lets the loop reuse the cached, right-sized edge frame. Keyed on
+    # the join key so the loop's join needs no further exchange.
+    edges = edges_raw.repartition(n_part, "u").cache()
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .cache()
+    )
+    cached = labels  # the persisted frame backing `labels`
+    while True:
+        propagated = labels.join(edges, labels.id == edges.u).select(
+            F.col("v").alias("id"), "comp", F.lit(False).alias("own")
+        )
+        # Every id carries exactly one own=True row (its previous
+        # label), so min(comp) WHERE own is the old label and
+        # min(comp) overall the new one — changed = new < old, no
+        # new-vs-old join needed. The explicit keyed repartition pins
+        # every per-iteration shuffle to the graph-sized n_part
+        # (session shuffle.partitions stays untouched — no global conf
+        # mutation); the aggregate reuses that partitioning, so one
+        # iteration = ONE n_part-sized shuffle and ONE action.
+        merged = (
+            labels.withColumn("own", F.lit(True))
+            .unionByName(propagated)
+            .repartition(n_part, "id")
+            .groupBy("id")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("own"), F.col("comp"))).alias("prev"),
+            )
+            .cache()
+        )
+        changed = merged.filter(F.col("comp") < F.col("prev")).count()
+        cached.unpersist()
+        cached = merged
+        labels = merged.select("id", "comp")
+        if changed == 0:
+            break
+    # Seal the result OUTSIDE the cache manager: an eager
+    # localCheckpoint materializes the converged labels (reading the
+    # already-cached final aggregate — no recompute), truncates the
+    # per-iteration lineage, and lets every loop cache be unpersisted
+    # before returning — no session-lifetime cache accumulation, and
+    # the caller gets a self-contained frame whose blocks the context
+    # cleaner reclaims on GC.
+    labels = labels.localCheckpoint(eager=True)
+    cached.unpersist()
+    edges.unpersist()
+    return labels
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group near-duplicate PAIRS into duplicate CLUSTERS: connected
     components over the MinHash pair graph (edges = exact Jaccard ≥
-    0.8), by iterative min-label propagation to a fixpoint — the step
-    that turns pairwise dedup output into "keep one doc per cluster"
-    at corpus scale. Each iteration is one distributed join + min-agg
-    (no driver-side graph); iteration count = graph diameter, which
-    for near-dup clusters is tiny. Returns (doc_id, component_id,
-    n_members) for every doc that has at least one duplicate.
+    0.8) via :func:`connected_components` — the step that turns
+    pairwise dedup output into "keep one doc per cluster" at corpus
+    scale. Returns (doc_id, component_id, n_members) for every doc
+    that has at least one duplicate.
 
     The DuckDB oracle computes the same components with a recursive
     reachability CTE — feasible for the oracle's small graphs, while
@@ -492,53 +628,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_minhash_lsh(spark, sf_dir)
         .filter(F.col("jaccard") >= CC_JACCARD)
         .select("doc_a", "doc_b")
-    )
-    # The duplicate graph is orders of magnitude smaller than the
-    # corpus (only docs with a near-dup). Size the fixpoint loop's
-    # partitioning to THAT — per-iteration task overhead, not data
-    # volume, dominates it otherwise. At real scale pick
-    # edges_bytes / 100 MB instead of 1.
-    # repartition, NOT coalesce: coalesce(1) would collapse the whole
-    # upstream signature/LSH pipeline into one partition; repartition
-    # inserts a shuffle boundary so the expensive part stays parallel.
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("u", "v")
-        .repartition(1)
+        # cached so the edge-count sizing probe doesn't re-run the
+        # signature/LSH pipeline a second time to build the edges
         .cache()
     )
-    labels = (
-        edges.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .cache()
+    n_edges = 2 * pairs.count()  # one probe sizes the fixpoint too
+    labels = connected_components(
+        pairs.union(pairs.select("doc_b", "doc_a")), n_edges=n_edges
     )
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    try:
-        while True:
-            propagated = (
-                labels.join(edges, labels.id == edges.u)
-                .select(F.col("v").alias("id"), "comp")
-            )
-            new_labels = (
-                labels.unionByName(propagated)
-                .groupBy("id")
-                .agg(F.min("comp").alias("comp"))
-                .cache()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    pairs.unpersist()
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
     return labels.join(sizes, "comp").select(
         F.col("id").alias("doc_id"),

@@ -229,3 +229,46 @@ def test_mad_by_type_plan_uses_arrow_aggregate(spark):
     assert plan.count("hashpartitioning(event_type") <= 2
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, bad
+
+
+def test_fixpoint_partitioning_is_adaptive(spark):
+    """The connected-components fixpoint sizes itself from the EDGE
+    count — no hardcoded repartition(1), no session-conf mutation —
+    and picks the single-task union-find kernel for graphs that fit
+    one partition, the iterative join loop (at the adaptive partition
+    count) above that."""
+    from psd_project_spark.operators import dedup
+
+    # policy-in-code: 1 partition per FIXPOINT_EDGES_PER_PARTITION
+    per = dedup.FIXPOINT_EDGES_PER_PARTITION
+    assert dedup.adaptive_fixpoint_partitions(0) == 1
+    assert dedup.adaptive_fixpoint_partitions(per) == 1
+    assert dedup.adaptive_fixpoint_partitions(per + 1) == 2
+    assert dedup.adaptive_fixpoint_partitions(10 * per) == 10
+
+    # hand graph: path 1-2-3, pair 10-11, singleton edge 20-21
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "u long, v long")
+    expect = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    # small path: one partition, one mapInPandas kernel
+    small = dedup.connected_components(edges)
+    assert small.rdd.getNumPartitions() == 1
+    assert {r["id"]: r["comp"] for r in small.collect()} == expect
+
+    # iterative path (forced by shrinking the threshold): same labels
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    prev = dedup.FIXPOINT_EDGES_PER_PARTITION
+    dedup.FIXPOINT_EDGES_PER_PARTITION = 4  # → n_part = 2 for 8 edges
+    try:
+        big = dedup.connected_components(edges)
+    finally:
+        dedup.FIXPOINT_EDGES_PER_PARTITION = prev
+    assert {r["id"]: r["comp"] for r in big.collect()} == expect
+    # the loop ran at the adaptive count, not the session default
+    assert big.rdd.getNumPartitions() <= 2
+    # and left no session-conf mutation behind
+    assert (
+        spark.conf.get("spark.sql.shuffle.partitions") == shuffle_before
+    )
