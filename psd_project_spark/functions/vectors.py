@@ -220,11 +220,15 @@ def cosine_int_rows(a: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     return out
 
 
-def make_cell_assign_kernel(codebook: "np.ndarray"):
+def make_cell_assign_kernel(codebook: "np.ndarray", cids: list[int]):
     """``mapInPandas`` kernel: assign every vector to its nearest
     codebook row by quantized-exact cosine (rounded 6-digit compare,
-    ties → lowest cell id — identical ordering to the oracle's
-    ``ORDER BY cosine DESC, cid`` pick-first).
+    ties → lowest CENTROID ID — identical ordering to the oracle's
+    ``ORDER BY cosine DESC, cid`` pick-first). ``cids`` carries the
+    centroids' actual vec_ids (same contract as
+    :func:`make_kmeans_assign_kernel`), so a codebook whose ids are
+    not contiguous from 0 still emits the id the oracle and probe
+    selection rank by — never the positional index.
 
     Replaces the crossJoin(broadcast)+window assignment pattern for
     large codebooks: N×K pairwise UDF rows become one vectorized
@@ -233,6 +237,8 @@ def make_cell_assign_kernel(codebook: "np.ndarray"):
     is O(K·d) closure state — the same model-state contract as the
     k-means codebook collect."""
     C = np.asarray(codebook, dtype=np.float64)  # (K, d)
+    order = np.argsort(np.asarray(cids))
+    C, cid_arr = C[order], np.asarray(cids, dtype=np.int64)[order]
     nc = np.sqrt(_q(C * C).sum(axis=1).astype(np.float64) / QSCALE)
 
     def kernel(batches):
@@ -246,9 +252,9 @@ def make_cell_assign_kernel(codebook: "np.ndarray"):
             for k in range(C.shape[0]):
                 dot = _q(a * C[k]).sum(axis=1).astype(np.float64) / QSCALE
                 ci = np.floor(dot / (na * nc[k]) * CSCALE + 0.5).astype(np.int64)
-                upd = ci > best  # strict: ties keep the lowest k
+                upd = ci > best  # strict: ties keep the lowest cid
                 best[upd] = ci[upd]
-                cell[upd] = k
+                cell[upd] = cid_arr[k]
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "cell": cell, "_v": pdf["_v"]}
             )

@@ -42,6 +42,7 @@ from psd_project_spark.functions.text_udfs import (
     shingles_udf,
     simhash_udf,
 )
+from psd_project_spark.functions.caching import transient_cache
 from psd_project_spark.sources.registry import load_table, spread_small
 
 COSINE_DUP_THRESHOLD = 0.95
@@ -152,9 +153,12 @@ def _minhash_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cache: the signature table feeds band explosion AND both sides of
-    # the pair join — without it the signature UDF would run 3×.
-    sigs = _with_signatures(load_table(spark, sf_dir, "documents"), spark).cache()
+    # transient cache: the signature table feeds band explosion AND
+    # both sides of the pair join — without it the signature UDF would
+    # run 3×. Released on next query entry (functions/caching).
+    sigs = transient_cache(
+        _with_signatures(load_table(spark, sf_dir, "documents"), spark)
+    )
     return _minhash_pairs(sigs)
 
 
@@ -202,7 +206,7 @@ def dedup_exact_then_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(text, doc_id)").alias("text"),
         F.count(F.lit(1)).alias("n_copies"),
     )
-    sigs = _with_signatures(canon, spark).cache()
+    sigs = transient_cache(_with_signatures(canon, spark))
     copies = canon.select("doc_id", "n_copies")
     pairs = _minhash_pairs(sigs)
     return (
@@ -297,7 +301,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("simhash", half + 1, half).alias("h2"),
         )
     )
-    d = d.cache()  # tiny (one row per doc); read by both half-joins
+    d = transient_cache(d)  # tiny (one row per doc); read by both half-joins
     # Pigeonhole: hamming ≤ 3 over 32 bits ⇒ some 16-bit half is equal.
     # MUST be a union of two *equi*-joins: an OR-of-equalities join
     # condition degenerates to a nested-loop cross product in any
@@ -736,7 +740,9 @@ def cross_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per eval doc (never empty: eval docs with no candidate
     report zeros).
     """
-    sigs = _with_signatures(load_table(spark, sf_dir, "documents"), spark).cache()
+    sigs = transient_cache(
+        _with_signatures(load_table(spark, sf_dir, "documents"), spark)
+    )
     is_eval = F.col("doc_id") % 50 == 0
     bands = _band_frame(sigs)
     eb = bands.filter(is_eval).select(

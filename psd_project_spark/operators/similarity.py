@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from psd_project_spark.functions import text as T
 from psd_project_spark.functions import vectors as V
+from psd_project_spark.functions.caching import transient_cache
 from psd_project_spark.sources.registry import load_table, spread_small
 
 #: Fixed query set and result size.
@@ -40,9 +41,10 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- knn_cosine (brute-force baseline) ---------------------------------------
 
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cache: e feeds both the probe side and the broadcast query side;
-    # without it every action re-runs the scan+widen pipeline twice.
-    e = _embeddings(spark, sf_dir).cache()
+    # transient cache: e feeds both the probe side and the broadcast
+    # query side; without it every action re-runs the scan+widen
+    # pipeline twice. Released on next query entry (functions/caching).
+    e = transient_cache(_embeddings(spark, sf_dir))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("_v").alias("_vq"),
@@ -189,9 +191,9 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: the signed table feeds the band explode twice (data +
     # query sides) and the vector fetch; uncached, the signature UDF
     # re-runs per action (measured 3× wall-clock at sf0.1).
-    e = _embeddings(spark, sf_dir).withColumn(
-        "sig", _sig_udf(F.col("_v"))
-    ).cache()
+    e = transient_cache(
+        _embeddings(spark, sf_dir).withColumn("sig", _sig_udf(F.col("_v")))
+    )
     bands = F.array(
         *[F.substring("sig", 1 + r * b, r) for b in range(n_bands)]
     )
@@ -304,9 +306,10 @@ def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "_v")
         .collect()
     }
-    codebook = np.array([cb[c] for c in sorted(cb)], dtype=np.float64)
+    cb_ids = sorted(cb)
+    codebook = np.array([cb[c] for c in cb_ids], dtype=np.float64)
     cells = e.select("vec_id", "_v").mapInPandas(
-        V.make_cell_assign_kernel(codebook),
+        V.make_cell_assign_kernel(codebook, cb_ids),
         schema="vec_id long, cell long, _v array<double>",
     )
     qrows = {
@@ -318,8 +321,12 @@ def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_rows = []
     for qid in sorted(qrows):
         ci = V.cosine_int_rows(np.asarray(qrows[qid]), codebook)[0]
-        top = sorted(range(len(ci)), key=lambda k: (-ci[k], k))[:N_PROBE]
-        probe_rows += [(qid, list(qrows[qid]), c) for c in top]
+        # rank by (cosine desc, centroid id) — the kernel's tiebreak —
+        # and emit the centroids' ACTUAL ids, not positions
+        top = sorted(range(len(ci)), key=lambda k: (-ci[k], cb_ids[k]))
+        probe_rows += [
+            (qid, list(qrows[qid]), cb_ids[k]) for k in top[:N_PROBE]
+        ]
     probes = spark.createDataFrame(
         probe_rows, "query_id long, _vq array<double>, qcid long"
     )
@@ -449,19 +456,34 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "_v")
         .collect()
     }
-    codebook = np.array([cb[i] for i in sorted(cb)], dtype=np.float64)
+    cb_ids = sorted(cb)
+    codebook = np.array([cb[i] for i in cb_ids], dtype=np.float64)
     cells = e.select("vec_id", "_v").mapInPandas(
-        V.make_cell_assign_kernel(codebook),
+        V.make_cell_assign_kernel(codebook, cb_ids),
         schema="vec_id long, cell long, _v array<double>",
     )
-    # cache: feeds both sides of the within-cell pair join and the
-    # final per-vector frame — uncached the assignment runs 3×.
-    cells = cells.cache()
-    a = cells.select(F.col("vec_id").alias("keep_id"), F.col("_v").alias("_va"), "cell")
-    b = cells.select(F.col("vec_id").alias("vec_id"), F.col("_v").alias("_vb"), "cell")
-    pruned_ids = (
-        a.join(b, ["cell"])
+    # Materialized ONCE via eager localCheckpoint: it feeds both sides
+    # of the pair join, the vector re-fetch, and the final per-vector
+    # frame (uncheckpointed the assignment would run 4×) — and unlike
+    # .cache() it leaves no session-lifetime cache-manager entry (the
+    # dedup_embedding_lsh leak class, ADVICE r03).
+    cells = cells.localCheckpoint(eager=True)
+    # Bare-id candidate discipline (same shape as _minhash_pairs):
+    # the Σ n_c² within-cell fan-out carries 16-byte id pairs, not
+    # 2×64 doubles; vectors are re-fetched per side AFTER the pair
+    # join, so the pair-stage shuffle payload stays id-sized at scale.
+    ids = cells.select("vec_id", "cell")
+    cand = (
+        ids.select(F.col("vec_id").alias("keep_id"), "cell")
+        .join(ids, ["cell"])
         .filter(F.col("keep_id") < F.col("vec_id"))
+        .select("keep_id", "vec_id")
+    )
+    va = cells.select(F.col("vec_id").alias("keep_id"), F.col("_v").alias("_va"))
+    vb = cells.select("vec_id", F.col("_v").alias("_vb"))
+    pruned_ids = (
+        cand.join(va, "keep_id")
+        .join(vb, "vec_id")
         .withColumn("cosine", V.cosine_q(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= F.lit(SEMDEDUP_T))
         .select("vec_id")
@@ -589,9 +611,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cids = sorted(cb)
     codebook = np.array([cb[c] for c in cids], dtype=np.float64)
     # Loop shuffles move (cluster, dim) aggregates — 512 groups — so
-    # per-iteration task overhead dominates at default partitioning.
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # per-iteration task overhead dominates at default partitioning:
+    # the explicit keyed repartition pins the centroid-update shuffle
+    # to a handful of tasks (and the groupBys reuse its partitioning)
+    # WITHOUT mutating session-global shuffle conf — safe under
+    # concurrent queries on one session.
+    loop_parts = 4
     report = []
     for it in range(1, KMEANS_ITERS + 1):
         assigned = e.mapInPandas(
@@ -608,6 +633,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # state, so no lineage ever chains across iterations.
         cent_rows = (
             assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
+            .repartition(loop_parts, "cid", "pos")
             .groupBy("cid", "pos")
             .agg(
                 (
@@ -615,6 +641,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.count(F.lit(1))
                 ).alias("cval")
             )
+            .repartition(loop_parts, "cid")
             .groupBy("cid")
             .agg(
                 F.transform(
@@ -628,7 +655,6 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         cids = sorted(cb)
         codebook = np.array([cb[c] for c in cids], dtype=np.float64)
         assigned.unpersist()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     e.unpersist()
     return spark.createDataFrame(
         report, "iteration int, inertia double, n_active_clusters int"

@@ -37,6 +37,7 @@ from psd_project_spark.functions.text_udfs import (
     shingles_udf,
     simhash_udf,
 )
+from psd_project_spark.functions.caching import transient_cache
 from psd_project_spark.sources.registry import load_table, spread_small
 
 #: (lang, stopword list) in tie-break priority order.
@@ -616,8 +617,9 @@ def ngram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select(
         "doc_id", F.explode(F.expr(_bigrams_expr("_toks"))).alias("bigram")
     )
-    # cache: feeds both the model aggregation and the scoring join.
-    bg = bg.cache()
+    # transient cache: feeds both the model aggregation and the
+    # scoring join; released on next query entry (functions/caching).
+    bg = transient_cache(bg)
     model = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("corpus_n"))
     return (
         bg.join(model, "bigram")

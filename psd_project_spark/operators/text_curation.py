@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from psd_project_spark.functions.text import tokens_expr, tokens_sql
+from psd_project_spark.functions.caching import transient_cache
 from psd_project_spark.sources.registry import load_table
 
 # --- doc_chunking ------------------------------------------------------------
@@ -247,9 +248,11 @@ def boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"+ 1, {BOILER_CHUNK}))) "
         f"ELSE cast(array() as array<string>) END"
     )
-    chunks = d.select(
-        "doc_id", F.explode(F.expr(chunk_expr)).alias("chunk")
-    ).cache()  # feeds the frequency model AND the scoring join
+    # transient cache: feeds the frequency model AND the scoring
+    # join; released on next query entry (functions/caching).
+    chunks = transient_cache(
+        d.select("doc_id", F.explode(F.expr(chunk_expr)).alias("chunk"))
+    )
     freq = chunks.groupBy("chunk").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )

@@ -134,7 +134,19 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
 
 
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _collect().items()}
+    from psd_project_spark.functions.caching import release_transient
+
+    def _wrap(name: str, fn: QueryFn) -> QueryFn:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # scratch caches from the PREVIOUS query are released at
+            # the next query's entry — see functions/caching.py
+            release_transient()
+            return fn(spark, sf_dir)
+
+        run.__name__ = name
+        return run
+
+    return {name: _wrap(name, fn) for name, (fn, _) in _collect().items()}
 
 
 def oracle_sql() -> dict[str, str]:

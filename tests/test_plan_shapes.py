@@ -272,3 +272,21 @@ def test_fixpoint_partitioning_is_adaptive(spark):
     assert (
         spark.conf.get("spark.sql.shuffle.partitions") == shuffle_before
     )
+
+
+def test_transient_caches_released_on_next_query_entry(spark):
+    """Scratch caches (signature tables, exploded n-grams) live
+    exactly from their query's construction until the NEXT query
+    starts — no session-lifetime cache accumulation (ADVICE r03)."""
+    from psd_project_spark import registry
+    from psd_project_spark.functions import caching
+
+    caching.release_transient()
+    qs = registry.queries()
+    qs["dedup_minhash_lsh"](spark, SF_DIR).count()
+    assert len(caching._TRANSIENT) >= 1  # sigs registered
+    cached_before = list(caching._TRANSIENT)
+    qs["dedup_exact"](spark, SF_DIR).count()  # next entry releases
+    assert caching._TRANSIENT == []
+    for df in cached_before:
+        assert not df.storageLevel.useMemory  # actually unpersisted
