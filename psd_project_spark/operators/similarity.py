@@ -680,6 +680,35 @@ PAIR_N_BANDS = 4
 PAIR_BAND_BITS = 8
 
 
+def _pair_band_candidates(e: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs (vec_a < vec_b, distinct, bare ids)
+    of any (vec_id, _v) frame — the self-join core of
+    ``dedup_embedding_lsh``, exposed so recall tests can run the
+    identical machinery over planted-duplicate corpora
+    (tests/test_ann_quality.py)."""
+    sigs = e.select("vec_id", _pair_sig_udf(F.col("_v")).alias("sig"))
+    bands = F.array(
+        *[
+            F.substring("sig", 1 + PAIR_BAND_BITS * b, PAIR_BAND_BITS)
+            for b in range(PAIR_N_BANDS)
+        ]
+    )
+    eb = sigs.select("vec_id", F.posexplode(bands).alias("band", "bkey"))
+    return (
+        eb.alias("a")
+        .join(
+            eb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-dup via banded LSH — the sub-quadratic
     scale path for embedding dedup (`dedup_embedding_1nn` is the exact
@@ -695,27 +724,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage memory across a many-query session (the round-2 review
     flagged the never-unpersisted variant as a session-level leak)."""
     e = _embeddings(spark, sf_dir)
-    sigs = e.select("vec_id", _pair_sig_udf(F.col("_v")).alias("sig"))
-    bands = F.array(
-        *[
-            F.substring("sig", 1 + PAIR_BAND_BITS * b, PAIR_BAND_BITS)
-            for b in range(PAIR_N_BANDS)
-        ]
-    )
-    eb = sigs.select("vec_id", F.posexplode(bands).alias("band", "bkey"))
-    pairs = (
-        eb.alias("a")
-        .join(
-            eb.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
-    )
+    pairs = _pair_band_candidates(e)
     verified = (
         pairs.join(
             e.select(F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va")),

@@ -701,7 +701,15 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
     seg = wc.withColumn(
         "syms",
-        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        # CASE guard (same as the pair expr below): Spark's
+        # sequence(1, 0) counts DOWN, so a zero-length token (empty /
+        # whitespace-only text) would yield phantom syms ['',''] and a
+        # spurious ('','') pair — DuckDB's generate_series(1,0) is [].
+        F.expr(
+            "CASE WHEN length(word) >= 1 THEN "
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1)) "
+            "ELSE cast(array() as array<string>) END"
+        ),
     ).cache()
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, BPE_ROUNDS + 1):

@@ -119,3 +119,89 @@ def test_kmeans_inertia_monotone(spark):
     inertias = [r["inertia"] for r in rep]
     assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:])), inertias
     assert all(r["n_active_clusters"] >= 1 for r in rep)
+
+
+def _pair_truth(spark, sf_dir, threshold):
+    """Exact 1-NN pairs at/above the cosine threshold (the strongest
+    pairs an all-pairs dedup must find), from dedup_embedding_1nn."""
+    truth = {}
+    for r in queries()["dedup_embedding_1nn"](spark, sf_dir).collect():
+        if r["cosine"] >= threshold:
+            key = (min(r["vec_id"], r["nn_id"]), max(r["vec_id"], r["nn_id"]))
+            truth[key] = max(truth.get(key, 0.0), r["cosine"])
+    return truth
+
+
+def _scurve(cosine):
+    """Theoretical banded-LSH pair recall at a given cosine for the
+    pair layout (sign-hyperplane LSH: P[bit match] = 1 − θ/π)."""
+    import math
+
+    from psd_project_spark.operators.similarity import (
+        PAIR_BAND_BITS,
+        PAIR_N_BANDS,
+    )
+
+    p_bit = 1.0 - math.acos(max(-1.0, min(1.0, cosine))) / math.pi
+    return 1.0 - (1.0 - p_bit**PAIR_BAND_BITS) ** PAIR_N_BANDS
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR_MID, SF_DIR_BIG])
+def test_embedding_lsh_pair_recall_matches_scurve(spark, sf_dir):
+    """dedup_embedding_lsh recall pinned against dedup_embedding_1nn
+    truth at BOTH SFs (VERDICT r03 #6). This synthetic corpus has no
+    real duplicates (max cosine ≈ 0.5), so at the calibrated 0.4
+    threshold the S-curve predicts low recall (~0.10) — the pin is
+    that measured recall tracks the THEORY (the banding behaves as
+    designed), not an absolute floor that only holds for planted dups
+    (covered by test_embedding_lsh_recovers_planted_duplicates)."""
+    from psd_project_spark.operators.similarity import EMB_PAIR_THRESHOLD
+
+    truth = _pair_truth(spark, sf_dir, EMB_PAIR_THRESHOLD)
+    assert len(truth) >= 30, "corpus no longer exercises the threshold"
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in queries()["dedup_embedding_lsh"](spark, sf_dir).collect()
+    }
+    measured = len(truth.keys() & lsh) / len(truth)
+    expected = sum(_scurve(c) for c in truth.values()) / len(truth)
+    assert 0.4 * expected <= measured <= 2.5 * expected, (
+        sf_dir, measured, expected,
+    )
+
+
+def test_embedding_lsh_recovers_planted_duplicates(spark):
+    """The production claim (docstring: ~90% recall at dup cosine
+    ≥ 0.95): plant a perturbed near-duplicate of every 4th vector and
+    require the band self-join (the identical operator machinery via
+    _pair_band_candidates) to surface ≥ 80% of the planted pairs."""
+    import numpy as np
+
+    from psd_project_spark.operators.similarity import (
+        _embeddings,
+        _pair_band_candidates,
+    )
+
+    base = _embeddings(spark, SF_DIR_MID).collect()
+    rng = np.random.default_rng(7)
+    rows, planted = [], []
+    for r in base:
+        v = np.asarray(r["_v"], dtype=np.float64)
+        rows.append((int(r["vec_id"]), [float(x) for x in v]))
+        if r["vec_id"] % 4 == 0:
+            dup_id = int(r["vec_id"]) + 1_000_000
+            noise = rng.normal(0.0, 1.0, v.shape)
+            w = v / np.linalg.norm(v) + 0.18 * noise / np.linalg.norm(noise)
+            cos = float(
+                v @ w / (np.linalg.norm(v) * np.linalg.norm(w))
+            )
+            assert cos >= 0.95, cos  # perturbation keeps it a near-dup
+            rows.append((dup_id, [float(x) for x in w]))
+            planted.append((int(r["vec_id"]), dup_id))
+    e = spark.createDataFrame(rows, "vec_id long, _v array<double>")
+    cand = {
+        (r["vec_a"], r["vec_b"])
+        for r in _pair_band_candidates(e).collect()
+    }
+    recall = sum(1 for p in planted if p in cand) / len(planted)
+    assert recall >= 0.8, recall

@@ -57,3 +57,26 @@ def test_bpe_matches_python_reference(spark):
     )
     assert got == expected
     assert len({(l, r) for _, l, r, _ in got}) == BPE_ROUNDS
+
+
+def test_bpe_symbol_init_guards_empty_word(spark):
+    """ADVICE r03: Spark's sequence(1, 0) counts DOWN, so an unguarded
+    symbol-array init turns a zero-length token into phantom syms
+    ['',''] and a spurious ('','') pair — diverging from DuckDB's
+    generate_series(1,0)=[]. The guard must yield [] exactly."""
+    guarded = (
+        "CASE WHEN length(word) >= 1 THEN "
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1)) "
+        "ELSE cast(array() as array<string>) END"
+    )
+    rows = spark.sql(
+        f"SELECT word, {guarded} AS syms "
+        "FROM (VALUES (''), ('a'), ('ab')) t(word) ORDER BY word"
+    ).collect()
+    assert [r["syms"] for r in rows] == [[], ["a"], ["a", "b"]]
+    # and the unguarded form really is the trap (documents why the
+    # guard exists; if Spark ever fixes sequence(), this flags it)
+    raw = spark.sql(
+        "SELECT transform(sequence(1, length('')), i -> 'x') AS s"
+    ).collect()[0]["s"]
+    assert raw == ["x", "x"]
