@@ -88,6 +88,45 @@ def main() -> None:
     # keeps wall time bounded while removing the worst outliers.
     for name in [n for n in names if timings[n] > 1.5]:
         run_once(name, "retry")
+    # Stall gate (round-4 verdict): a committed per-query best-known
+    # baseline (BENCH_BASELINE.json, elementwise min over clean runs)
+    # arbitrates noise vs regression. A query still >2× its baseline
+    # after the passes above gets up to 2 more shots; whatever remains
+    # above the bar is flagged stall_suspect in the output rather than
+    # silently recorded as the engine's number (the r03 artifact
+    # recorded a 3.6× VM-stall outlier as a regression).
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    baseline: dict[str, float] = {}
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            baseline = json.load(fh)
+
+    def stalled(name: str) -> bool:
+        ref = baseline.get(name)
+        return (
+            timings[name] > 1.5
+            and ref is not None
+            and timings[name] > 2.0 * ref
+        )
+
+    for name in [n for n in names if stalled(n)]:
+        for attempt in range(2):
+            run_once(name, f"stall{attempt}")
+            if not stalled(name):
+                break
+    stall_suspects = sorted(n for n in names if stalled(n))
+    # Refresh the baseline with this run's clean minima so it tracks
+    # real improvements (never a suspect value).
+    new_base = dict(baseline)
+    for name in names:
+        if name not in stall_suspects:
+            new_base[name] = min(
+                baseline.get(name, timings[name]), timings[name]
+            )
+    with open(base_path, "w") as fh:
+        json.dump(new_base, fh, indent=1, sort_keys=True)
     total = round(sum(timings.values()), 3)
 
     def parse_sf(d: str) -> float | str:
@@ -142,6 +181,14 @@ def main() -> None:
         "detail": "BENCH_detail.json",
         "sf": sf_val,
     }
+    if stall_suspects:
+        # queries whose best-of-5 still exceeds 2× the committed
+        # best-known baseline — treat their numbers as VM noise until
+        # a clean run or a root-caused regression (BENCH.md)
+        out["stall_suspects"] = stall_suspects
+        out["baseline_for_suspects"] = {
+            n: baseline[n] for n in stall_suspects
+        }
     if timings_small:
         # scaling ratio per headline query: t(sf)/t(sf_small) for 10×
         # the data — ~1 means fixed overhead dominates, ~10 means

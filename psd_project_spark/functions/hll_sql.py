@@ -52,7 +52,19 @@ _ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 #: alpha · m² · 2^RHO_POW as one Python-computed literal, so both
 #: engines parse the identical shortest-repr double.
 _RAW_NUM = repr(_ALPHA * HLL_M * HLL_M * float(1 << RHO_POW))
-_LN2 = "0.6931471805599453"
+#: Every float literal in generated SQL is wrapped CAST(... AS DOUBLE):
+#: bare decimal literals type as DECIMAL in BOTH engines, with
+#: different scale/rounding rules — decimal-typed `1.0/3.0` was a real
+#: cross-engine divergence (caught by the 1e-9-quantized DSIR weight;
+#: the integer-rounded HLL estimate masked it).
+_LN2 = "CAST(0.6931471805599453 AS DOUBLE)"
+_THIRD = "CAST(0.3333333333333333 AS DOUBLE)"
+_FIFTH = "CAST(0.2 AS DOUBLE)"
+_SEVENTH = "CAST(0.14285714285714285 AS DOUBLE)"
+_NINTH = "CAST(0.1111111111111111 AS DOUBLE)"
+_ELEVENTH = "CAST(0.09090909090909091 AS DOUBLE)"
+_ONE = "CAST(1.0 AS DOUBLE)"
+_TWO = "CAST(2.0 AS DOUBLE)"
 
 _U64 = 1 << 64
 _C1 = 0x9E3779B97F4A7C15
@@ -174,7 +186,7 @@ def rho_case_sql(h: str) -> str:
 
 def scaled_inv_expr(r: str) -> str:
     """Integer-scaled ``2^-rho`` register contribution (exact)."""
-    return f"CAST(floor(power(2.0, {RHO_POW} - {r})) AS BIGINT)"
+    return f"CAST(floor(power(CAST(2.0 AS DOUBLE), {RHO_POW} - {r})) AS BIGINT)"
 
 
 def _floor_log2_expr(v: str) -> str:
@@ -184,6 +196,35 @@ def _floor_log2_expr(v: str) -> str:
         f"WHEN {v} >= {1 << k} THEN {k}" for k in range(HLL_B, 0, -1)
     )
     return f"(CASE {whens} ELSE 0 END)"
+
+
+def ln_int_stages(v: str, out: str, max_bits: int = 31):
+    """Deterministic ``ln`` of a positive INTEGER expression ``v`` (<
+    2^max_bits) as ordered (column, expression) stages — the same
+    libm-free recipe as the HLL small-range branch, generalized:
+    ``floor(log2(v))`` by comparison chain, fractional part by the
+    fixed 6-term atanh series (relative error < 1e-7 — both engines
+    evaluate the identical rational arithmetic, which is the property
+    that matters). Final stage column: ``out``. Intermediate column
+    names are prefixed with ``out`` so several ln pipelines can share
+    one select chain."""
+    whens = " ".join(
+        f"WHEN {v} >= {1 << k} THEN {k}" for k in range(max_bits, 0, -1)
+    )
+    k = f"{out}_k"
+    w, z, zz = f"{out}_w", f"{out}_z", f"{out}_zz"
+    return [
+        (k, f"(CASE {whens} ELSE 0 END)"),
+        (w, f"(CAST({v} AS DOUBLE) / power({_TWO}, {k}))"),
+        (z, f"(({w} - {_ONE}) / ({w} + {_ONE}))"),
+        (zz, f"({z} * {z})"),
+        (
+            out,
+            f"({k} * {_LN2} + {_TWO} * {z} * ({_ONE} + {zz} * ({_THIRD} + "
+            f"{zz} * ({_FIFTH} + {zz} * ({_SEVENTH} + {zz} * ({_NINTH} + "
+            f"{zz} * {_ELEVENTH}))))))",
+        ),
+    ]
 
 
 def estimate_stages(n_obs: str = "n_obs", sinv: str = "sinv"):
@@ -208,19 +249,21 @@ def estimate_stages(n_obs: str = "n_obs", sinv: str = "sinv"):
             f"({sinv} + CAST({m} - {n_obs} AS BIGINT) * {1 << RHO_POW})",
         ),
         ("kk", _floor_log2_expr("v_emp")),
-        ("raw_est", f"({_RAW_NUM} / CAST(h_total AS DOUBLE))"),
-        ("w_frac", "(CAST(v_emp AS DOUBLE) / power(2.0, kk))"),
-        ("z_at", "((w_frac - 1.0) / (w_frac + 1.0))"),
+        ("raw_est", f"(CAST({_RAW_NUM} AS DOUBLE) / CAST(h_total AS DOUBLE))"),
+        ("w_frac", f"(CAST(v_emp AS DOUBLE) / power({_TWO}, kk))"),
+        ("z_at", f"((w_frac - {_ONE}) / (w_frac + {_ONE}))"),
         ("zz_at", "(z_at * z_at)"),
         (
             "poly_ln",
-            "(2.0 * z_at * (1.0 + zz_at * (1.0/3.0 + zz_at * (1.0/5.0 + "
-            "zz_at * (1.0/7.0 + zz_at * (1.0/9.0 + zz_at * (1.0/11.0)))))))",
+            f"({_TWO} * z_at * ({_ONE} + zz_at * ({_THIRD} + zz_at * "
+            f"({_FIFTH} + zz_at * ({_SEVENTH} + zz_at * ({_NINTH} + "
+            f"zz_at * {_ELEVENTH}))))))",
         ),
         (
             "n_distinct_approx",
-            f"CAST(round(CASE WHEN raw_est <= {2.5 * m} AND v_emp > 0 "
-            f"THEN {m}.0 * (({HLL_B} - kk) * {_LN2} - poly_ln) "
+            f"CAST(round(CASE WHEN raw_est <= CAST({2.5 * m} AS DOUBLE) "
+            f"AND v_emp > 0 "
+            f"THEN CAST({m}.0 AS DOUBLE) * (({HLL_B} - kk) * {_LN2} - poly_ln) "
             f"ELSE raw_est END) AS BIGINT)",
         ),
     ]

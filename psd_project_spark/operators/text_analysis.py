@@ -37,6 +37,7 @@ from psd_project_spark.functions.text_udfs import (
     shingles_udf,
     simhash_udf,
 )
+from psd_project_spark.functions import hll_sql as HLL
 from psd_project_spark.functions.caching import transient_cache
 from psd_project_spark.sources.registry import load_table, spread_small
 
@@ -657,6 +658,145 @@ GROUP BY doc_id
 """
 
 
+# --- dsir_weights (importance-resampling weights, Xie et al. 2023) -----------
+
+#: The trusted/target split for importance weighting: documents in the
+#: corpus's dominant language stand in for the "high-quality target
+#: distribution" (in production: a curated corpus like Wikipedia).
+DSIR_TARGET_LANG = "en"
+#: Count expressions stay below 2^62; the deterministic ln chain is
+#: sized to that.
+_DSIR_LN_BITS = 62
+
+
+def _dsir_ln_stages():
+    """The four deterministic-ln pipelines of the DSIR weight: bigram
+    target/corpus counts (+1 smoothing) and the two normalizer
+    scalars. Shared verbatim by the Spark path and the DuckDB oracle
+    (functions/hll_sql.ln_int_stages — libm-free, bit-identical)."""
+    stages = []
+    for v, out in [
+        ("(t_n + 1)", "ln_t"),
+        ("(c_n + 1)", "ln_c"),
+        ("(ttot + vsz)", "ln_bigt"),
+        ("(ctot + vsz)", "ln_bigc"),
+    ]:
+        stages += HLL.ln_int_stages(v, out, max_bits=_DSIR_LN_BITS)
+    # Quantize the weight to an int64 at 1e-9 grain: double→DECIMAL
+    # casts round differently across engines on irrational values, but
+    # round()-to-integer of the SAME double is identical — and integer
+    # sums are exact and order-independent (the vectors.py CSCALE
+    # discipline).
+    stages.append(
+        (
+            "wq",
+            "CAST(round((ln_t - ln_bigt - ln_c + ln_bigc)"
+            " * 1000000000.0) AS BIGINT)",
+        )
+    )
+    return stages
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023, arXiv 2302.03169): score every document by the hashed-…
+    well, exact-… n-gram likelihood ratio between a trusted target
+    distribution (here: the corpus's ``DSIR_TARGET_LANG`` split) and
+    the raw corpus — the standard pretraining data-selection weight
+    ``log p_target(doc) − log p_raw(doc)`` under add-1-smoothed bigram
+    unigram-of-bigrams models. High weight ⇒ looks like the target.
+
+    Determinism: ``ln`` of integer counts goes through the libm-free
+    comparison-chain + atanh-series recipe (functions/hll_sql.py), and
+    the per-doc sum accumulates in DECIMAL(38,18) so float summation
+    order cannot drift — the oracle matches bit-for-bit.
+
+    Plan shape for 100 TB: both models are count TABLES keyed by the
+    bigram (never collected or broadcast — model size unbounded by
+    executor memory, the ``ngram_familiarity`` discipline); the only
+    broadcast is the 1-row normalizer frame; scoring is one join on
+    the bigram key + one map-side-combinable decimal sum."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(T.tokens_expr()).alias("_toks")
+    )
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(_bigrams_expr("_toks"))).alias("bigram"),
+    )
+    # transient cache: feeds the two model aggregations and the
+    # scoring join; released on next query entry (functions/caching).
+    bg = transient_cache(bg)
+    # both models in ONE map-side-combined aggregation (a conditional
+    # count instead of a second shuffle + join)
+    model = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("c_n"),
+        F.sum(
+            (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+        ).alias("t_n"),
+    )
+    scalars = model.agg(
+        F.count(F.lit(1)).alias("vsz"),
+        F.sum("c_n").alias("ctot"),
+        F.sum("t_n").alias("ttot"),
+    )
+    m = model.crossJoin(F.broadcast(scalars))
+    for name, expr_ in _dsir_ln_stages():
+        m = m.selectExpr("*", f"{expr_} AS {name}")
+    scored = (
+        bg.join(m.select("bigram", "wq"), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("wq").alias("swq"),
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.col("swq").cast("double") / 1000000000.0, 6
+            ).alias("dsir_weight"),
+        )
+    )
+
+
+def _dsir_oracle() -> str:
+    stage_sel = "mdl"
+    ctes = []
+    for i, (name, expr_) in enumerate(_dsir_ln_stages()):
+        ctes.append(f"s{i} AS (SELECT *, {expr_} AS {name} FROM {stage_sel})")
+        stage_sel = f"s{i}"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {T.tokens_sql()} AS toks FROM documents
+), bgr AS (
+  SELECT doc_id, lang, unnest({_bigrams_sql('toks')}) AS bigram FROM t
+), mdl0 AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c_n,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS t_n
+  FROM bgr GROUP BY 1
+), scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS vsz, CAST(sum(c_n) AS BIGINT) AS ctot,
+         CAST(sum(t_n) AS BIGINT) AS ttot
+  FROM mdl0
+), mdl AS (SELECT * FROM mdl0 CROSS JOIN scal),
+{', '.join(ctes)},
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(wq) AS BIGINT) AS swq
+  FROM bgr JOIN {stage_sel} USING (bigram) GROUP BY 1
+)
+SELECT d.doc_id, d.lang, coalesce(n_bigrams, 0) AS n_bigrams,
+       round(CAST(swq AS DOUBLE) / 1000000000.0, 6) AS dsir_weight
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+
+
 # --- bpe_vocab_train (distributed byte-pair-encoding merges) -----------------
 
 #: Number of BPE merge rounds trained (the merge table is the model).
@@ -678,23 +818,12 @@ def _bpe_fold_expr(left: str, right: str) -> str:
     )
 
 
-def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train ``BPE_ROUNDS`` byte-pair-encoding merges over the corpus —
-    the tokenizer-training step of an LLM data pipeline, distributed.
-    Returns the merge table (round, sym_left, sym_right, pair_count):
-    per round, the most frequent adjacent symbol pair (occurrence-
-    weighted by word frequency; ties broken lexicographically) is
-    merged greedily left-to-right in every word.
-
-    Plan shape for 100 TB: the corpus collapses to the distinct-word
-    count table in ONE map-side-combined shuffle (Heaps' law makes
-    |vocab| ≪ corpus — exactly why production BPE trainers run on
-    word counts); every round is then a pair-count aggregate over that
-    small table plus a 1-row argmax. Only the O(rounds) merge list
-    ever reaches the driver (model state, same contract as the k-means
-    codebook). The merge pass itself is a JVM HOF fold — no Python in
-    the loop. DuckDB oracle: the identical rounds unrolled as CTEs
-    with the same string-fold (``list_reduce``) semantics."""
+def _train_bpe_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """The BPE training loop (see :func:`bpe_vocab_train`), returning
+    the O(rounds) merge list — model state shared by the trainer's
+    report and the :func:`bpe_encode_stats` apply path."""
     words = load_table(spark, sf_dir, "documents").select(
         F.explode(F.expr(T.tokens_expr())).alias("word")
     )
@@ -740,12 +869,98 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-round state is data-sized).
         seg = seg.withColumn("syms", F.expr(_bpe_fold_expr(top["l"], top["r"])))
     seg.unpersist()
+    return merges
+
+
+def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train ``BPE_ROUNDS`` byte-pair-encoding merges over the corpus —
+    the tokenizer-training step of an LLM data pipeline, distributed.
+    Returns the merge table (round, sym_left, sym_right, pair_count):
+    per round, the most frequent adjacent symbol pair (occurrence-
+    weighted by word frequency; ties broken lexicographically) is
+    merged greedily left-to-right in every word.
+
+    Plan shape for 100 TB: the corpus collapses to the distinct-word
+    count table in ONE map-side-combined shuffle (Heaps' law makes
+    |vocab| ≪ corpus — exactly why production BPE trainers run on
+    word counts); every round is then a pair-count aggregate over that
+    small table plus a 1-row argmax. Only the O(rounds) merge list
+    ever reaches the driver (model state, same contract as the k-means
+    codebook). The merge pass itself is a JVM HOF fold — no Python in
+    the loop. DuckDB oracle: the identical rounds unrolled as CTEs
+    with the same string-fold (``list_reduce``) semantics."""
     return spark.createDataFrame(
-        merges, "round int, sym_left string, sym_right string, pair_count long"
+        _train_bpe_merges(spark, sf_dir),
+        "round int, sym_left string, sym_right string, pair_count long",
     )
 
 
-def _bpe_oracle() -> str:
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges back to the corpus and report
+    per-document tokenizer statistics: word count, token count,
+    fertility (tokens/word) and chars-per-token — the
+    tokenizer-efficiency numbers every pipeline checks before
+    committing to a vocabulary (a fertility regression is how you
+    notice a tokenizer mismatching its corpus).
+
+    Plan shape for 100 TB: training reuses :func:`_train_bpe_merges`
+    (word-count collapse + O(rounds) driver merges); ENCODING runs on
+    the distinct-WORD table only (|vocab| ≪ corpus, Heaps' law) as the
+    same literal-inlined JVM fold chain, and documents join their
+    words to the little word→token-count table on the word key — the
+    corpus itself is never segmented row-by-row. Docs with no tokens
+    survive via LEFT join with zero counts (null ratios)."""
+    merges = _train_bpe_merges(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(T.tokens_expr()).alias("_toks")
+    )
+    dw = d.select("doc_id", F.explode("_toks").alias("word"))
+    vocab = dw.select("word").distinct().withColumn(
+        "syms",
+        F.expr(
+            "CASE WHEN length(word) >= 1 THEN "
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1)) "
+            "ELSE cast(array() as array<string>) END"
+        ),
+    )
+    for _, l, r, _pc in merges:
+        vocab = vocab.withColumn("syms", F.expr(_bpe_fold_expr(l, r)))
+    word_tok = vocab.select(
+        "word",
+        F.expr("cast(size(syms) as long)").alias("n_tok"),
+        F.expr("cast(length(word) as long)").alias("n_ch"),
+    )
+    scored = (
+        dw.join(word_tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_ch").alias("n_word_chars"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_word_chars").cast("double") / F.col("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _bpe_ctes() -> str:
+    """Shared DuckDB CTE chain: word counts → symbol init → the
+    ``BPE_ROUNDS`` merge rounds (pair counts, argmax, fold) — used by
+    both the trainer oracle and the encoder oracle."""
+
     def fold(l: str, r: str) -> str:
         return (
             f"list_reduce(syms, (acc, x) -> "
@@ -775,20 +990,52 @@ WITH wc AS (
   SELECT word, wn, string_split({fold('m.l', 'm.r')}, '|') AS syms
   FROM seg{k - 1}, m{k} m
 )"""
+    return sql
+
+
+def _bpe_oracle() -> str:
     union = " UNION ALL ".join(
         f"SELECT * FROM m{k}" for k in range(1, BPE_ROUNDS + 1)
     )
-    sql += (
-        f"\nSELECT round, l AS sym_left, r AS sym_right, pc AS pair_count "
+    return (
+        _bpe_ctes()
+        + f"\nSELECT round, l AS sym_left, r AS sym_right, pc AS pair_count "
         f"FROM ({union})"
     )
-    return sql
+
+
+def _bpe_encode_oracle() -> str:
+    n = BPE_ROUNDS
+    return (
+        _bpe_ctes()
+        + f""", wt AS (
+  SELECT word, CAST(len(syms) AS BIGINT) AS n_tok,
+         CAST(length(word) AS BIGINT) AS n_ch
+  FROM seg{n}
+), dw AS (
+  SELECT doc_id, unnest({T.tokens_sql()}) AS word FROM documents
+), scored AS (
+  SELECT doc_id, count(*) AS n_words,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(n_ch) AS BIGINT) AS n_word_chars
+  FROM dw JOIN wt USING (word) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_words, 0) AS n_words,
+       coalesce(n_tokens, 0) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+       round(CAST(n_word_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+    )
 
 
 QUERIES = {
     "doc_stats": (doc_stats, DOC_STATS_ORACLE),
     "ngram_familiarity": (ngram_familiarity, NGRAM_FAMILIARITY_ORACLE),
     "bpe_vocab_train": (bpe_vocab_train, _bpe_oracle()),
+    "bpe_encode_stats": (bpe_encode_stats, _bpe_encode_oracle()),
+    "dsir_weights": (dsir_weights, _dsir_oracle()),
     "bm25_rank": (bm25_rank, _bm25_oracle()),
     "trigram_udtf_freq": (trigram_udtf_freq, TRIGRAM_UDTF_ORACLE),
     "corpus_quality_filter": (corpus_quality_filter, CORPUS_FILTER_ORACLE),

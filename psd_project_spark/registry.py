@@ -16,75 +16,80 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness driver only checks the FIRST 50 registry entries (in
 # iteration order), so ordering is part of the verification contract.
-# Round-3 rotation: positions 1-31 are the 29 queries never checked by
-# the driver in rounds 1-2 (registry minus r01∪r02 windows) plus the
-# two round-1 hash failures whose oracle-typing casts landed in commit
-# c818c16 but were never driver-re-verified (q12_late_shipment_priority,
-# value_outliers); then the eight round-3 additions (also never
-# checked).  The remaining slots re-verify the highest-value
-# representatives (the reference risk surface + one per extension
-# family).  With this window green, every registry query EXCEPT the
-# eight r01/r02-green rows that made room (portfolio_projection,
-# value_histogram, alert_counts, measures_window_np, measures_window,
-# stream_stream_join, kmeans_embeddings, dedup_embedding_1nn — the
-# last two pinned at sf0.1 by their own tests) has a driver row this
-# round, and every query has one across rounds.
+# Round-4 rotation (VERDICT r03 "Next round" #1): positions 1-11 are
+# the 11 queries whose modules were refactored in round 3
+# (codebook-kernel ports + _minhash_pairs refactor) but sat outside
+# the r03 window — their driver rows predate the current code.
+# Positions 12-22 are round 4's behavior-changed/new queries (approx
+# table_profile + exact opt-in, bare-id semantic_dedup pair stage,
+# transient-cache conversions, BPE empty-word guard, cell-kernel cid
+# mapping, extracted _pair_band_candidates). Positions 23-43 are the
+# remaining queries of every module touched this round
+# (analytics_extra, text_analysis, text_curation — functions
+# untouched, but the r03 criterion counts module-level change, so
+# their rows are re-earned against current bytes). The final 7 slots
+# re-verify the reference risk surface. Outside the window, only
+# queries in files untouched since their last green row remain
+# (streaming/jobs.py, behavior.py, timeseries.py, sources/*, … — r03
+# rows current; `git diff 6a344be..HEAD` touches none of them).
 _PRIORITY = (
-    # -- never driver-checked (rounds 1-2) ---------------------------
+    # -- r03-refactored, driver rows stale (VERDICT #1) --------------
+    "ivf_ann_cosine",
+    "kmeans_embeddings",
+    "knn_cosine",
+    "embedding_centroids",
+    "dedup_embedding_1nn",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_canonical",
+    "decontaminate_ngrams",
+    # -- round-4 behavior-changed / new ------------------------------
     "table_profile",
-    "incremental_rollup",
-    "weighted_median",
-    "part_price_quartiles",
-    "vector_quantize_int8",
-    "mad_by_type",
-    "resample_ffill",
-    "ewma_user_value",
-    "partitioned_parquet_roundtrip",
-    "fuzzy_name_match",
-    "hourly_top_spenders",
-    "rolling_dau",
-    "retention_cohorts",
-    "event_transitions",
-    "compression_ratio",
+    "table_profile_exact",
+    "semantic_dedup",
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "dedup_exact_then_minhash",
+    "cross_dedup_minhash",
+    "ann_lsh_cosine",
+    "bpe_vocab_train",
+    "bpe_encode_stats",
+    "dsir_weights",
+    "ngram_familiarity",
+    "boilerplate_screen",
+    # -- rest of the modules touched in round 4 ----------------------
+    "doc_stats",
+    "bm25_rank",
     "trigram_udtf_freq",
     "corpus_quality_filter",
     "curation_pipeline",
-    "dedup_embedding_lsh",
-    "json_props_stats",
-    "props_variant_stats",
-    "approx_distinct_users",
-    "approx_price_quantiles",
-    "orders_by_month",
-    "customer_name_parse",
-    "distinct_users_per_type",
-    "hll_reach_rollup",
-    "psd_samples_source",
-    "alert_log_roundtrip",
-    # -- cast-fixed in round 2, pending driver re-verification -------
-    "q12_late_shipment_priority",
-    "value_outliers",
-    # -- round-3 additions (never driver-checked, by definition) -----
-    "semantic_dedup",
-    "cross_dedup_minhash",
-    "ngram_familiarity",
-    "source_mix_rebalance",
-    "bpe_vocab_train",
-    "dedup_exact_then_minhash",
-    "boilerplate_screen",
-    "quality_features",
-    # -- re-verification: reference risk surface (SURVEY §2.1-2.8) ---
-    "measures_agg",
-    "alerts_batch",
-    "measures_window_stream",
-    # -- re-verification: one per extension family -------------------
-    "dedup_minhash_lsh",
-    "ann_lsh_cosine",
+    "lang_id",
+    "token_freq",
+    "tfidf_top_terms",
     "doc_fingerprint",
+    "doc_chunking",
     "pii_redact",
-    "media_features",
-    "k_anonymity_release",
-    "events_time_windows",
-    "nearest_view_lag",
+    "quality_features",
+    "repetition_metrics",
+    "funnel_conversion",
+    "incremental_rollup",
+    "mad_by_type",
+    "moment_stats",
+    "part_price_quartiles",
+    "value_outliers",
+    "vector_quantize_int8",
+    "weighted_median",
+    # -- re-verification: reference risk surface (SURVEY §2.1-2.8).
+    # measures_agg / alerts_batch hold r03-green rows over unchanged
+    # risk.py, so the round-4 additions take their slots; these five
+    # carry r02 rows over files untouched since.
+    "measures_window",
+    "measures_window_np",
+    "alert_counts",
+    "portfolio_projection",
+    "value_histogram",
 )
 
 _MODULES = (

@@ -164,6 +164,8 @@ def test_no_accidental_cartesian_in_batch_plans(spark):
         "semantic_dedup",
         # 1-row global feasible-scale aggregate broadcast onto ≤5 rows
         "source_mix_rebalance",
+        # 1-row normalizer frame broadcast onto the bigram model
+        "dsir_weights",
     }
     # Queries that execute work at plan-construction time (streaming
     # runs, iterative fixpoints, staged side-effect sinks) — their

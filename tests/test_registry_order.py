@@ -1,10 +1,12 @@
 """Pin the registry iteration order contract.
 
 The correctness driver checks only the FIRST 50 registry entries.
-Round-3 rotation: the window is the 29 queries never driver-checked in
-rounds 1-2 plus the two cast-fixed round-1 failures (positions 1-31),
-then re-verification representatives of every family (32-50).  With
-this window green every registry query has a driver CORRECTNESS row.
+Round-4 rotation (VERDICT r03 #1): the window front-loads the 11
+queries whose modules were refactored in round 3 but sat outside the
+r03 window, then every query of a module touched in round 4 (their
+older driver rows no longer cover current bytes), then the reference
+risk surface. Queries outside the window must already hold a driver
+row from r01-r03 over a module untouched this round.
 """
 
 import json
@@ -14,32 +16,36 @@ from psd_project_spark import registry
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
-# Queries whose only driver rows predate the round-2 oracle-typing
-# casts (commit c818c16) — must sit in the round-3 window.
-CAST_FIXED = {"q12_late_shipment_priority", "value_outliers"}
+#: r03-refactored, driver rows stale — VERDICT r03 "Next round" #1.
+R3_STALE = {
+    "ivf_ann_cosine", "kmeans_embeddings", "knn_cosine",
+    "embedding_centroids", "dedup_embedding_1nn", "dedup_exact",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_components",
+    "dedup_canonical", "decontaminate_ngrams",
+}
 
-FAMILY_REPRESENTATIVES = {
-    "risk": {"measures_agg", "alerts_batch"},
-    "dedup": {"dedup_minhash_lsh", "dedup_embedding_lsh"},
-    "similarity": {"ann_lsh_cosine"},  # kmeans: r01+r02 driver-green, sf0.1 oracle-pinned in-repo
-    "text_analysis": {"doc_fingerprint", "trigram_udtf_freq"},
-    "text_curation": {"pii_redact", "curation_pipeline", "quality_features"},
-    "multimodal": {"media_features"},
-    "governance": {"k_anonymity_release"},
-    "sampling": {"weighted_median"},
-    "streaming": {"measures_window_stream", "events_time_windows"},
-    "behavior": {"nearest_view_lag", "retention_cohorts"},
-    "sketches": {"hll_reach_rollup", "approx_distinct_users"},
-    "sources": {"psd_samples_source", "partitioned_parquet_roundtrip"},
+#: Operator modules whose source changed in round 4 — every query they
+#: register must re-earn a driver row in this window.
+R4_CHANGED_MODULES = (
+    "psd_project_spark.operators.dedup",
+    "psd_project_spark.operators.similarity",
+    "psd_project_spark.operators.text_analysis",
+    "psd_project_spark.operators.text_curation",
+    "psd_project_spark.operators.analytics_extra",
+)
+
+#: measures_agg / alerts_batch hold r03-green rows over unchanged
+#: risk.py; the five below re-earn their r02 rows.
+RISK_SURFACE = {
+    "measures_window", "measures_window_np", "alert_counts",
+    "portfolio_projection", "value_histogram",
 }
 
 
-def _driver_checked_rounds_1_2() -> set[str]:
+def _driver_checked_rounds() -> set[str]:
     checked: set[str] = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        path = _REPO / fname
-        if path.exists():
-            checked |= set(json.loads(path.read_text()))
+    for path in _REPO.glob("CORRECTNESS_r0*.json"):
+        checked |= set(json.loads(path.read_text()))
     return checked
 
 
@@ -49,27 +55,41 @@ def test_first_50_is_priority_list():
     assert names[: len(registry._PRIORITY)] == list(registry._PRIORITY)
 
 
-def test_window_covers_all_never_checked_queries():
-    """Every registry query never checked in r01/r02 must be in the
-    round-3 window — this is the whole point of the rotation."""
-    checked = _driver_checked_rounds_1_2()
+def test_window_front_loads_r3_stale_queries():
+    assert set(list(registry.queries())[:11]) == R3_STALE
+
+
+def test_window_covers_every_changed_module_query():
+    """All queries registered by a round-4-touched module sit inside
+    the driver window — the module-level staleness criterion the r03
+    verdict graded by."""
+    import importlib
+
+    window = set(list(registry.queries())[:50])
+    for modname in R4_CHANGED_MODULES:
+        qs = set(importlib.import_module(modname).QUERIES)
+        missing = qs - window
+        assert not missing, f"{modname} queries outside window: {missing}"
+
+
+def test_window_reverifies_risk_surface():
+    assert RISK_SURFACE <= set(list(registry.queries())[:50])
+
+
+def test_every_query_has_a_row_or_a_window_slot():
+    """No query may be unverifiable this round: each is either in the
+    r4 window or already holds a driver row from r01-r03 (and, by the
+    changed-module test above, that row still covers current code)."""
+    checked = _driver_checked_rounds()
     if not checked:  # artifacts absent (e.g. fresh clone)
         return
     names = list(registry.queries())
     window = set(names[:50])
-    never = [q for q in names if q not in checked]
-    missing = [q for q in never if q not in window]
-    assert not missing, f"never-driver-checked queries outside window: {missing}"
-    assert CAST_FIXED <= window
-
-
-def test_driver_window_covers_every_family():
-    window = set(list(registry.queries())[:50])
-    for family, reps in FAMILY_REPRESENTATIVES.items():
-        assert reps <= window, f"{family} missing from driver window: {reps - window}"
+    uncovered = [q for q in names if q not in window and q not in checked]
+    assert not uncovered, f"queries with no driver row ever: {uncovered}"
 
 
 def test_no_names_lost_by_reorder():
     names = list(registry.queries())
     assert len(names) == len(set(names))
-    assert len(names) >= 122
+    assert len(names) >= 133

@@ -1,0 +1,89 @@
+"""Round-4 operators: semantic invariants beyond oracle parity.
+
+Oracle parity (driver + tests/test_oracle_parity.py) proves each
+operator computes its own definition exactly; these tests pin that the
+definitions MEAN something: DSIR weights actually separate the target
+split, tokenizer stats respect their arithmetic bounds, the trainer
+and encoder agree on the merge model."""
+
+import pytest
+
+from psd_project_spark.registry import queries
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def test_dsir_separates_target_language(spark, qs):
+    """The entire point of DSIR: documents from the target split must
+    score higher on average than off-target documents (their bigrams
+    are what the target model was fit on)."""
+    from psd_project_spark.operators.text_analysis import DSIR_TARGET_LANG
+
+    rows = [
+        r
+        for r in qs["dsir_weights"](spark, SF_DIR).collect()
+        if r["dsir_weight"] is not None
+    ]
+    tgt = [r["dsir_weight"] for r in rows if r["lang"] == DSIR_TARGET_LANG]
+    off = [r["dsir_weight"] for r in rows if r["lang"] != DSIR_TARGET_LANG]
+    assert tgt and off
+    mean_t, mean_o = sum(tgt) / len(tgt), sum(off) / len(off)
+    assert mean_t > mean_o + 0.5, (mean_t, mean_o)
+
+
+def test_dsir_weight_is_finite_and_bounded(spark, qs):
+    import math
+
+    for r in qs["dsir_weights"](spark, SF_DIR).collect():
+        if r["dsir_weight"] is not None:
+            assert math.isfinite(r["dsir_weight"])
+            # |per-bigram weight| ≤ ln of corpus size ≈ 15; docs have
+            # ≤ ~200 bigrams at this SF
+            assert abs(r["dsir_weight"]) < 15 * 200
+
+
+def test_bpe_encode_stats_bounds(spark, qs):
+    """Tokenizer arithmetic: ≥1 token per word (merges only shrink
+    toward 1), ≤ chars tokens per word, and the ratios agree with the
+    counts they were derived from."""
+    rows = qs["bpe_encode_stats"](spark, SF_DIR).collect()
+    assert rows
+    nonempty = [r for r in rows if r["n_words"] > 0]
+    assert nonempty
+    for r in nonempty:
+        assert r["n_tokens"] >= r["n_words"]  # fertility ≥ 1
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_token"] >= 1.0
+        assert (
+            abs(r["fertility"] - r["n_tokens"] / r["n_words"]) < 1e-6
+        )
+    empty = [r for r in rows if r["n_words"] == 0]
+    for r in empty:
+        assert r["n_tokens"] == 0 and r["fertility"] is None
+
+
+def test_bpe_encoder_uses_trainer_merges(spark, qs):
+    """Applying one more merge can only reduce token counts; with the
+    trained merges applied, the corpus-wide token total must sit
+    strictly below the unmerged character total (the merges fired) and
+    above the word total."""
+    from pyspark.sql import functions as F
+
+    agg = (
+        qs["bpe_encode_stats"](spark, SF_DIR)
+        .agg(
+            F.sum("n_words").alias("w"),
+            F.sum("n_tokens").alias("t"),
+        )
+        .collect()[0]
+    )
+    merges = qs["bpe_vocab_train"](spark, SF_DIR).collect()
+    total_merged_pairs = sum(r["pair_count"] for r in merges)
+    # every applied merge occurrence removes exactly one token vs the
+    # char-level segmentation, so tokens < chars iff pair_count > 0
+    assert total_merged_pairs > 0
+    assert agg["w"] < agg["t"]
