@@ -58,6 +58,11 @@ QUERIES = [
     # embedding battery
     "semantic_dedup",
     "dedup_embedding_lsh",
+    # round-4: sketch profiler, fixpoint composition, model-table ops
+    "table_profile",
+    "dedup_canonical",
+    "dsir_weights",
+    "bpe_encode_stats",
 ]
 
 
