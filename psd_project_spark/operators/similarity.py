@@ -832,8 +832,165 @@ def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
 
 KMEANS_ORACLE = _kmeans_oracle_sql()
 
+# --- ann_index_export (bucket-partitioned ANN index + pruned probe) ----------
+
+def _ann_index_dir(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # layout version suffix: a stale dir from an older index layout
+    # must never satisfy the _SUCCESS check
+    return (
+        f"/tmp/psd_spark_sink/{key}/ann_lsh_index_"
+        f"{PAIR_N_BANDS}x{PAIR_BAND_BITS}_ibkey"
+    )
+
+
+def ann_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORAGE half of the ANN design claim, made real: persist the
+    banded-LSH index as parquet PARTITIONED BY ``(band, bkey)`` — the
+    bucket key IS the directory key — then answer the probe set by
+    reading back with literal partition predicates, so each query
+    touches only its ``PAIR_N_BANDS`` buckets out of
+    ``PAIR_N_BANDS × 2^PAIR_BAND_BITS`` at file-listing time
+    (``PartitionFilters``, pinned by
+    tests/test_plan_shapes.py::test_ann_index_probe_prunes_partitions).
+    At 100 TB this is exactly an IVF/LSH vector-index layout on object
+    storage: a probe reads nprobe/nbuckets of the data and nothing
+    else. Returns top-``ANN_TOP_K`` neighbors per query, identical
+    semantics to an unpartitioned band join (the DuckDB oracle is that
+    join).
+
+    Candidate discipline: the pruned scan joins bare (query, vec) id
+    pairs first, dedupes across bands, THEN fetches vectors (the
+    `_minhash_pairs` shape)."""
+    from functools import reduce
+
+    e = _embeddings(spark, sf_dir)
+    path = _ann_index_dir(sf_dir)
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        sigs = e.select("vec_id", "_v", _pair_sig_udf(F.col("_v")).alias("sig"))
+        # bucket key stored as the band's INTEGER value — directory
+        # names stay typed (partition-value inference on a '0'/'1'
+        # string would silently parse it as a zero-stripped int)
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        f"CAST(conv(substring(sig, {1 + PAIR_BAND_BITS * b},"
+                        f" {PAIR_BAND_BITS}), 2, 10) AS INT)"
+                    ).alias("bkey"),
+                )
+                for b in range(PAIR_N_BANDS)
+            ]
+        )
+        (
+            sigs.select("vec_id", "_v", F.explode(bands).alias("bb"))
+            .select("vec_id", "_v", "bb.band", "bb.bkey")
+            # co-locate each bucket into one file before the
+            # partitioned write: 32 tasks × ~1000 dirs of tiny files
+            # otherwise (the classic partitioned-write smallfile trap)
+            .repartition(16, "band", "bkey")
+            .write.mode("overwrite")
+            .partitionBy("band", "bkey")
+            .parquet(path)
+        )
+    # The probe set is model state (N_QUERIES rows): its band keys are
+    # computed once driver-side so the read-back filter is LITERAL
+    # equality on the partition columns — prunable at file listing,
+    # no dynamic pruning machinery required.
+    qsig = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "_v", _pair_sig_udf(F.col("_v")).alias("sig"))
+        .collect()
+    )
+    probes = [
+        (
+            int(r["vec_id"]),
+            b,
+            int(r["sig"][PAIR_BAND_BITS * b: PAIR_BAND_BITS * (b + 1)], 2),
+        )
+        for r in qsig
+        for b in range(PAIR_N_BANDS)
+    ]
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, band int, bkey int"
+    )
+    back = spark.read.parquet(path)
+    prune = reduce(
+        lambda a, c: a | c,
+        [
+            (F.col("band") == b) & (F.col("bkey") == k)
+            for _, b, k in probes
+        ],
+    )
+    cand = (
+        back.filter(prune)
+        .join(F.broadcast(probe_df), ["band", "bkey"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = {int(r["vec_id"]): r["_v"] for r in qsig}
+    qv_df = F.broadcast(
+        spark.createDataFrame(
+            [(q, list(map(float, v))) for q, v in qv.items()],
+            "query_id long, _vq array<double>",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cand.join(e.select("vec_id", "_v"), "vec_id")
+        .join(qv_df, "query_id")
+        .withColumn("cosine", V.cosine_q(F.col("_vq"), F.col("_v")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+ANN_INDEX_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
+), {V.bucket_cte_sql(PAIR_SIG_PLANES)}, bands AS (
+  SELECT vec_id, g.b AS band,
+         substring(sig, 1 + {PAIR_BAND_BITS} * g.b, {PAIR_BAND_BITS}) AS bkey
+  FROM sigs, generate_series(0, {PAIR_N_BANDS - 1}) AS g(b)
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, x.vec_id
+  FROM bands q JOIN bands x
+    ON q.band = x.band AND q.bkey = x.bkey AND q.vec_id != x.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         {V.cosine_sql('eq.v', 'ex.v')} AS cosine
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e ex ON ex.vec_id = c.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_TOP_K}
+"""
+
+
 QUERIES = {
     "knn_cosine": (knn_cosine, KNN_ORACLE),
+    "ann_index_export": (ann_index_export, ANN_INDEX_ORACLE),
     "ann_lsh_cosine": (ann_lsh_cosine, ANN_ORACLE),
     "ivf_ann_cosine": (ivf_ann_cosine, IVF_ORACLE),
     "embedding_centroids": (embedding_centroids, CENTROIDS_ORACLE),

@@ -54,6 +54,7 @@ _PRIORITY = (
     "dedup_exact_then_minhash",
     "cross_dedup_minhash",
     "ann_lsh_cosine",
+    "ann_index_export",
     "bpe_vocab_train",
     "bpe_encode_stats",
     "dsir_weights",
@@ -89,7 +90,6 @@ _PRIORITY = (
     "measures_window_np",
     "alert_counts",
     "portfolio_projection",
-    "value_histogram",
 )
 
 _MODULES = (

@@ -174,6 +174,7 @@ def test_no_accidental_cartesian_in_batch_plans(spark):
                      "events_time_windows")
     skip_exact = {
         "dedup_components", "dedup_canonical", "kmeans_embeddings",
+        "ann_index_export",
         "partitioned_parquet_roundtrip", "training_shard_export",
         "events_jsonl_source", "lineitem_orc_source", "media_resize",
         "compression_ratio", "media_features", "frame_sample",
@@ -292,3 +293,14 @@ def test_transient_caches_released_on_next_query_entry(spark):
     assert caching._TRANSIENT == []
     for df in cached_before:
         assert not df.storageLevel.useMemory  # actually unpersisted
+
+
+def test_ann_index_probe_prunes_partitions(spark):
+    """ann_index_export's read-back must prune to the probe buckets at
+    file-listing time — (band, bkey) IS the storage key, which is the
+    100 TB ANN-index layout claim made testable."""
+    from psd_project_spark.operators.similarity import ann_index_export
+
+    df = ann_index_export(spark, SF_DIR)
+    pf = partition_filters(df)
+    assert any("band" in f and "bkey" in f for f in pf), pf

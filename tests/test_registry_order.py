@@ -38,7 +38,7 @@ R4_CHANGED_MODULES = (
 #: risk.py; the five below re-earn their r02 rows.
 RISK_SURFACE = {
     "measures_window", "measures_window_np", "alert_counts",
-    "portfolio_projection", "value_histogram",
+    "portfolio_projection",
 }
 
 
@@ -92,4 +92,4 @@ def test_every_query_has_a_row_or_a_window_slot():
 def test_no_names_lost_by_reorder():
     names = list(registry.queries())
     assert len(names) == len(set(names))
-    assert len(names) >= 133
+    assert len(names) >= 134
