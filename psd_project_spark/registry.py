@@ -82,14 +82,19 @@ _PRIORITY = (
     "value_outliers",
     "vector_quantize_int8",
     "weighted_median",
+    # -- streaming: the new round-4 query plus the two highest-value
+    # re-verifications of the module it was added to (streaming/jobs.py
+    # changed additively this round; the remaining stream_* queries
+    # hold r02/r03 rows, their functions' bytes are untouched, and
+    # tests/test_streaming.py re-verifies them continuously)
+    "stream_ingest_dedup",
+    "measures_window_stream",
+    "events_time_windows",
     # -- re-verification: reference risk surface (SURVEY §2.1-2.8).
-    # measures_agg / alerts_batch hold r03-green rows over unchanged
-    # risk.py, so the round-4 additions take their slots; these five
-    # carry r02 rows over files untouched since.
+    # risk.py is unchanged this round; measures_agg / alerts_batch hold
+    # r03-green rows and the other window forms carry r02 rows over
+    # unchanged files — one representative re-earns its slot.
     "measures_window",
-    "measures_window_np",
-    "alert_counts",
-    "portfolio_projection",
 )
 
 _MODULES = (

@@ -464,6 +464,108 @@ FROM p JOIN v
 """
 
 
+# --- stream_ingest_dedup -----------------------------------------------------
+
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion near-dup screen — the micro-batch form of
+    the LLM pipeline's "dedup the new crawl against the existing
+    corpus" step, and the streaming twin of
+    :func:`~psd_project_spark.operators.dedup.cross_dedup_minhash`
+    (same split, same semantics, SAME oracle): documents of the eval
+    split (``doc_id % 50 == 0``) arrive as a file STREAM, are
+    MinHash-banded per micro-batch, and probe the STATIC band table of
+    the existing corpus via a stream-static equi-join; candidates are
+    deduped with keyed streaming state and verified by exact shingle
+    Jaccard against the static signature table.
+
+    Plan shape for 100 TB: the arriving batch is small by definition —
+    its banding and payload ride the stream side, while the corpus
+    side stays a STATIC table joined on the band key (at scale: a
+    bucketed signature index, so each micro-batch probes matching
+    buckets only — the ``ann_index_export`` layout applied to
+    MinHash). State is one dedup key per candidate pair. The final
+    zero-preserving left join against the eval roster is batch — the
+    streamed aggregate is the heavy part."""
+    from psd_project_spark.functions import text as T
+    from psd_project_spark.functions.caching import transient_cache
+    from psd_project_spark.functions.text_udfs import (
+        minhash_sig_udf,
+        shingles_udf,
+    )
+    from psd_project_spark.operators.dedup import _band_frame, _with_signatures
+    from psd_project_spark.sources.registry import load_table
+
+    ensure_conf(spark)
+    is_eval = F.col("doc_id") % 50 == 0
+    # static side: the existing corpus's bands + signatures
+    sigs = transient_cache(
+        _with_signatures(load_table(spark, sf_dir, "documents"), spark)
+    )
+    train = sigs.filter(~is_eval)
+    tb = _band_frame(train).select(
+        F.col("doc_id").alias("doc_train"), "band_id", "band_key"
+    )
+    st = train.select(
+        F.col("doc_id").alias("doc_train"), F.col("_sh").alias("_sht")
+    )
+    # stream side: the arriving split
+    d = _stream_dir(sf_dir, "documents")
+    schema = spark.read.parquet(d).schema
+    arriving = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .filter(is_eval)
+        .withColumn("_sh", shingles_udf(F.col("text")))
+        .withColumn("_sig", minhash_sig_udf(F.col("_sh")))
+        .select("doc_id", "_sh", "_sig")
+    )
+    sbands = arriving.select(
+        F.col("doc_id").alias("doc_eval"),
+        F.col("_sh").alias("_she"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, {nb}), b -> struct(b AS band_id, {key} AS band_key))".format(
+                    nb=T.LSH_BANDS - 1, key=T.band_key_expr("_sig", "b")
+                )
+            )
+        ).alias("band"),
+    ).select("doc_eval", "_she", "band.band_id", "band.band_key")
+    jac = F.round(F.expr(T.exact_jaccard_expr("_sht", "_she")), 6)
+    agg = (
+        sbands.join(tb, ["band_id", "band_key"])  # stream-static
+        .select("doc_eval", "doc_train", "_she")
+        .dropDuplicates(["doc_eval", "doc_train"])  # keyed dedup state
+        .join(st, "doc_train")
+        .withColumn("jac", jac)
+        .groupBy("doc_eval")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("jac") >= T.JACCARD_THRESHOLD).cast("long")).alias(
+                "n_near_dups"
+            ),
+            F.max("jac").alias("max_jaccard"),
+        )
+    )
+    mem = run_stream_to_memory(agg, mode="complete")
+    evals = (
+        load_table(spark, sf_dir, "documents")
+        .filter(is_eval)
+        .select(F.col("doc_id").alias("doc_eval"))
+    )
+    return evals.join(mem, "doc_eval", "left").select(
+        "doc_eval",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+    )
+
+
+def _stream_ingest_oracle() -> str:
+    from psd_project_spark.operators.dedup import CROSS_DEDUP_ORACLE
+
+    return CROSS_DEDUP_ORACLE
+
+
 QUERIES = {
     "measures_window_stream": (measures_window_stream, MEASURES_WINDOW_ORACLE),
     "alerts_stream": (alerts_stream, _alerts_oracle()),
@@ -471,6 +573,7 @@ QUERIES = {
     "stream_dedup_users": (stream_dedup_users, STREAM_DEDUP_ORACLE),
     "stream_session_windows": (stream_session_windows, STREAM_SESSIONS_ORACLE),
     "stream_stream_join": (stream_stream_join, STREAM_STREAM_JOIN_ORACLE),
+    "stream_ingest_dedup": (stream_ingest_dedup, _stream_ingest_oracle()),
 }
 
 try:  # TWS state-server client needs protobuf; absent from this container

@@ -34,11 +34,15 @@ R4_CHANGED_MODULES = (
     "psd_project_spark.operators.analytics_extra",
 )
 
-#: measures_agg / alerts_batch hold r03-green rows over unchanged
-#: risk.py; the five below re-earn their r02 rows.
-RISK_SURFACE = {
-    "measures_window", "measures_window_np", "alert_counts",
-    "portfolio_projection",
+#: risk.py is unchanged this round (measures_agg / alerts_batch hold
+#: r03-green rows); one window-form representative re-earns its slot.
+RISK_SURFACE = {"measures_window"}
+
+#: streaming/jobs.py gained stream_ingest_dedup this round (additive):
+#: the new query plus the two highest-value re-verifications must be
+#: windowed.
+STREAMING_WINDOW = {
+    "stream_ingest_dedup", "measures_window_stream", "events_time_windows",
 }
 
 
@@ -73,7 +77,9 @@ def test_window_covers_every_changed_module_query():
 
 
 def test_window_reverifies_risk_surface():
-    assert RISK_SURFACE <= set(list(registry.queries())[:50])
+    window = set(list(registry.queries())[:50])
+    assert RISK_SURFACE <= window
+    assert STREAMING_WINDOW <= window
 
 
 def test_every_query_has_a_row_or_a_window_slot():
@@ -92,4 +98,4 @@ def test_every_query_has_a_row_or_a_window_slot():
 def test_no_names_lost_by_reorder():
     names = list(registry.queries())
     assert len(names) == len(set(names))
-    assert len(names) >= 134
+    assert len(names) >= 135
