@@ -90,11 +90,11 @@ _PRIORITY = (
     "stream_ingest_dedup",
     "measures_window_stream",
     "events_time_windows",
-    # -- re-verification: reference risk surface (SURVEY §2.1-2.8).
-    # risk.py is unchanged this round; measures_agg / alerts_batch hold
-    # r03-green rows and the other window forms carry r02 rows over
-    # unchanged files — one representative re-earns its slot.
-    "measures_window",
+    # risk.py is unchanged this round (measures_agg / alerts_batch
+    # hold r03-green rows; the other forms r02 rows over unchanged
+    # files, continuously pytest-verified) — the last slot goes to the
+    # never-checked round-4 sketch query instead of a re-verification.
+    "cms_heavy_hitters",
 )
 
 _MODULES = (
@@ -115,6 +115,7 @@ _MODULES = (
     "psd_project_spark.operators.multimodal",
     "psd_project_spark.operators.scalar_functions",
     "psd_project_spark.operators.sketches",
+    "psd_project_spark.operators.freq_sketch",
     "psd_project_spark.operators.skew",
     "psd_project_spark.sources.jsonl",
     "psd_project_spark.sources.orc",

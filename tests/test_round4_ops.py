@@ -87,3 +87,27 @@ def test_bpe_encoder_uses_trainer_merges(spark, qs):
     # char-level segmentation, so tokens < chars iff pair_count > 0
     assert total_merged_pairs > 0
     assert agg["w"] < agg["t"]
+
+
+def test_cms_overestimate_bound(spark, qs):
+    """CMS guarantees: never underestimates; overestimate of any probed
+    token is at most the total count mass over the width (loose
+    deterministic bound: every colliding token adds its full count;
+    with d rows the min cuts it further — assert the classical
+    2N/w envelope with margin)."""
+    from pyspark.sql import functions as F
+
+    from psd_project_spark.functions import text as T
+    from psd_project_spark.operators.freq_sketch import CMS_W
+    from psd_project_spark.sources.registry import load_table
+
+    rows = qs["cms_heavy_hitters"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    total = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.expr(T.tokens_expr())).alias("t"))
+        .count()
+    )
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"]
+        assert r["cms_n"] - r["exact_n"] <= 2 * total / CMS_W, r
