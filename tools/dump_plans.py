@@ -17,6 +17,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SHOWCASE = [
     (
+        "table_profile",
+        "Exact stats as one plain codegen aggregate (no Expand); "
+        "distincts via the deterministic-HLL MapInPandas kernel whose "
+        "output is register partials — the shuffle carries (colname, "
+        "reg, rho) sketch rows, never values or distinct sets.",
+    ),
+    (
+        "ann_index_export",
+        "The probe's read-back scan shows PartitionFilters on "
+        "(band, bkey): the LSH bucket key is the physical directory "
+        "key, so each probe lists only its nprobe buckets — the "
+        "100 TB vector-index storage layout, visible in the plan.",
+    ),
+    (
+        "dsir_weights",
+        "Both bigram models in ONE map-side-combined aggregation; the "
+        "only BroadcastNestedLoopJoin is the 1-row normalizer frame; "
+        "scoring is an equi-join on the bigram key plus an integer "
+        "sum — the model is never collected.",
+    ),
+    (
         "q1_pricing_summary",
         "Filter and the 4-column projection reach the parquet scan "
         "(PushedFilters / ReadSchema); single partial+final aggregate.",
