@@ -26,6 +26,18 @@ ADAPTIVE = [
     "dedup_exact_then_minhash",  # collapse stage only has work when dups exist
     "boilerplate_screen",  # cross-doc chunk repeats need the bigger corpus
     "quality_features",    # composite of distribution-dependent features
+    # round 4: fixpoint strategy + pair volume change with graph size
+    "dedup_components",
+    "dedup_canonical",
+    # round 4: sketch register occupancy / linear-counting-vs-raw
+    # branch flips with cardinality; probe bucket volume with corpus
+    "table_profile",
+    "cms_heavy_hitters",
+    "ann_index_export",
+    # round 4: model tables (bigrams / vocab) grow with corpus
+    "dsir_weights",
+    "bpe_encode_stats",
+    "stream_ingest_dedup",
 ]
 
 
