@@ -919,7 +919,28 @@ def ann_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_df = spark.createDataFrame(
         probes, "query_id long, band int, bkey int"
     )
-    back = spark.read.parquet(path)
+    # Probe by PATH: only the probed bucket directories are even
+    # LISTED (a root-scan read re-lists all B·2^r directories per
+    # query — measured 2.3 s of pure file-listing at sf0.1; an object
+    # store makes that worse). basePath keeps the partition columns;
+    # the explicit schema skips the inference pass; the residual
+    # literal filter is belt-and-braces and keeps the partition
+    # pruning visible in the plan (PartitionFilters test).
+    buckets = sorted({(b, k) for _, b, k in probes})
+    bucket_dirs = [
+        f"{path}/band={b}/bkey={k}"
+        for b, k in buckets
+        if os.path.isdir(f"{path}/band={b}/bkey={k}")
+    ]
+    if not bucket_dirs:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    back = (
+        spark.read.option("basePath", path)
+        .schema("vec_id long, _v array<double>, band int, bkey int")
+        .parquet(*bucket_dirs)
+    )
     prune = reduce(
         lambda a, c: a | c,
         [
