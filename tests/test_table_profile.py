@@ -135,3 +135,52 @@ def test_profile_plan_has_no_expand(spark):
     # one pruned scan+distinct per column when Catalyst splits the
     # union) — either way, distinct-value state, no sketch kernel
     assert "MapInPandas" not in exact_plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**64 - 1),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_splitmix_differential_random_u64(xs):
+    """Property form of the fixed-vector spec test: numpy kernel and
+    DuckDB HUGEINT SQL agree on hash/register/rho for arbitrary u64
+    states."""
+    got = _duck_hash(xs)
+    h = HLL.splitmix64_np(np.array(xs, dtype=np.uint64))
+    regs, rhos = HLL.register_np(h), HLL.rho_np(h)
+    assert [int(v) for v in h] == [int(r[0]) for r in got]
+    assert [int(v) for v in regs] == [r[1] for r in got]
+    assert [int(v) for v in rhos] == [r[2] for r in got]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="'\x00"
+            ),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_string_fold_differential_random(strs):
+    """poly_hash_str == DuckDB list_reduce fold for arbitrary unicode
+    (codepoint-based on both sides)."""
+    con = duckdb.connect()
+    got = []
+    for s in strs:
+        q = f"SELECT {HLL.poly_hash_sql('s')} FROM (SELECT ? AS s) t"
+        got.append(int(con.execute(q, [s]).fetchone()[0]))
+    assert got == HLL.poly_hash_str(strs)
