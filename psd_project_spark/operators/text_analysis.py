@@ -728,11 +728,15 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring join; released on next query entry (functions/caching).
     bg = transient_cache(bg)
     # both models in ONE map-side-combined aggregation (a conditional
-    # count instead of a second shuffle + join)
+    # count instead of a second shuffle + join). when/otherwise, not a
+    # bare boolean cast: a NULL lang must count 0 (the oracle's CASE
+    # semantics), not poison the sum to NULL.
     model = bg.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("c_n"),
         F.sum(
-            (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
+            .otherwise(0)
+            .cast("long")
         ).alias("t_n"),
     )
     scalars = model.agg(
