@@ -91,8 +91,8 @@ def splitmix64_np(x):
 
 def poly_hash_str(values) -> "list[int]":
     """Base-31 codepoint fold of each string, mod 2^64 (spec above).
-    Per-row Python — strings are the slow path by design; numerics
-    never touch this."""
+    Per-row Python reference implementation; the kernels use
+    :func:`poly_hash_str_np` (differential-pinned equal)."""
     mask = _U64 - 1
     out = []
     for s in values:
@@ -101,6 +101,42 @@ def poly_hash_str(values) -> "list[int]":
             h = (h * STR_BASE + ord(ch)) & mask
         out.append(h)
     return out
+
+
+#: Above this length the vectorized fold's per-position loop stops
+#: paying; long rows fall back to the reference loop.
+_VEC_MAXLEN = 64
+
+
+def poly_hash_str_np(values):
+    """Vectorized :func:`poly_hash_str`: strings become a fixed-width
+    UTF-32 codepoint matrix (numpy 'U' dtype) and the fold runs one
+    uint64 pass per character POSITION instead of per character —
+    ~len(max) iterations over the whole column. NUL-padded positions
+    are masked out, and rows that actually contain U+0000 (would alias
+    the padding) or exceed ``_VEC_MAXLEN`` take the reference loop.
+    Returns a uint64 array; equality with the reference is pinned by a
+    hypothesis differential."""
+    import numpy as np
+
+    vals = list(values)
+    if not vals:
+        return np.zeros(0, np.uint64)
+    lens = np.array([len(s) for s in vals], np.int64)
+    maxlen = int(lens.max()) if len(lens) else 0
+    has_nul = any("\x00" in s for s in vals)
+    if maxlen == 0:
+        return np.full(len(vals), STR_SEED, np.uint64)
+    if maxlen > _VEC_MAXLEN or has_nul:
+        return np.array(poly_hash_str(vals), np.uint64)
+    arr = np.array(vals, dtype=f"U{maxlen}")
+    codes = arr.view(np.uint32).reshape(len(vals), maxlen).astype(np.uint64)
+    h = np.full(len(vals), STR_SEED, np.uint64)
+    base = np.uint64(STR_BASE)
+    for k in range(maxlen):
+        active = codes[:, k] != 0
+        h = np.where(active, h * base + codes[:, k], h)
+    return h
 
 
 def rho_np(h):

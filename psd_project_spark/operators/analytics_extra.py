@@ -441,7 +441,7 @@ def _profile_sketch_kernel(numeric_cols, string_cols):
                 col = pdf[c].dropna()
                 if not len(col):
                     continue
-                hs = np.array(HLL.poly_hash_str(col.tolist()), np.uint64)
+                hs = HLL.poly_hash_str_np(col.tolist())
                 h = HLL.splitmix64_np(hs)
                 np.maximum.at(regs[c], HLL.register_np(h), HLL.rho_np(h))
         out = []

@@ -45,7 +45,7 @@ def _cms_kernel(batches):
     for pdf in batches:
         if not len(pdf):
             continue
-        h0 = np.array(HLL.poly_hash_str(pdf["token"].tolist()), np.uint64)
+        h0 = HLL.poly_hash_str_np(pdf["token"].tolist())
         n = pdf["n"].to_numpy(np.int64)
         for j in range(CMS_D):
             hj = HLL.splitmix64_np(h0 + np.uint64(j))
@@ -96,7 +96,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            h0 = np.array(HLL.poly_hash_str(pdf["token"].tolist()), np.uint64)
+            h0 = HLL.poly_hash_str_np(pdf["token"].tolist())
             out = []
             for j in range(CMS_D):
                 hj = HLL.splitmix64_np(h0 + np.uint64(j))

@@ -25,6 +25,15 @@ DYNAMIC_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow transfer for the Pandas-UDF slow path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Input-split sizing for LOCAL test SFs: the default 128 MB
+    # partition / 4 MB open-cost pair collapses a 10 MB sf0.1 parquet
+    # into ~3 splits — 3 tasks on a 32-thread box. Smaller splits keep
+    # scan-bound aggregates parallel here (bounded below by the files'
+    # row-group size). At production scale this is sized UP to
+    # executor-memory-sized partitions (~128-256 MB) — the knob exists
+    # to be SIZED to the deployment, not inherited.
+    "spark.sql.files.maxPartitionBytes": "8m",
+    "spark.sql.files.openCostInBytes": "1m",
     # Runtime re-planning: coalesce small shuffle partitions, split skewed
     # ones — the knob that keeps one plan valid from sf0.001 to 100 TB.
     "spark.sql.adaptive.enabled": "true",

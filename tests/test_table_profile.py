@@ -184,3 +184,21 @@ def test_string_fold_differential_random(strs):
         q = f"SELECT {HLL.poly_hash_sql('s')} FROM (SELECT ? AS s) t"
         got.append(int(con.execute(q, [s]).fetchone()[0]))
     assert got == HLL.poly_hash_str(strs)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8"),
+            max_size=80,
+        ),
+        max_size=6,
+    )
+)
+def test_vectorized_fold_matches_reference(strs):
+    """poly_hash_str_np == poly_hash_str for arbitrary unicode,
+    including empties, interior NULs (fallback path) and rows past
+    the vectorization length cap."""
+    got = HLL.poly_hash_str_np(strs)
+    assert [int(v) for v in got] == HLL.poly_hash_str(strs)
