@@ -183,7 +183,15 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = media.select(
         "doc_id",
         F.explode(
-            F.expr(f"sequence(0, cast(_n_frames - 1 as int), {FRAME_STRIDE})")
+            # CASE guard (the BPE/chunking pattern): a zero-byte
+            # payload would make sequence(0, -1, stride) THROW in
+            # Spark, where the oracle's generate_series(0,-1) is
+            # empty. Fixtures have no empty docs; latent otherwise.
+            F.expr(
+                f"CASE WHEN _n_frames >= 1 THEN "
+                f"sequence(0, cast(_n_frames - 1 as int), {FRAME_STRIDE}) "
+                f"ELSE cast(array() as array<int>) END"
+            )
         ).alias("frame_idx"),
         F.col("_payload"),
     )
