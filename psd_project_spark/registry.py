@@ -20,6 +20,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the 11 queries whose modules were refactored in round 3
 # (codebook-kernel ports + _minhash_pairs refactor) but sat outside
 # the r03 window — their driver rows predate the current code.
+# (Two late-round additive-only edits fall outside the full window:
+# streaming/jobs.py gained stream_ingest_dedup — its two highest-value
+# siblings re-window below — and multimodal.py's frame_sample gained a
+# guard on a fixture-unreachable branch (empty payload), re-verified
+# by in-repo oracle parity + a synthetic empty-doc differential; the
+# multimodal driver rows cover byte-identical behavior on driver data.)
 # Positions 12-22 are round 4's behavior-changed/new queries (approx
 # table_profile + exact opt-in, bare-id semantic_dedup pair stage,
 # transient-cache conversions, BPE empty-word guard, cell-kernel cid
