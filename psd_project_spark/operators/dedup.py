@@ -814,6 +814,146 @@ LEFT JOIN per_eval p USING (doc_eval)
 """
 
 
+# --- minhash_index_export ----------------------------------------------------
+
+#: Bounded bucket space per band for the persisted index layout: raw
+#: MinHash band keys are high-cardinality (≈ one per doc), so the
+#: directory key is a hash bucket of the band key — bounded dirs,
+#: same partition-pruning contract as ``ann_index_export``.
+MINHASH_INDEX_BUCKETS = 256
+
+
+def _minhash_index_dir(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # layout-version suffix: stale dirs from older layouts must never
+    # satisfy the _SUCCESS check
+    return (
+        f"/tmp/psd_spark_sink/{key}/minhash_index_"
+        f"{T.LSH_BANDS}x{MINHASH_INDEX_BUCKETS}"
+    )
+
+
+def _with_bucket(bands: DataFrame) -> DataFrame:
+    """(…, band_id, band_key) → + bucket: a bounded hash bucket of the
+    band key. Engine-internal (build and probe compute it with the
+    same xxhash64 — the oracle never sees it, because bucketing is a
+    partition-pruning layer, not semantics: the exact band_key
+    equi-join still decides candidacy)."""
+    return bands.withColumn(
+        "bucket",
+        F.pmod(
+            F.xxhash64("band_key"), F.lit(MINHASH_INDEX_BUCKETS)
+        ).cast("int"),
+    )
+
+
+def minhash_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third sibling of the crawl-vs-corpus near-dup screen — same
+    split, same semantics, SAME oracle as ``cross_dedup_minhash``
+    (batch) and ``stream_ingest_dedup`` (streaming), but probed
+    against a PERSISTED index: the training corpus's MinHash band
+    table is written as parquet partitioned by
+    ``(band_id, bucket)`` — the signature-index layout the streaming
+    screen's docstring promises at scale — and each incoming batch
+    reads ONLY its probe buckets (explicit bucket paths + basePath,
+    the ``ann_index_export`` discipline), then joins on the exact
+    band key within them.
+
+    Plan shape for 100 TB: the index is built once per corpus
+    snapshot (append per crawl); a probe lists ≤ |eval-bands| of the
+    ``LSH_BANDS × MINHASH_INDEX_BUCKETS`` directories and scans only
+    those — candidate generation cost tracks the PROBE batch, not the
+    corpus. Exact-Jaccard verification re-fetches shingle sets from
+    the signature table for candidates only."""
+    import os
+
+    ensure_conf_path = _minhash_index_dir(sf_dir)
+    sigs = transient_cache(
+        _with_signatures(load_table(spark, sf_dir, "documents"), spark)
+    )
+    is_eval = F.col("doc_id") % 50 == 0
+    if not os.path.exists(os.path.join(ensure_conf_path, "_SUCCESS")):
+        (
+            _with_bucket(_band_frame(sigs.filter(~is_eval)))
+            .select(
+                F.col("doc_id").alias("doc_train"),
+                "band_key",
+                "band_id",
+                "bucket",
+            )
+            # co-locate each bucket before the partitioned write
+            # (smallfile trap — see ann_index_export)
+            .repartition(16, "band_id", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("band_id", "bucket")
+            .parquet(ensure_conf_path)
+        )
+    eb = _with_bucket(_band_frame(sigs.filter(is_eval))).select(
+        F.col("doc_id").alias("doc_eval"), "band_id", "band_key", "bucket"
+    )
+    probe_pairs = sorted(
+        {
+            (int(r["band_id"]), int(r["bucket"]))
+            for r in eb.select("band_id", "bucket").distinct().collect()
+        }
+    )
+    bucket_dirs = [
+        f"{ensure_conf_path}/band_id={b}/bucket={k}"
+        for b, k in probe_pairs
+        if os.path.isdir(f"{ensure_conf_path}/band_id={b}/bucket={k}")
+    ]
+    evals = (
+        load_table(spark, sf_dir, "documents")
+        .filter(is_eval)
+        .select(F.col("doc_id").alias("doc_eval"))
+    )
+    if not bucket_dirs:
+        return evals.select(
+            "doc_eval",
+            F.lit(0).cast("long").alias("n_candidates"),
+            F.lit(0).cast("long").alias("n_near_dups"),
+            F.lit(0.0).alias("max_jaccard"),
+        )
+    back = (
+        spark.read.option("basePath", ensure_conf_path)
+        .schema("doc_train long, band_key string, band_id int, bucket int")
+        .parquet(*bucket_dirs)
+    )
+    cand = (
+        back.join(F.broadcast(eb), ["band_id", "bucket", "band_key"])
+        .select("doc_train", "doc_eval")
+        .distinct()
+    )
+    st = sigs.filter(~is_eval).select(
+        F.col("doc_id").alias("doc_train"), F.col("_sh").alias("_sht")
+    )
+    se = sigs.filter(is_eval).select(
+        F.col("doc_id").alias("doc_eval"), F.col("_sh").alias("_she")
+    )
+    jac = F.round(F.expr(T.exact_jaccard_expr("_sht", "_she")), 6)
+    per_eval = (
+        cand.join(st, "doc_train")
+        .join(F.broadcast(se), "doc_eval")
+        .withColumn("jac", jac)
+        .groupBy("doc_eval")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("jac") >= T.JACCARD_THRESHOLD).cast("long")).alias(
+                "n_near_dups"
+            ),
+            F.max("jac").alias("max_jaccard"),
+        )
+    )
+    return evals.join(per_eval, "doc_eval", "left").select(
+        "doc_eval",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+    )
+
+
 # --- dedup_canonical ---------------------------------------------------------
 
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -866,6 +1006,7 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
     "decontaminate_ngrams": (decontaminate_ngrams, DECONTAMINATE_ORACLE),
     "cross_dedup_minhash": (cross_dedup_minhash, CROSS_DEDUP_ORACLE),
+    "minhash_index_export": (minhash_index_export, CROSS_DEDUP_ORACLE),
     "dedup_canonical": (dedup_canonical, DEDUP_CANONICAL_ORACLE),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_ORACLE),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),

@@ -1,4 +1,4 @@
-"""Deterministic count-min frequency sketch over the token stream.
+"""Deterministic sketch operators with full oracle parity.
 
 The frequency-sketch member of the sketch family (HLL: distinct
 counts, KLL/t-digest: quantiles, CMS: frequencies). Unlike
@@ -168,3 +168,118 @@ ORDER BY exact_n DESC, 1
 QUERIES = {
     "cms_heavy_hitters": (cms_heavy_hitters, _cms_oracle()),
 }
+
+
+# --- moments_quantile_sketch -------------------------------------------------
+
+#: Inverse-normal quantiles for the reported probabilities, inlined as
+#: Python-computed double literals (no libm at query time; identical
+#: parse in both engines).
+_Z = {"q10": "-1.2815515655446004", "q50": "0.0", "q90": "1.2815515655446004"}
+_MQ_DEC = "DECIMAL(38,12)"
+
+
+def _mq_stages():
+    """Shared (column, expression) stages from the decimal power sums
+    (n, s1, s2, s3) to the Cornish-Fisher quantile estimates — every
+    float op identical literal arithmetic in both engines (CAST AS
+    DOUBLE literals; sqrt is IEEE correctly-rounded in both)."""
+    D = "CAST({} AS DOUBLE)"
+    stages = [
+        ("mu", f"({D.format('s1')} / n)"),
+        ("m2c", f"({D.format('s2')} / n - mu * mu)"),
+        ("sigma", "sqrt(CASE WHEN m2c < CAST(0.0 AS DOUBLE) "
+                  "THEN CAST(0.0 AS DOUBLE) ELSE m2c END)"),
+        (
+            "g1",
+            f"(CASE WHEN sigma > CAST(0.0 AS DOUBLE) THEN "
+            f"({D.format('s3')} / n - CAST(3.0 AS DOUBLE) * mu * "
+            f"({D.format('s2')} / n) + CAST(2.0 AS DOUBLE) * mu * mu * mu) "
+            f"/ (sigma * sigma * sigma) ELSE CAST(0.0 AS DOUBLE) END)",
+        ),
+    ]
+    for name, z in _Z.items():
+        zz = f"CAST({z} AS DOUBLE)"
+        w = (
+            f"({zz} + ({zz} * {zz} - CAST(1.0 AS DOUBLE)) * g1 "
+            f"/ CAST(6.0 AS DOUBLE))"
+        )
+        stages.append((f"{name}_est", f"round(mu + sigma * {w}, 6)"))
+    return stages
+
+
+def moments_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from an O(1) mergeable moments sketch
+    (Gan et al., "Moment-Based Quantile Sketches", VLDB 2018 — here
+    with the closed-form Cornish-Fisher estimator instead of maxent):
+    per group, the state is three decimal power sums (Σx, Σx², Σx³) —
+    exact, order-free, mergeable by ADDITION across shards/days — and
+    q10/q50/q90 are estimated from mean/stddev/skewness alone.
+
+    The sketch family's quantile member (HLL: distincts, CMS:
+    frequencies), with the same contract: every derived float op is
+    identical literal arithmetic in both engines, so the DuckDB oracle
+    matches BIT-FOR-BIT — unlike ``approx_percentile``'s t-digest
+    (implementation-specific → the rows-only ``approx_price_quantiles``
+    contract). Accuracy is distribution-dependent by construction:
+    exact for Gaussian data; on these near-UNIFORM prices the median
+    lands within ~0.2%% but the tails are off ~25%% (the known
+    moment-only limitation that maxent solvers exist to fix — the
+    honest trade for O(1) state, measured and pinned in
+    tests/test_round4_ops.py; production uses this sketch for
+    center/scale monitoring and a t-digest when tails matter).
+
+    Plan shape for 100 TB: ONE map-side-combined aggregation; state
+    per group is 4 numbers; no sort, no collect_list, no per-group
+    value state of any kind."""
+    l = load_table(spark, sf_dir, "lineitem")
+    g = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast(_MQ_DEC)).alias("s1"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(_MQ_DEC)
+        ).alias("s2"),
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * F.col("l_extendedprice")
+                * F.col("l_extendedprice")
+            ).cast(_MQ_DEC)
+        ).alias("s3"),
+    )
+    for name, expr_ in _mq_stages():
+        g = g.selectExpr("*", f"{expr_} AS {name}")
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round("mu", 6).alias("mean"),
+        F.round("sigma", 6).alias("stddev"),
+        F.round("g1", 6).alias("skewness"),
+        "q10_est",
+        "q50_est",
+        "q90_est",
+    ).orderBy("l_returnflag")
+
+
+def _mq_oracle() -> str:
+    ctes, cur = [], "base"
+    for i, (name, expr_) in enumerate(_mq_stages()):
+        ctes.append(f"m{i} AS (SELECT *, {expr_} AS {name} FROM {cur})")
+        cur = f"m{i}"
+    return f"""
+WITH base AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_extendedprice AS {_MQ_DEC})) AS s1,
+         sum(CAST(l_extendedprice * l_extendedprice AS {_MQ_DEC})) AS s2,
+         sum(CAST(l_extendedprice * l_extendedprice * l_extendedprice
+                  AS {_MQ_DEC})) AS s3
+  FROM lineitem GROUP BY 1
+),
+{', '.join(ctes)}
+SELECT l_returnflag, n, round(mu, 6) AS mean, round(sigma, 6) AS stddev,
+       round(g1, 6) AS skewness, q10_est, q50_est, q90_est
+FROM {cur} ORDER BY l_returnflag
+"""
+
+
+QUERIES["moments_quantile_sketch"] = (moments_quantile_sketch, _mq_oracle())

@@ -111,3 +111,53 @@ def test_cms_overestimate_bound(spark, qs):
     for r in rows:
         assert r["cms_n"] >= r["exact_n"]
         assert r["cms_n"] - r["exact_n"] <= 2 * total / CMS_W, r
+
+
+def test_moments_quantile_sketch_accuracy(spark, qs):
+    """Center within 1%, tails within the documented moment-only
+    envelope (~35%) on the near-uniform price data — plus exactness on
+    a synthetic Gaussian where the estimator is unbiased."""
+    import numpy as np
+
+    from psd_project_spark.operators.freq_sketch import _mq_stages
+
+    rows = {r["l_returnflag"]: r
+            for r in qs["moments_quantile_sketch"](spark, SF_DIR).collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    ex = con.execute(
+        f"""SELECT l_returnflag,
+              quantile_cont(l_extendedprice, 0.1) q10,
+              quantile_cont(l_extendedprice, 0.5) q50,
+              quantile_cont(l_extendedprice, 0.9) q90
+            FROM '{SF_DIR}/lineitem.parquet' GROUP BY 1"""
+    ).df()
+    for _, e in ex.iterrows():
+        r = rows[e["l_returnflag"]]
+        assert abs(r["q50_est"] - e["q50"]) / e["q50"] < 0.02
+        assert abs(r["q10_est"] - e["q10"]) / e["q10"] < 0.35
+        assert abs(r["q90_est"] - e["q90"]) / e["q90"] < 0.35
+
+    # Gaussian data: the estimator is exact up to sampling noise
+    rng = np.random.default_rng(11)
+    xs = rng.normal(100.0, 15.0, 20000)
+    mu, sigma = xs.mean(), xs.std()
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    from pyspark.sql import functions as F
+
+    g = df.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("DECIMAL(38,12)")).alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("DECIMAL(38,12)")).alias("s2"),
+        F.sum(
+            (F.col("x") * F.col("x") * F.col("x")).cast("DECIMAL(38,12)")
+        ).alias("s3"),
+    )
+    for name, expr_ in _mq_stages():
+        g = g.selectExpr("*", f"{expr_} AS {name}")
+    got = g.collect()[0]
+    true_q10, true_q50, true_q90 = np.quantile(xs, [0.1, 0.5, 0.9])
+    assert abs(got["q50_est"] - true_q50) / abs(true_q50) < 0.01
+    assert abs(got["q10_est"] - true_q10) / abs(true_q10) < 0.02
+    assert abs(got["q90_est"] - true_q90) / abs(true_q90) < 0.02
