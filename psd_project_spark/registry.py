@@ -26,18 +26,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # guard on a fixture-unreachable branch (empty payload), re-verified
 # by in-repo oracle parity + a synthetic empty-doc differential; the
 # multimodal driver rows cover byte-identical behavior on driver data.)
-# Positions 12-22 are round 4's behavior-changed/new queries (approx
+# Next are round 4's behavior-changed/new queries (approx
 # table_profile + exact opt-in, bare-id semantic_dedup pair stage,
 # transient-cache conversions, BPE empty-word guard, cell-kernel cid
-# mapping, extracted _pair_band_candidates). Positions 23-43 are the
+# mapping, the new index/sketch/DSIR/tokenizer operators), then the
 # remaining queries of every module touched this round
 # (analytics_extra, text_analysis, text_curation — functions
 # untouched, but the r03 criterion counts module-level change, so
-# their rows are re-earned against current bytes). The final 7 slots
-# re-verify the reference risk surface. Outside the window, only
-# queries in files untouched since their last green row remain
-# (streaming/jobs.py, behavior.py, timeseries.py, sources/*, … — r03
-# rows current; `git diff 6a344be..HEAD` touches none of them).
+# their rows are re-earned against current bytes), then the streaming
+# trio and the round-4 CMS query. Outside the window: queries in
+# files untouched since their last green row (their r01-r03 rows
+# stay current), and the declared R5_QUEUE of late additions
+# (tests/test_registry_order.py) that front-load the round-5 window.
 _PRIORITY = (
     # -- r03-refactored, driver rows stale (VERDICT #1) --------------
     "ivf_ann_cosine",
