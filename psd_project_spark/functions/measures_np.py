@@ -81,8 +81,21 @@ def windowed_measures_np(
             F.expr(f"(seq - 1) % {chunk_rows}") >= chunk_rows - carry
         ).withColumn("_chunk", F.expr(f"(seq - 1) DIV {chunk_rows} + 1"))
         grouped = main.unionByName(spill)
+        group_cols = [*keys, "_chunk"]
     else:
-        grouped = seqd.withColumn("_chunk", F.lit(0))
+        # High-cardinality keys: one applyInPandas GROUP per key pays
+        # the per-group Python invocation price |keys| times (~0.4 ms
+        # each — 10k users at sf0.1 made this the slowest registry
+        # query at ~5 s while the numpy math itself is <0.5 s; the
+        # same pitfall class as nearest_view_lag's round-2 fix).
+        # Group by a COARSE hash bucket of the key instead — each key
+        # still lands wholly in one group (bucket is a function of the
+        # key), and the kernel loops per key inside the bucket: ~64
+        # Python invocations total, semantics untouched.
+        grouped = seqd.withColumn(
+            "_chunk", F.pmod(F.xxhash64(*keys), F.lit(64)).cast("int")
+        )
+        group_cols = ["_chunk"]
 
     key_fields = [df.schema[k] for k in keys]
     schema = StructType(
@@ -91,36 +104,48 @@ def windowed_measures_np(
         + [StructField(m, DoubleType()) for m in MEASURES]
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _one_key(g: "pd.DataFrame"):
         import numpy as np
         from numpy.lib.stride_tricks import sliding_window_view
 
-        pdf = pdf.sort_values("seq", kind="mergesort")
-        v = pdf["_v"].to_numpy(np.float64)
+        g = g.sort_values("seq", kind="mergesort")
+        v = g["_v"].to_numpy(np.float64)
         if len(v) < window_size:
-            return pd.DataFrame({f.name: [] for f in schema.fields})
-        seq = pdf["seq"].to_numpy(np.int64)
+            return None
+        seq = g["seq"].to_numpy(np.int64)
         ends = seq[window_size - 1 :]
         if chunk_rows:
-            chunk = int(pdf["_chunk"].iloc[0])
+            chunk = int(g["_chunk"].iloc[0])
             own = (ends - 1) // chunk_rows == chunk
         else:
             own = np.ones(len(ends), dtype=bool)
         if not own.any():
-            return pd.DataFrame({f.name: [] for f in schema.fields})
+            return None
         windows = sliding_window_view(v, window_size)[own]
         s = np.sort(windows, axis=1)
         # digits=None: rounding happens JVM-side below. The kernel's
         # per-element decimal rounding loop costs more than all the
         # numpy math combined (~600k interpreted calls at sf0.1).
         cols = _measures_vectorized(s, None)
-        out = {k: pdf[k].iloc[0] for k in keys}
+        out = {k: g[k].iloc[0] for k in keys}
         out["seq"] = ends[own]
         for name, c in zip(MEASURES, cols):
             out[name] = c
         return pd.DataFrame(out)
 
-    raw = grouped.groupBy(*keys, "_chunk").applyInPandas(kernel, schema)
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # chunked mode: the group IS one (key, chunk) → single pass;
+        # bucketed mode: loop per key inside the coarse group
+        parts = [
+            p
+            for _, g in pdf.groupby(keys, sort=False)
+            if (p := _one_key(g)) is not None
+        ]
+        if not parts:
+            return pd.DataFrame({f.name: [] for f in schema.fields})
+        return pd.concat(parts, ignore_index=True)
+
+    raw = grouped.groupBy(*group_cols).applyInPandas(kernel, schema)
     if digits is None:
         return raw
     # F.round on DoubleType is HALF_UP on the SHORTEST-DECIMAL
