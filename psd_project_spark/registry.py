@@ -95,7 +95,10 @@ _PRIORITY = (
     # tests/test_streaming.py re-verifies them continuously)
     "stream_ingest_dedup",
     "measures_window_stream",
-    "events_time_windows",
+    # measures_np.py changed functionally late in the round (coarse-
+    # bucket grouping) — its query re-earns a row; events_time_windows
+    # (r03-green, additive-only module change) yields the slot.
+    "measures_window_np",
     # risk.py is unchanged this round (measures_agg / alerts_batch
     # hold r03-green rows; the other forms r02 rows over unchanged
     # files, continuously pytest-verified) — the last slot goes to the

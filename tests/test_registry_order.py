@@ -48,9 +48,11 @@ R5_QUEUE = {"minhash_index_export", "moments_quantile_sketch"}
 #: streaming/jobs.py gained stream_ingest_dedup this round (additive):
 #: the new query plus the two highest-value re-verifications must be
 #: windowed.
-STREAMING_WINDOW = {
-    "stream_ingest_dedup", "measures_window_stream", "events_time_windows",
-}
+STREAMING_WINDOW = {"stream_ingest_dedup", "measures_window_stream"}
+
+#: functions/measures_np.py changed functionally in round 4 — its
+#: query re-earns a driver row.
+R4_PERF_CHANGED = {"measures_window_np"}
 
 
 def _driver_checked_rounds() -> set[str]:
@@ -87,6 +89,7 @@ def test_window_reverifies_risk_surface():
     window = set(list(registry.queries())[:50])
     assert RISK_SURFACE <= window
     assert STREAMING_WINDOW <= window
+    assert R4_PERF_CHANGED <= window
 
 
 def test_every_query_has_a_row_or_a_window_slot():
