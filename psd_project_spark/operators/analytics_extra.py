@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 )
 
 from psd_project_spark.functions import hll_sql as HLL
+from psd_project_spark.functions import vectors as V
 from psd_project_spark.sources.registry import load_table
 
 _DEC = "decimal(27,15)"
@@ -201,6 +202,140 @@ def _vq_kernel(batches):
                 "qerr_q12": q.sum(axis=1),
             }
         )
+
+
+# --- embedding_pq_quantize ---------------------------------------------------
+
+#: Product-quantization geometry: M subspaces × dsub dims, K centroids
+#: per subspace. 64-dim embeddings → 8 one-byte codes (64× smaller
+#: than float64). Codebooks are the first K vectors' sub-vectors — the
+#: deterministic stand-in for trained codebooks (the IVF convention:
+#: training is offline; the quantize/assign plumbing is what this
+#: operator exercises).
+PQ_M = 8
+PQ_DSUB = 8
+PQ_K = 16
+
+
+def _pq_kernel(codebooks, cids):
+    """``mapInPandas`` kernel: per subspace, argmin squared-euclidean
+    code assignment. The d2 fold is elementwise (x−y)² accumulated
+    STRICTLY sequentially over dims (bit-equal to the oracle's
+    ``list_reduce`` left fold — the ``make_kmeans_assign_kernel``
+    convention), ties keep the lowest centroid id, and per-subspace
+    errors are quantized to int64 at 1e-12 BEFORE summing so the total
+    is order-free."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (M, K, dsub)
+    order = np.argsort(np.asarray(cids))
+    cid_arr = np.asarray(cids, dtype=np.int64)[order]
+    C = C[:, order, :]
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            n = len(a)
+            codes = np.zeros((n, PQ_M), np.int64)
+            errq = np.zeros(n, np.int64)
+            for m in range(PQ_M):
+                sub = a[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]
+                best = np.full(n, np.inf)
+                code = np.zeros(n, np.int64)
+                for k in range(PQ_K):
+                    t = (sub - C[m, k]) ** 2
+                    acc = np.zeros(n)
+                    for j in range(PQ_DSUB):  # sequential left fold
+                        acc = acc + t[:, j]
+                    upd = acc < best  # strict: ties keep lowest cid
+                    best[upd] = acc[upd]
+                    code[upd] = cid_arr[k]
+                codes[:, m] = code
+                errq += np.floor(best * 1e12 + 0.5).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "pq_code": [
+                        "-".join(str(c) for c in row) for row in codes
+                    ],
+                    "recon_err_q12": errq,
+                }
+            )
+
+    return kernel
+
+
+def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding corpus — the vector-index
+    compression standard (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): each vector becomes
+    ``PQ_M`` one-byte codes (64× smaller than float64 here) by
+    assigning each of its M sub-vectors to the nearest of K per-
+    subspace centroids; emits the code word and the int64-quantized
+    total reconstruction error. Completes the compression family next
+    to ``vector_quantize_int8`` (scalar) and feeds the same index
+    layouts as ``ann_index_export``.
+
+    Plan shape for 100 TB: the M×K×dsub codebook is O(1) closure
+    state (model-state contract); assignment is ONE narrow Arrow map —
+    no join, no shuffle, no window. The DuckDB oracle reproduces the
+    d2 fold order, tie-break, and 1e-12 error quantization exactly."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "_v", F.expr(V.to_double_expr())
+    )
+    cb = {
+        r["vec_id"]: r["_v"]
+        for r in e.filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "_v")
+        .collect()
+    }
+    cids = sorted(cb)
+    full = np.array([cb[c] for c in cids], dtype=np.float64)  # (K, 64)
+    codebooks = np.stack(
+        [full[:, m * PQ_DSUB:(m + 1) * PQ_DSUB] for m in range(PQ_M)]
+    )  # (M, K, dsub)
+    return e.select("vec_id", "_v").mapInPandas(
+        _pq_kernel(codebooks, cids),
+        schema="vec_id long, pq_code string, recon_err_q12 long",
+    )
+
+
+def _pq_oracle() -> str:
+    d = PQ_DSUB
+    terms = (
+        f"list_transform(generate_series(1, {d}), pq_j -> "
+        f"(sv[pq_j] - cv[pq_j]) * (sv[pq_j] - cv[pq_j]))"
+    )
+    d2 = f"list_reduce(list_prepend(0.0, {terms}), (pq_a, pq_x) -> pq_a + pq_x)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
+), sub AS (
+  SELECT vec_id, g.m AS m, v[g.m * {d} + 1 : (g.m + 1) * {d}] AS sv
+  FROM e, generate_series(0, {PQ_M - 1}) AS g(m)
+), cbs AS (
+  SELECT vec_id AS cid, g.m AS m, v[g.m * {d} + 1 : (g.m + 1) * {d}] AS cv
+  FROM e, generate_series(0, {PQ_M - 1}) AS g(m)
+  WHERE vec_id < {PQ_K}
+), scored AS (
+  SELECT sub.vec_id, sub.m, cbs.cid, {d2} AS d2,
+         row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                            ORDER BY {d2}, cbs.cid) AS rk
+  FROM sub JOIN cbs ON sub.m = cbs.m
+), best AS (
+  SELECT vec_id, m, cid, CAST(floor(d2 * 1e12 + 0.5) AS BIGINT) AS eq
+  FROM scored WHERE rk = 1
+)
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), '-' ORDER BY m) AS pq_code,
+       CAST(sum(eq) AS BIGINT) AS recon_err_q12
+FROM best GROUP BY 1
+"""
 
 
 def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -857,5 +992,6 @@ QUERIES = {
     "weighted_median": (weighted_median, WEIGHTED_MEDIAN_ORACLE),
     "part_price_quartiles": (part_price_quartiles, PART_QUARTILES_ORACLE),
     "vector_quantize_int8": (vector_quantize_int8, VECTOR_QUANTIZE_ORACLE),
+    "embedding_pq_quantize": (embedding_pq_quantize, _pq_oracle()),
     "mad_by_type": (mad_by_type, MAD_BY_TYPE_ORACLE),
 }

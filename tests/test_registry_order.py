@@ -43,7 +43,10 @@ RISK_SURFACE = set()
 #: they follow the same path every round's additions did (r02/r03
 #: additions were "never driver-checked" until their window) — exact
 #: in-repo oracle parity now, front of the round-5 window next.
-R5_QUEUE = {"minhash_index_export", "moments_quantile_sketch"}
+R5_QUEUE = {
+    "minhash_index_export", "moments_quantile_sketch",
+    "embedding_pq_quantize",
+}
 
 #: streaming/jobs.py gained stream_ingest_dedup this round (additive):
 #: the new query plus the two highest-value re-verifications must be
@@ -118,4 +121,4 @@ def test_every_query_has_a_row_or_a_window_slot():
 def test_no_names_lost_by_reorder():
     names = list(registry.queries())
     assert len(names) == len(set(names))
-    assert len(names) >= 136
+    assert len(names) >= 139
