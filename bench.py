@@ -98,10 +98,24 @@ def main() -> None:
     base_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
     )
+    # The baseline is keyed to the data dir it was measured at
+    # ({"_sf_dir": ..., "queries": {...}}): a bench run at a smaller SF
+    # must not permanently lower the committed per-query baselines
+    # (which would mass-flag normal-SF runs as stall_suspects). On
+    # mismatch the committed file is left untouched and this run
+    # proceeds baseline-less. Legacy flat files (name→sec) predate the
+    # sf key and were all measured at the default SF_DIR.
     baseline: dict[str, float] = {}
+    baseline_sf_ok = True
     if os.path.exists(base_path):
         with open(base_path) as fh:
-            baseline = json.load(fh)
+            raw_base = json.load(fh)
+        if "queries" in raw_base and isinstance(raw_base["queries"], dict):
+            baseline_sf_ok = raw_base.get("_sf_dir") == SF_DIR
+            baseline = raw_base["queries"] if baseline_sf_ok else {}
+        else:
+            baseline_sf_ok = SF_DIR == "/root/testdata/sf0.1"
+            baseline = raw_base if baseline_sf_ok else {}
 
     def stalled(name: str) -> bool:
         ref = baseline.get(name)
@@ -118,15 +132,21 @@ def main() -> None:
                 break
     stall_suspects = sorted(n for n in names if stalled(n))
     # Refresh the baseline with this run's clean minima so it tracks
-    # real improvements (never a suspect value).
-    new_base = dict(baseline)
-    for name in names:
-        if name not in stall_suspects:
-            new_base[name] = min(
-                baseline.get(name, timings[name]), timings[name]
+    # real improvements (never a suspect value) — but only when this
+    # run's data dir matches the committed baseline's (or there is no
+    # committed baseline yet): an off-SF run must not rewrite it.
+    if baseline_sf_ok:
+        new_base = dict(baseline)
+        for name in names:
+            if name not in stall_suspects:
+                new_base[name] = min(
+                    baseline.get(name, timings[name]), timings[name]
+                )
+        with open(base_path, "w") as fh:
+            json.dump(
+                {"_sf_dir": SF_DIR, "queries": new_base},
+                fh, indent=1, sort_keys=True,
             )
-    with open(base_path, "w") as fh:
-        json.dump(new_base, fh, indent=1, sort_keys=True)
     total = round(sum(timings.values()), 3)
 
     def parse_sf(d: str) -> float | str:

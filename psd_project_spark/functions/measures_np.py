@@ -136,9 +136,13 @@ def windowed_measures_np(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         # chunked mode: the group IS one (key, chunk) → single pass;
         # bucketed mode: loop per key inside the coarse group
+        # dropna=False: Spark's groupBy keeps NULL keys as a group, so
+        # the pandas regroup must too — pandas' default dropna=True
+        # would silently discard NULL-keyed rows and diverge from the
+        # HOF path / oracle.
         parts = [
             p
-            for _, g in pdf.groupby(keys, sort=False)
+            for _, g in pdf.groupby(keys, sort=False, dropna=False)
             if (p := _one_key(g)) is not None
         ]
         if not parts:

@@ -826,12 +826,17 @@ MINHASH_INDEX_BUCKETS = 256
 def _minhash_index_dir(sf_dir: str) -> str:
     import hashlib
 
+    from psd_project_spark.sources.registry import source_fingerprint
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    # layout-version suffix: stale dirs from older layouts must never
-    # satisfy the _SUCCESS check
+    # layout-version suffix + source-data fingerprint: stale dirs from
+    # older layouts OR regenerated source data must never satisfy the
+    # _SUCCESS check (ADVICE r04 — the index rebuilds when documents
+    # changes under the same path)
+    fp = source_fingerprint(sf_dir, "documents")
     return (
         f"/tmp/psd_spark_sink/{key}/minhash_index_"
-        f"{T.LSH_BANDS}x{MINHASH_INDEX_BUCKETS}"
+        f"{T.LSH_BANDS}x{MINHASH_INDEX_BUCKETS}_{fp}"
     )
 
 

@@ -837,12 +837,16 @@ KMEANS_ORACLE = _kmeans_oracle_sql()
 def _ann_index_dir(sf_dir: str) -> str:
     import hashlib
 
+    from psd_project_spark.sources.registry import source_fingerprint
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    # layout version suffix: a stale dir from an older index layout
-    # must never satisfy the _SUCCESS check
+    # layout version suffix + source-data fingerprint: a stale dir from
+    # an older layout OR regenerated source data must never satisfy the
+    # _SUCCESS check (ADVICE r04)
+    fp = source_fingerprint(sf_dir, "embeddings")
     return (
         f"/tmp/psd_spark_sink/{key}/ann_lsh_index_"
-        f"{PAIR_N_BANDS}x{PAIR_BAND_BITS}_ibkey"
+        f"{PAIR_N_BANDS}x{PAIR_BAND_BITS}_ibkey_{fp}"
     )
 
 

@@ -708,8 +708,10 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: ``ln`` of integer counts goes through the libm-free
     comparison-chain + atanh-series recipe (functions/hll_sql.py), and
-    the per-doc sum accumulates in DECIMAL(38,18) so float summation
-    order cannot drift — the oracle matches bit-for-bit.
+    each per-bigram log-weight is quantized to an int64 (1e-9 grid,
+    ``wq``) before the per-doc sum — integer addition is order-free,
+    so shuffle/merge order cannot drift the sum and the oracle matches
+    bit-for-bit.
 
     Plan shape for 100 TB: both models are count TABLES keyed by the
     bigram (never collected or broadcast — model size unbounded by

@@ -154,9 +154,12 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
 
 
 def queries() -> dict[str, QueryFn]:
+    import functools
+
     from psd_project_spark.functions.caching import release_transient
 
     def _wrap(name: str, fn: QueryFn) -> QueryFn:
+        @functools.wraps(fn)
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             # scratch caches from the PREVIOUS query are released at
             # the next query's entry — see functions/caching.py

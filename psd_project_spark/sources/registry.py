@@ -96,6 +96,31 @@ def spread_small(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df
 
 
+def source_fingerprint(sf_dir: str, name: str) -> str:
+    """Short content fingerprint of one source table's parquet files
+    (relative names + sizes + mtimes). Persisted-index operators fold
+    this into their cache-directory key so a regenerated/changed source
+    can never be served a stale index (ADVICE r04): new data → new
+    fingerprint → new directory → rebuild."""
+    import hashlib
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    h = hashlib.md5()
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f.startswith(".") or f.endswith(".crc"):
+                    continue
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}|".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:10]
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register all tables as temp views for ``spark.sql`` queries."""
     for name in tables:

@@ -125,3 +125,41 @@ def test_numpy_window_path_matches_hof_path_chunked(spark):
         assert len(got) == len(ref), (chunk_rows, len(got), len(ref))
         missing = [r for r in got if tuple(r) not in ref]
         assert not missing, (chunk_rows, missing[:3])
+
+
+def test_numpy_window_path_keeps_null_keys(spark):
+    """Spark's groupBy keeps NULL keys as a group; the numpy kernel's
+    internal pandas regroup must too (dropna=False) or NULL-keyed rows
+    silently lose their windows (ADVICE r04)."""
+    import random as _random
+
+    from pyspark.sql import Row
+
+    from psd_project_spark.functions.measures import windowed_measures
+    from psd_project_spark.functions.measures_np import windowed_measures_np
+
+    rng = _random.Random(31)
+    rows = [
+        Row(user_id=uid, event_id=i, value=rng.uniform(-0.1, 0.1))
+        for uid in (None, 7)
+        for i in range(40)
+    ]
+    events = spark.createDataFrame(rows, "user_id int, event_id int, value double")
+    kw = dict(
+        key_cols=["user_id"], order_col="event_id", value_col="value",
+        window_size=30, digits=9,
+    )
+    def _key(t):
+        return ((t[0] is None, t[0] if t[0] is not None else 0),) + t[1:]
+
+    ref = sorted((tuple(r) for r in windowed_measures(events, **kw).collect()), key=_key)
+    assert any(r[0] is None for r in ref)  # NULL group produces windows
+    for chunk_rows in (None, 32):
+        got = sorted(
+            (
+                tuple(r)
+                for r in windowed_measures_np(events, chunk_rows=chunk_rows, **kw).collect()
+            ),
+            key=_key,
+        )
+        assert got == ref, chunk_rows
