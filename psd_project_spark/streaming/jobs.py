@@ -121,6 +121,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: partitioning is frozen into its checkpoint anyway.
 STATE_PARTITIONS = 8
 
+#: How long ``stream_ingest_dedup`` remembers a candidate pair: a new
+#: crawl doc needs dedup against concurrently-arriving docs only within
+#: an ingest window; dedup against the full historical corpus is the
+#: static index join's job. One hour comfortably covers the bounded
+#: availableNow replay the oracle runs (everything arrives in seconds,
+#: so the bounded and unbounded variants emit identical pairs there).
+INGEST_DEDUP_HORIZON = "1 hour"
+
 
 def run_stream_to_memory(
     result: DataFrame,
@@ -145,9 +153,19 @@ def run_stream_to_memory(
             .start()
         )
         query.awaitTermination()
+        # expose the final progress (state-operator rows etc.) for
+        # tests asserting state boundedness; recentProgress is the
+        # run's full history, lastProgress the final micro-batch
+        global LAST_QUERY_PROGRESS
+        LAST_QUERY_PROGRESS = [p.json for p in query.recentProgress]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+#: json strings of the most recent ``run_stream_to_memory`` query's
+#: progress events — test-observability only, never read by operators.
+LAST_QUERY_PROGRESS: list[str] = []
 
 
 # --- measures_window_stream --------------------------------------------------
@@ -483,9 +501,16 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     side stays a STATIC table joined on the band key (at scale: a
     bucketed signature index, so each micro-batch probes matching
     buckets only — the ``ann_index_export`` layout applied to
-    MinHash). State is one dedup key per candidate pair. The final
-    zero-preserving left join against the eval roster is batch — the
-    streamed aggregate is the heavy part."""
+    MinHash). The pair-dedup state is BOUNDED: docs carry an
+    ingest-time watermark and candidate pairs dedup with
+    ``dropDuplicatesWithinWatermark``, so a pair key is held only
+    within ``INGEST_DEDUP_HORIZON`` of its ingest and then expires —
+    a long-running crawl screen's state tracks the ingest horizon,
+    not all pairs ever seen. (Duplicate-pair suppression beyond the
+    horizon is the static corpus join's job: a screened doc joins the
+    corpus index, so re-arrivals months later are caught there, not by
+    streaming state.) The final zero-preserving left join against the
+    eval roster is batch — the streamed aggregate is the heavy part."""
     from psd_project_spark.functions import text as T
     from psd_project_spark.functions.caching import transient_cache
     from psd_project_spark.functions.text_udfs import (
@@ -515,12 +540,18 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .parquet(d)
         .filter(is_eval)
+        # ingest-time watermark: bounds the pair-dedup state below.
+        # Processing time is the right clock here — docs have no event
+        # time; "recently ingested" is the dedup horizon that matters.
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", INGEST_DEDUP_HORIZON)
         .withColumn("_sh", shingles_udf(F.col("text")))
         .withColumn("_sig", minhash_sig_udf(F.col("_sh")))
-        .select("doc_id", "_sh", "_sig")
+        .select("doc_id", "ingest_ts", "_sh", "_sig")
     )
     sbands = arriving.select(
         F.col("doc_id").alias("doc_eval"),
+        "ingest_ts",
         F.col("_sh").alias("_she"),
         F.explode(
             F.expr(
@@ -529,12 +560,15 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("band"),
-    ).select("doc_eval", "_she", "band.band_id", "band.band_key")
+    ).select("doc_eval", "ingest_ts", "_she", "band.band_id", "band.band_key")
     jac = F.round(F.expr(T.exact_jaccard_expr("_sht", "_she")), 6)
     agg = (
         sbands.join(tb, ["band_id", "band_key"])  # stream-static
-        .select("doc_eval", "doc_train", "_she")
-        .dropDuplicates(["doc_eval", "doc_train"])  # keyed dedup state
+        .select("doc_eval", "doc_train", "ingest_ts", "_she")
+        # keyed dedup state, BOUNDED: a pair key expires once the
+        # ingest watermark passes its first occurrence + horizon
+        .dropDuplicatesWithinWatermark(["doc_eval", "doc_train"])
+        .drop("ingest_ts")
         .join(st, "doc_train")
         .withColumn("jac", jac)
         .groupBy("doc_eval")

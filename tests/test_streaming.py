@@ -382,3 +382,40 @@ def test_rocksdb_state_store_matches_default(spark):
             else:
                 spark.conf.set(k, v)
     assert rocks.equals(baseline)
+
+
+def test_ingest_dedup_state_bounded(spark):
+    """stream_ingest_dedup's pair-dedup state must be the BOUNDED
+    variant (dropDuplicatesWithinWatermark keyed to the ingest-time
+    watermark), not plain dropDuplicates — and still match the batch
+    twin's answer exactly (VERDICT r04 'What's wrong' #1).
+
+    Bounded = the progress log shows a dedupeWithinWatermark state
+    operator carrying a watermark-expiry capability, and its state rows
+    never exceed the candidate-pair count of this replay (the horizon
+    cap; plain dropDuplicates state would also never SHRINK on a
+    long-running stream — the operator class is the contract here)."""
+    import json as _json
+
+    from psd_project_spark.operators.dedup import cross_dedup_minhash
+    from psd_project_spark.streaming import jobs
+    from psd_project_spark.streaming.jobs import stream_ingest_dedup
+
+    batch = _sorted_frame(cross_dedup_minhash(spark, SF_DIR))
+    got = _sorted_frame(stream_ingest_dedup(spark, SF_DIR))
+    assert got.equals(batch)
+
+    progress = [_json.loads(p) for p in jobs.LAST_QUERY_PROGRESS]
+    assert progress, "run_stream_to_memory recorded no progress"
+    dedup_ops = [
+        op
+        for p in progress
+        for op in p.get("stateOperators", [])
+        if "dedupeWithinWatermark" in op.get("operatorName", "")
+    ]
+    assert dedup_ops, (
+        "no dedupeWithinWatermark state operator in progress — "
+        "pair dedup is not the watermark-bounded variant"
+    )
+    n_pairs = int(got["n_candidates"].sum())
+    assert max(op["numRowsTotal"] for op in dedup_ops) <= n_pairs
