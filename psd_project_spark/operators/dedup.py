@@ -113,11 +113,10 @@ def _band_frame(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_key")
 
 
-def _minhash_pairs(sigs: DataFrame) -> DataFrame:
-    """Banded-LSH near-dup pairs of a signature frame: band self-join
+def _rep_pairs(sigs: DataFrame) -> DataFrame:
+    """Raw banded-LSH pair core over a signature frame: band self-join
     → distinct bare-id candidates → signature-estimate filter + exact
-    shingle Jaccard. Shared by ``dedup_minhash_lsh`` (raw corpus) and
-    ``dedup_exact_then_minhash`` (collapsed corpus)."""
+    shingle Jaccard."""
     bands = _band_frame(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -150,6 +149,85 @@ def _minhash_pairs(sigs: DataFrame) -> DataFrame:
         .filter(est >= F.lit(T.MINHASH_EST_THRESHOLD))
         .select("doc_a", "doc_b", "est_jaccard", "jaccard")
     )
+
+
+def _minhash_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded-LSH near-dup pairs, hot-bucket-hardened (VERDICT r04 #6).
+
+    Identical shingle-SETS are the bucket blow-up: k docs with the same
+    set share every band key, so the raw band self-join generates
+    k²·bands/2 join rows that all verify at Jaccard 1.0. Instead of a
+    pipeline-order convention the caller must know
+    (``dedup_exact_then_minhash``), the operator itself collapses each
+    distinct shingle set to one representative BEFORE banding, runs the
+    band join over representatives only, then re-expands — which is
+    SEMANTICS-PRESERVING, not a cap: est/jaccard depend only on the
+    shingle set, so every member pair of a group pair carries the
+    representatives' values, and within-group pairs are exactly the
+    all-1.0 pairs the raw join would have verified one by one.
+    Degenerate docs (NULL/empty shingle set → all-NULL band keys) never
+    self-match in the raw join, so they expand no within-group pairs.
+
+    Under 10× exact replication the band join is now over distinct
+    sets (unchanged size); only the OUTPUT pair expansion grows
+    quadratically — which is the contract (all pairs). Shared by
+    ``dedup_minhash_lsh`` (raw corpus) and ``dedup_exact_then_minhash``
+    (collapsed corpus, where the collapse is a near-no-op)."""
+    g = sigs.withColumn(
+        "_gk", F.md5(F.to_json(F.array_sort("_sh")))
+    ).withColumn("_bandable", F.size("_sh") > 0)
+    # transient cache: the group table feeds the band self-join (both
+    # sides), the signature re-fetch, and the rep→group mapping.
+    groups = transient_cache(
+        g.groupBy("_gk").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(_sh, doc_id)").alias("_sh"),
+            F.expr("min_by(_sig, doc_id)").alias("_sig"),
+            F.count(F.lit(1)).alias("_k"),
+        )
+    )
+    members = g.select("_gk", "doc_id", "_bandable")
+    rep_pairs = _rep_pairs(groups.select("doc_id", "_sh", "_sig"))
+    repmap = groups.select(F.col("doc_id").alias("_rep"), "_gk")
+    rp = rep_pairs.join(
+        repmap.select(F.col("_rep").alias("doc_a"), F.col("_gk").alias("_ga")),
+        "doc_a",
+    ).join(
+        repmap.select(F.col("_rep").alias("doc_b"), F.col("_gk").alias("_gb")),
+        "doc_b",
+    )
+    cross = (
+        rp.join(
+            members.select(F.col("_gk").alias("_ga"), F.col("doc_id").alias("_x")),
+            "_ga",
+        )
+        .join(
+            members.select(F.col("_gk").alias("_gb"), F.col("doc_id").alias("_y")),
+            "_gb",
+        )
+        .select(
+            F.least("_x", "_y").alias("doc_a"),
+            F.greatest("_x", "_y").alias("doc_b"),
+            "est_jaccard",
+            "jaccard",
+        )
+    )
+    ma, mb = members.alias("ma"), members.alias("mb")
+    within = (
+        ma.join(
+            mb,
+            (F.col("ma._gk") == F.col("mb._gk"))
+            & (F.col("ma.doc_id") < F.col("mb.doc_id"))
+            & F.col("ma._bandable"),
+        )
+        .select(
+            F.col("ma.doc_id").alias("doc_a"),
+            F.col("mb.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("est_jaccard"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
