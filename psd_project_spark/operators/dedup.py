@@ -945,7 +945,8 @@ def minhash_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     band key within them.
 
     Plan shape for 100 TB: the index is built once per corpus
-    snapshot (append per crawl); a probe lists ≤ |eval-bands| of the
+    snapshot (append per crawl — see ``minhash_index_incremental``);
+    a probe lists ≤ |eval-bands| of the
     ``LSH_BANDS × MINHASH_INDEX_BUCKETS`` directories and scans only
     those — candidate generation cost tracks the PROBE batch, not the
     corpus. Exact-Jaccard verification re-fetches shingle sets from
@@ -958,21 +959,41 @@ def minhash_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_eval = F.col("doc_id") % 50 == 0
     if not os.path.exists(os.path.join(ensure_conf_path, "_SUCCESS")):
-        (
-            _with_bucket(_band_frame(sigs.filter(~is_eval)))
-            .select(
-                F.col("doc_id").alias("doc_train"),
-                "band_key",
-                "band_id",
-                "bucket",
-            )
-            # co-locate each bucket before the partitioned write
-            # (smallfile trap — see ann_index_export)
-            .repartition(16, "band_id", "bucket")
-            .write.mode("overwrite")
-            .partitionBy("band_id", "bucket")
-            .parquet(ensure_conf_path)
+        _write_minhash_index(
+            sigs.filter(~is_eval), ensure_conf_path, "overwrite"
         )
+    return _probe_minhash_index(spark, sf_dir, sigs, ensure_conf_path)
+
+
+def _write_minhash_index(train: DataFrame, path: str, mode: str) -> None:
+    """Write (or append) one corpus batch's band table into the
+    bucket-partitioned index layout."""
+    (
+        _with_bucket(_band_frame(train))
+        .select(
+            F.col("doc_id").alias("doc_train"),
+            "band_key",
+            "band_id",
+            "bucket",
+        )
+        # co-locate each bucket before the partitioned write
+        # (smallfile trap — see ann_index_export)
+        .repartition(16, "band_id", "bucket")
+        .write.mode(mode)
+        .partitionBy("band_id", "bucket")
+        .parquet(path)
+    )
+
+
+def _probe_minhash_index(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame, ensure_conf_path: str
+) -> DataFrame:
+    """Probe a persisted band index with the eval split: path-pruned
+    bucket read → exact band-key join → shingle-Jaccard verification.
+    Shared by the one-shot and incremental builders."""
+    import os
+
+    is_eval = F.col("doc_id") % 50 == 0
     eb = _with_bucket(_band_frame(sigs.filter(is_eval))).select(
         F.col("doc_id").alias("doc_eval"), "band_id", "band_key", "bucket"
     )
@@ -1037,6 +1058,48 @@ def minhash_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the persisted band index (VERDICT
+    r04 'What's missing' #4): a 100 TB corpus index is APPENDED to per
+    crawl drop, not rebuilt. This query builds the index in two
+    increments — a base corpus batch (train docs with
+    ``doc_id % 3 != 2``) written ``overwrite``, then the remaining
+    train docs appended with ``mode("append")`` into the same
+    bucket-partitioned layout — and probes with the eval split. The
+    oracle is the FULL-corpus screen (``cross_dedup_minhash``,
+    verbatim), so a hash-match proves append+probe ≡ from-scratch
+    rebuild; ``tests/test_round5_ops.py`` additionally diffs it
+    against ``minhash_index_export`` directly.
+
+    Durability: a ``_DELTA_APPENDED`` marker (written only after the
+    append job commits) gates reuse — a crash between the two writes
+    leaves a base-only dir that never satisfies the check, so the next
+    run rebuilds. At scale, per-bucket appends accumulate one file per
+    batch per bucket; compaction is a per-bucket rewrite (read bucket
+    dir → coalesce(1) → overwrite that partition via dynamic partition
+    overwrite), embarrassingly parallel across buckets and never a
+    full-index rebuild."""
+    import os
+
+    ensure_conf_path = _minhash_index_dir(sf_dir) + "_incr"
+    marker = os.path.join(ensure_conf_path, "_DELTA_APPENDED")
+    sigs = transient_cache(
+        _with_signatures(load_table(spark, sf_dir, "documents"), spark)
+    )
+    is_eval = F.col("doc_id") % 50 == 0
+    is_delta = F.col("doc_id") % 3 == 2
+    if not os.path.exists(marker):
+        _write_minhash_index(
+            sigs.filter(~is_eval & ~is_delta), ensure_conf_path, "overwrite"
+        )
+        _write_minhash_index(
+            sigs.filter(~is_eval & is_delta), ensure_conf_path, "append"
+        )
+        with open(marker, "w") as fh:
+            fh.write("base+delta\n")
+    return _probe_minhash_index(spark, sf_dir, sigs, ensure_conf_path)
+
+
 # --- dedup_canonical ---------------------------------------------------------
 
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,6 +1153,7 @@ QUERIES = {
     "decontaminate_ngrams": (decontaminate_ngrams, DECONTAMINATE_ORACLE),
     "cross_dedup_minhash": (cross_dedup_minhash, CROSS_DEDUP_ORACLE),
     "minhash_index_export": (minhash_index_export, CROSS_DEDUP_ORACLE),
+    "minhash_index_incremental": (minhash_index_incremental, CROSS_DEDUP_ORACLE),
     "dedup_canonical": (dedup_canonical, DEDUP_CANONICAL_ORACLE),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_ORACLE),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),

@@ -868,40 +868,56 @@ def ann_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate discipline: the pruned scan joins bare (query, vec) id
     pairs first, dedupes across bands, THEN fetches vectors (the
     `_minhash_pairs` shape)."""
-    from functools import reduce
-
     e = _embeddings(spark, sf_dir)
     path = _ann_index_dir(sf_dir)
     import os
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        sigs = e.select("vec_id", "_v", _pair_sig_udf(F.col("_v")).alias("sig"))
-        # bucket key stored as the band's INTEGER value — directory
-        # names stay typed (partition-value inference on a '0'/'1'
-        # string would silently parse it as a zero-stripped int)
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.expr(
-                        f"CAST(conv(substring(sig, {1 + PAIR_BAND_BITS * b},"
-                        f" {PAIR_BAND_BITS}), 2, 10) AS INT)"
-                    ).alias("bkey"),
-                )
-                for b in range(PAIR_N_BANDS)
-            ]
-        )
-        (
-            sigs.select("vec_id", "_v", F.explode(bands).alias("bb"))
-            .select("vec_id", "_v", "bb.band", "bb.bkey")
-            # co-locate each bucket into one file before the
-            # partitioned write: 32 tasks × ~1000 dirs of tiny files
-            # otherwise (the classic partitioned-write smallfile trap)
-            .repartition(16, "band", "bkey")
-            .write.mode("overwrite")
-            .partitionBy("band", "bkey")
-            .parquet(path)
-        )
+        _write_ann_index(e, path, "overwrite")
+    return _probe_ann_index(spark, e, path)
+
+
+def _write_ann_index(vecs: DataFrame, path: str, mode: str) -> None:
+    """Write (or append) one vector batch into the bucket-partitioned
+    ANN index layout."""
+    sigs = vecs.select("vec_id", "_v", _pair_sig_udf(F.col("_v")).alias("sig"))
+    # bucket key stored as the band's INTEGER value — directory
+    # names stay typed (partition-value inference on a '0'/'1'
+    # string would silently parse it as a zero-stripped int)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"CAST(conv(substring(sig, {1 + PAIR_BAND_BITS * b},"
+                    f" {PAIR_BAND_BITS}), 2, 10) AS INT)"
+                ).alias("bkey"),
+            )
+            for b in range(PAIR_N_BANDS)
+        ]
+    )
+    (
+        sigs.select("vec_id", "_v", F.explode(bands).alias("bb"))
+        .select("vec_id", "_v", "bb.band", "bb.bkey")
+        # co-locate each bucket into one file before the
+        # partitioned write: 32 tasks × ~1000 dirs of tiny files
+        # otherwise (the classic partitioned-write smallfile trap)
+        .repartition(16, "band", "bkey")
+        .write.mode(mode)
+        .partitionBy("band", "bkey")
+        .parquet(path)
+    )
+
+
+def _probe_ann_index(
+    spark: SparkSession, e: DataFrame, path: str
+) -> DataFrame:
+    """Answer the model-state probe set against a persisted ANN index:
+    literal-partition-pruned bucket read → band-key join → cosine
+    top-k. Shared by the one-shot and incremental builders."""
+    import os
+    from functools import reduce
+
     # The probe set is model state (N_QUERIES rows): its band keys are
     # computed once driver-side so the read-back filter is LITERAL
     # equality on the partition columns — prunable at file listing,
@@ -984,6 +1000,35 @@ def ann_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the persisted ANN index (VERDICT r04
+    'What's missing' #4): new vector batches are APPENDED into the
+    bucket-partitioned layout, not rebuilt over. Builds the index in
+    two increments — base vectors (``vec_id % 3 != 2``) written
+    ``overwrite``, the rest appended — then answers the same probe
+    set. Oracle: the full unpartitioned band join (verbatim
+    ``ann_index_export`` oracle), so a hash-match proves append+probe
+    ≡ from-scratch rebuild.
+
+    Durability + compaction: same contract as
+    ``minhash_index_incremental`` — a ``_DELTA_APPENDED`` marker gates
+    reuse (a crash between writes leaves an incomplete dir that
+    rebuilds), and per-bucket appended files compact with per-bucket
+    rewrites, never a full rebuild."""
+    import os
+
+    e = _embeddings(spark, sf_dir)
+    path = _ann_index_dir(sf_dir) + "_incr"
+    marker = os.path.join(path, "_DELTA_APPENDED")
+    if not os.path.exists(marker):
+        is_delta = F.col("vec_id") % 3 == 2
+        _write_ann_index(e.filter(~is_delta), path, "overwrite")
+        _write_ann_index(e.filter(is_delta), path, "append")
+        with open(marker, "w") as fh:
+            fh.write("base+delta\n")
+    return _probe_ann_index(spark, e, path)
+
+
 ANN_INDEX_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
@@ -1016,6 +1061,7 @@ FROM ranked WHERE rank <= {ANN_TOP_K}
 QUERIES = {
     "knn_cosine": (knn_cosine, KNN_ORACLE),
     "ann_index_export": (ann_index_export, ANN_INDEX_ORACLE),
+    "ann_index_incremental": (ann_index_incremental, ANN_INDEX_ORACLE),
     "ann_lsh_cosine": (ann_lsh_cosine, ANN_ORACLE),
     "ivf_ann_cosine": (ivf_ann_cosine, IVF_ORACLE),
     "embedding_centroids": (embedding_centroids, CENTROIDS_ORACLE),

@@ -1,0 +1,92 @@
+"""Round-5 operators: incremental index maintenance.
+
+The append path must be indistinguishable from a from-scratch rebuild:
+each incremental query is diffed directly against its one-shot sibling
+(same probe, same corpus) AND against the DuckDB oracle.
+"""
+
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare_frames, duck_connection
+
+
+def _frames_equal(a, b):
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert a.equals(b)
+
+
+def test_minhash_incremental_equals_rebuild(spark):
+    from psd_project_spark.functions.caching import release_transient
+    from psd_project_spark.operators.dedup import (
+        minhash_index_export,
+        minhash_index_incremental,
+    )
+
+    full = minhash_index_export(spark, SF_DIR).toPandas()
+    release_transient()
+    incr = minhash_index_incremental(spark, SF_DIR).toPandas()
+    release_transient()
+    _frames_equal(incr, full)
+
+
+def test_ann_incremental_equals_rebuild(spark):
+    from psd_project_spark.operators.similarity import (
+        ann_index_export,
+        ann_index_incremental,
+    )
+
+    full = ann_index_export(spark, SF_DIR).toPandas()
+    incr = ann_index_incremental(spark, SF_DIR).toPandas()
+    _frames_equal(incr, full)
+
+
+def test_minhash_incremental_oracle_parity(spark):
+    from psd_project_spark.functions.caching import release_transient
+    from psd_project_spark.operators.dedup import (
+        CROSS_DEDUP_ORACLE,
+        minhash_index_incremental,
+    )
+
+    got = minhash_index_incremental(spark, SF_DIR).toPandas()
+    release_transient()
+    con = duck_connection(SF_DIR)
+    compare_frames(got, con.execute(CROSS_DEDUP_ORACLE).fetchdf())
+
+
+def test_incremental_marker_gates_reuse(spark, tmp_path, monkeypatch):
+    """A crash between the base write and the delta append leaves a dir
+    without the _DELTA_APPENDED marker — the next run must rebuild, not
+    serve the base-only index."""
+    import os
+
+    import psd_project_spark.operators.dedup as dd
+
+    scratch = str(tmp_path / "idx")
+    monkeypatch.setattr(dd, "_minhash_index_dir", lambda sf: scratch)
+    from psd_project_spark.functions.caching import release_transient
+    from psd_project_spark.operators.dedup import (
+        _with_signatures,
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    sigs = _with_signatures(load_table(spark, SF_DIR, "documents"), spark)
+    is_eval = F.col("doc_id") % 50 == 0
+    # simulate the crash: base batch written, no marker
+    dd._write_minhash_index(
+        sigs.filter(~is_eval & ~(F.col("doc_id") % 3 == 2)),
+        scratch + "_incr",
+        "overwrite",
+    )
+    assert os.path.exists(os.path.join(scratch + "_incr", "_SUCCESS"))
+    assert not os.path.exists(
+        os.path.join(scratch + "_incr", "_DELTA_APPENDED")
+    )
+    got = dd.minhash_index_incremental(spark, SF_DIR).toPandas()
+    release_transient()
+    full = dd.minhash_index_export(spark, SF_DIR).toPandas()
+    release_transient()
+    _frames_equal(got, full)
