@@ -283,3 +283,195 @@ FROM {cur} ORDER BY l_returnflag
 
 
 QUERIES["moments_quantile_sketch"] = (moments_quantile_sketch, _mq_oracle())
+
+
+# --- dyadic_quantile_sketch (rank-error-bounded, full oracle parity) ---------
+
+#: Dyadic levels: the shifted grid universe must fit in 2^DQS_B cells
+#: ((max-min)·grid < 2^36 — $687M of price range at cent granularity).
+DQS_B = 36
+#: Heaviness denominator: a node is kept iff cnt·K > n. Worst-case
+#: rank error of any quantile estimate is 2·B·n/K (each of ≤ B
+#: ancestors of the true quantile position can hide ≤ 2·n/K of mass
+#: in light children), i.e. ≤ 1.76% of n at these defaults.
+DQS_K = 4096
+#: Value grid: u = floor(value·GRID) — exact cents for prices.
+DQS_GRID = 100
+
+
+def dyadic_quantile_frame(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    grid: int = DQS_GRID,
+    b: int = DQS_B,
+    k: int = DQS_K,
+) -> DataFrame:
+    """Deterministic dyadic quantile sketch (q-digest family:
+    Shrivastava et al., "Medians and Beyond", SenSys 2004) with a
+    WORST-CASE rank guarantee — the rank-error-bounded member the
+    moments sketch honestly isn't (its Cornish-Fisher tails are
+    distribution-dependent; VERDICT r04 #5).
+
+    State: per group, counts of the dyadic intervals (level ℓ, prefix
+    u>>ℓ) that are HEAVY (cnt·k > n) — order-free integer SUMS, so the
+    sketch content is independent of partitioning/merge order and a
+    plain-SQL oracle reproduces it bit-for-bit (the HLL/CMS recipe
+    applied to quantiles). At most k disjoint heavy nodes per level ×
+    (b+1) levels bounds the state; residual mass (heavy node minus its
+    heavy children) is assigned to its interval, intervals are laid
+    out in post-order (hi ASC, level ASC — child before parent), and
+    quantile q reads the upper bound of the first interval whose
+    running residual mass reaches ceil(q·n).
+
+    Guarantee: the reported value's rank interval is within
+    2·b·n/k of the target rank on ANY distribution (each of ≤ b
+    strict ancestors of the target position hides ≤ 2·n/k in light
+    children); pinned on adversarial distributions by
+    tests/test_dyadic_quantiles.py.
+
+    Plan shape for 100 TB: one map-side-combined aggregation over the
+    (b+1)-level explode (the band-explode discipline), then joins on
+    the ≤ k·(b+1)-row sketch only; no sort of the data, no
+    collect_list, no per-value state."""
+    from pyspark.sql import Window
+
+    u = F.expr(f"CAST(floor({value_col} * {grid}) AS BIGINT)")
+    base = df.groupBy(group_col).agg(
+        F.min(u).alias("umin"), F.count(F.lit(1)).alias("n")
+    )
+    lv = (
+        df.select(F.col(group_col), u.alias("_u"))
+        .join(F.broadcast(base), group_col)
+        .select(
+            group_col,
+            F.expr(f"explode(sequence(0, {b}))").alias("lvl"),
+            (F.col("_u") - F.col("umin")).alias("us"),
+        )
+    )
+    counts = lv.groupBy(
+        group_col, "lvl", F.expr("shiftright(us, lvl)").alias("p")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    heavy = (
+        counts.join(F.broadcast(base.select(group_col, "n")), group_col)
+        .where(F.col("cnt") * F.lit(k) > F.col("n"))
+        .select(group_col, "lvl", "p", "cnt")
+    )
+    kids = (
+        heavy.select(
+            F.col(group_col).alias("_kg"),
+            (F.col("lvl") + 1).alias("plvl"),
+            F.expr("shiftright(p, 1)").alias("pp"),
+            "cnt",
+        )
+        .groupBy("_kg", "plvl", "pp")
+        .agg(F.sum("cnt").alias("csum"))
+    )
+    nodes = (
+        heavy.join(
+            kids,
+            (F.col(group_col) == F.col("_kg"))
+            & (F.col("lvl") == F.col("plvl"))
+            & (F.col("p") == F.col("pp")),
+            "left",
+        )
+        .select(
+            group_col,
+            "lvl",
+            (F.col("cnt") - F.coalesce("csum", F.lit(0))).alias("resid"),
+            (F.expr("shiftleft(p + 1, lvl)") - 1).alias("hi"),
+        )
+        .where(F.col("resid") > 0)
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("hi", "lvl")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = nodes.withColumn("cum", F.sum("resid").over(w))
+
+    def est(q: float):
+        r = F.expr(f"CAST(ceiling({q!r} * n) AS BIGINT)")
+        sel = F.min(F.when(F.col("cum") >= r, F.col("hi")))
+        return ((F.col("umin") + sel) / F.lit(float(grid))).alias(
+            f"q{int(q * 100)}_est"
+        )
+
+    return (
+        cum.join(F.broadcast(base), group_col)
+        .groupBy(group_col, "n", "umin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            est(0.1),
+            est(0.5),
+            est(0.9),
+        )
+        .select(group_col, "n", "n_nodes", "q10_est", "q50_est", "q90_est")
+        .orderBy(group_col)
+    )
+
+
+def dyadic_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10/q50/q90 of lineitem prices per return flag from the
+    rank-error-bounded dyadic sketch — the guaranteed-accuracy
+    counterpart of ``moments_quantile_sketch`` over the same data
+    (worst-case rank error 2·B/K = 1.76% of n at the defaults, vs the
+    moment sketch's distribution-dependent tails)."""
+    return dyadic_quantile_frame(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag",
+        "l_extendedprice",
+    )
+
+
+def _dqs_oracle(
+    table: str = "lineitem",
+    group_col: str = "l_returnflag",
+    value_col: str = "l_extendedprice",
+    grid: int = DQS_GRID,
+    b: int = DQS_B,
+    k: int = DQS_K,
+) -> str:
+    ests = ", ".join(
+        f"(b.umin + min(CASE WHEN c.cum >= "
+        f"CAST(ceiling({q!r} * b.n) AS BIGINT) THEN c.hi END)) / "
+        f"CAST({grid} AS DOUBLE) AS q{int(q * 100)}_est"
+        for q in (0.1, 0.5, 0.9)
+    )
+    return f"""
+WITH v AS (
+  SELECT {group_col} AS g, CAST(floor({value_col} * {grid}) AS BIGINT) AS u
+  FROM {table}
+), base AS (
+  SELECT g, min(u) AS umin, count(*) AS n FROM v GROUP BY 1
+), lv AS (
+  SELECT v.g, gs.lvl, (v.u - b.umin) AS us
+  FROM v JOIN base b ON v.g = b.g
+  CROSS JOIN generate_series(0, {b}) AS gs(lvl)
+), counts AS (
+  SELECT g, lvl, (us >> lvl) AS p, count(*) AS cnt FROM lv GROUP BY 1, 2, 3
+), heavy AS (
+  SELECT c.g, c.lvl, c.p, c.cnt
+  FROM counts c JOIN base b ON c.g = b.g WHERE c.cnt * {k} > b.n
+), kids AS (
+  SELECT g, lvl + 1 AS plvl, (p >> 1) AS pp, sum(cnt) AS csum
+  FROM heavy GROUP BY 1, 2, 3
+), nodes AS (
+  SELECT h.g, h.lvl, h.cnt - coalesce(k.csum, 0) AS resid,
+         ((h.p + 1) << h.lvl) - 1 AS hi
+  FROM heavy h LEFT JOIN kids k
+    ON h.g = k.g AND h.lvl = k.plvl AND h.p = k.pp
+), cum AS (
+  SELECT g, lvl, resid, hi,
+         sum(resid) OVER (PARTITION BY g ORDER BY hi, lvl
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM nodes WHERE resid > 0
+)
+SELECT c.g AS {group_col}, b.n, CAST(count(*) AS BIGINT) AS n_nodes, {ests}
+FROM cum c JOIN base b ON c.g = b.g
+GROUP BY c.g, b.n, b.umin
+ORDER BY 1
+"""
+
+
+QUERIES["dyadic_quantile_sketch"] = (dyadic_quantile_sketch, _dqs_oracle())
