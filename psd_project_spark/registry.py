@@ -16,57 +16,59 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness driver only checks the FIRST 50 registry entries (in
 # iteration order), so ordering is part of the verification contract.
-# Round-4 rotation (VERDICT r03 "Next round" #1): positions 1-11 are
-# the 11 queries whose modules were refactored in round 3
-# (codebook-kernel ports + _minhash_pairs refactor) but sat outside
-# the r03 window — their driver rows predate the current code.
-# (Two late-round additive-only edits fall outside the full window:
-# streaming/jobs.py gained stream_ingest_dedup — its two highest-value
-# siblings re-window below — and multimodal.py's frame_sample gained a
-# guard on a fixture-unreachable branch (empty payload), re-verified
-# by in-repo oracle parity + a synthetic empty-doc differential; the
-# multimodal driver rows cover byte-identical behavior on driver data.)
-# Next are round 4's behavior-changed/new queries (approx
-# table_profile + exact opt-in, bare-id semantic_dedup pair stage,
-# transient-cache conversions, BPE empty-word guard, cell-kernel cid
-# mapping, the new index/sketch/DSIR/tokenizer operators), then the
-# remaining queries of every module touched this round
-# (analytics_extra, text_analysis, text_curation — functions
-# untouched, but the r03 criterion counts module-level change, so
-# their rows are re-earned against current bytes), then the streaming
-# trio and the round-4 CMS query. Outside the window: queries in
-# files untouched since their last green row (their r01-r03 rows
-# stay current), and the declared R5_QUEUE of late additions
-# (tests/test_registry_order.py) that front-load the round-5 window.
+# Round-5 rotation (VERDICT r04 "Next round" #1): the declared
+# R5_QUEUE (late r04 additions that the full r04 window could not
+# take) goes first, then the post-guard frame_sample re-verification,
+# then round 5's new operators (incremental index maintenance, the
+# rank-error-bounded dyadic quantile sketch), then every query of a
+# module functionally changed in round 5 — dedup.py (shingle-set
+# collapse in _minhash_pairs, fingerprinted index-cache keys,
+# build/probe refactor), similarity.py (same cache/refactor),
+# text_analysis.py (dsir single-shuffle replan), freq_sketch.py
+# (dyadic addition), streaming/jobs.py (watermark-bounded ingest
+# dedup + progress capture), functions/measures_np.py (NULL-key
+# dropna fix) — and the three spare slots re-verify the reference
+# risk surface flagship pair plus the sketch-backed profiler.
+# Outside the window: queries in files untouched since their last
+# green row (their r01-r04 rows stay current). For the first time
+# there is NO queue: every registry query holds or re-earns a
+# current-bytes driver row this round (tests/test_registry_order.py).
 _PRIORITY = (
-    # -- r03-refactored, driver rows stale (VERDICT #1) --------------
-    "ivf_ann_cosine",
-    "kmeans_embeddings",
-    "knn_cosine",
-    "embedding_centroids",
-    "dedup_embedding_1nn",
+    # -- R5_QUEUE: late r04 additions, front of the window ------------
+    "minhash_index_export",
+    "moments_quantile_sketch",
+    "embedding_pq_quantize",
+    # -- post-guard re-verification (VERDICT r04 #1) ------------------
+    "frame_sample",
+    # -- round-5 new operators ----------------------------------------
+    "minhash_index_incremental",
+    "ann_index_incremental",
+    "dyadic_quantile_sketch",
+    # -- operators/dedup.py (module changed in r5) ---------------------
+    "dedup_minhash_lsh",
+    "dedup_exact_then_minhash",
+    "cross_dedup_minhash",
     "dedup_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_canonical",
     "decontaminate_ngrams",
-    # -- round-4 behavior-changed / new ------------------------------
-    "table_profile",
-    "table_profile_exact",
-    "semantic_dedup",
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "dedup_exact_then_minhash",
-    "cross_dedup_minhash",
-    "ann_lsh_cosine",
+    "dedup_embedding_1nn",
+    # -- operators/similarity.py ---------------------------------------
     "ann_index_export",
-    "bpe_vocab_train",
-    "bpe_encode_stats",
+    "ann_lsh_cosine",
+    "knn_cosine",
+    "ivf_ann_cosine",
+    "embedding_centroids",
+    "kmeans_embeddings",
+    "dedup_embedding_lsh",
+    "semantic_dedup",
+    # -- operators/text_analysis.py ------------------------------------
     "dsir_weights",
+    "bpe_encode_stats",
+    "bpe_vocab_train",
     "ngram_familiarity",
-    "boilerplate_screen",
-    # -- rest of the modules touched in round 4 ----------------------
     "doc_stats",
     "bm25_rank",
     "trigram_udtf_freq",
@@ -76,34 +78,22 @@ _PRIORITY = (
     "token_freq",
     "tfidf_top_terms",
     "doc_fingerprint",
-    "doc_chunking",
-    "pii_redact",
-    "quality_features",
-    "repetition_metrics",
-    "funnel_conversion",
-    "incremental_rollup",
-    "mad_by_type",
-    "moment_stats",
-    "part_price_quartiles",
-    "value_outliers",
-    "vector_quantize_int8",
-    "weighted_median",
-    # -- streaming: the new round-4 query plus the two highest-value
-    # re-verifications of the module it was added to (streaming/jobs.py
-    # changed additively this round; the remaining stream_* queries
-    # hold r02/r03 rows, their functions' bytes are untouched, and
-    # tests/test_streaming.py re-verifies them continuously)
+    # -- operators/freq_sketch.py --------------------------------------
+    "cms_heavy_hitters",
+    # -- streaming/jobs.py ---------------------------------------------
     "stream_ingest_dedup",
     "measures_window_stream",
-    # measures_np.py changed functionally late in the round (coarse-
-    # bucket grouping) — its query re-earns a row; events_time_windows
-    # (r03-green, additive-only module change) yields the slot.
+    "alerts_stream",
+    "events_time_windows",
+    "stream_dedup_users",
+    "stream_session_windows",
+    "stream_stream_join",
+    # -- functions/measures_np.py (NULL-key fix) -----------------------
     "measures_window_np",
-    # risk.py is unchanged this round (measures_agg / alerts_batch
-    # hold r03-green rows; the other forms r02 rows over unchanged
-    # files, continuously pytest-verified) — the last slot goes to the
-    # never-checked round-4 sketch query instead of a re-verification.
-    "cms_heavy_hitters",
+    # -- spare slots: reference risk surface + sketch profiler ---------
+    "measures_agg",
+    "alerts_batch",
+    "table_profile",
 )
 
 _MODULES = (

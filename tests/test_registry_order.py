@@ -1,12 +1,14 @@
 """Pin the registry iteration order contract.
 
 The correctness driver checks only the FIRST 50 registry entries.
-Round-4 rotation (VERDICT r03 #1): the window front-loads the 11
-queries whose modules were refactored in round 3 but sat outside the
-r03 window, then every query of a module touched in round 4 (their
-older driver rows no longer cover current bytes), then the reference
-risk surface. Queries outside the window must already hold a driver
-row from r01-r03 over a module untouched this round.
+Round-5 rotation (VERDICT r04 "Next round" #1): the window front-loads
+the declared R5_QUEUE (late r04 additions), then the post-guard
+frame_sample re-verification, then round 5's new operators, then every
+query of a module functionally changed in round 5 (their older driver
+rows no longer cover current bytes), with the spare slots re-verifying
+the reference risk surface. Queries outside the window must already
+hold a driver row from r01-r04 over a module untouched this round —
+and for the first time there is NO late-addition queue.
 """
 
 import json
@@ -16,46 +18,42 @@ from psd_project_spark import registry
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
-#: r03-refactored, driver rows stale — VERDICT r03 "Next round" #1.
-R3_STALE = {
-    "ivf_ann_cosine", "kmeans_embeddings", "knn_cosine",
-    "embedding_centroids", "dedup_embedding_1nn", "dedup_exact",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_components",
-    "dedup_canonical", "decontaminate_ngrams",
+#: Late-round-4 additions the full r04 window could not take — the
+#: r04 verdict's #1 ask is that they lead the round-5 window.
+R5_QUEUE_FRONT = [
+    "minhash_index_export", "moments_quantile_sketch",
+    "embedding_pq_quantize",
+]
+
+#: multimodal.py's frame_sample gained an (unreachable-on-fixtures)
+#: empty-payload guard late in r04; its driver row predates the guard
+#: bytes, so it re-windows (VERDICT r04 "What's wrong" #2).
+POST_GUARD = {"frame_sample"}
+
+#: Round-5 additions: incremental index maintenance for both persisted
+#: indexes, and the rank-error-bounded dyadic quantile sketch.
+R5_NEW = {
+    "minhash_index_incremental", "ann_index_incremental",
+    "dyadic_quantile_sketch",
 }
 
-#: Operator modules whose source changed in round 4 — every query they
-#: register must re-earn a driver row in this window.
-R4_CHANGED_MODULES = (
+#: Operator modules whose source functionally changed in round 5 —
+#: every query they register must re-earn a driver row in this window.
+R5_CHANGED_MODULES = (
     "psd_project_spark.operators.dedup",
     "psd_project_spark.operators.similarity",
     "psd_project_spark.operators.text_analysis",
-    "psd_project_spark.operators.text_curation",
-    "psd_project_spark.operators.analytics_extra",
+    "psd_project_spark.operators.freq_sketch",
+    "psd_project_spark.streaming.jobs",
 )
 
-#: risk.py is unchanged this round: every risk query holds an
-#: r02/r03-green row over unchanged bytes (pytest re-verifies
-#: continuously), so no window slot is spent re-earning one.
-RISK_SURFACE = set()
+#: functions/measures_np.py changed in round 5 (NULL-key dropna fix) —
+#: its query re-earns a driver row.
+R5_FUNC_CHANGED = {"measures_window_np"}
 
-#: Late-round-4 additions that the FULL 50-slot window could not take:
-#: they follow the same path every round's additions did (r02/r03
-#: additions were "never driver-checked" until their window) — exact
-#: in-repo oracle parity now, front of the round-5 window next.
-R5_QUEUE = {
-    "minhash_index_export", "moments_quantile_sketch",
-    "embedding_pq_quantize",
-}
-
-#: streaming/jobs.py gained stream_ingest_dedup this round (additive):
-#: the new query plus the two highest-value re-verifications must be
-#: windowed.
-STREAMING_WINDOW = {"stream_ingest_dedup", "measures_window_stream"}
-
-#: functions/measures_np.py changed functionally in round 4 — its
-#: query re-earns a driver row.
-R4_PERF_CHANGED = {"measures_window_np"}
+#: Spare-slot re-verifications: the reference risk-surface flagship
+#: pair plus the sketch-backed profiler.
+SPARE = {"measures_agg", "alerts_batch", "table_profile"}
 
 
 def _driver_checked_rounds() -> set[str]:
@@ -71,54 +69,46 @@ def test_first_50_is_priority_list():
     assert names[: len(registry._PRIORITY)] == list(registry._PRIORITY)
 
 
-def test_window_front_loads_r3_stale_queries():
-    assert set(list(registry.queries())[:11]) == R3_STALE
+def test_window_front_loads_r5_queue():
+    assert list(registry.queries())[:3] == R5_QUEUE_FRONT
 
 
 def test_window_covers_every_changed_module_query():
-    """All queries registered by a round-4-touched module sit inside
-    the driver window — the module-level staleness criterion the r03
-    verdict graded by."""
+    """All queries registered by a round-5-touched module sit inside
+    the driver window — the module-level staleness criterion the
+    r03/r04 verdicts graded by."""
     import importlib
 
     window = set(list(registry.queries())[:50])
-    for modname in R4_CHANGED_MODULES:
+    for modname in R5_CHANGED_MODULES:
         qs = set(importlib.import_module(modname).QUERIES)
-        missing = qs - window - R5_QUEUE
+        missing = qs - window
         assert not missing, f"{modname} queries outside window: {missing}"
 
 
-def test_window_reverifies_risk_surface():
+def test_window_reverifies_everything_due():
     window = set(list(registry.queries())[:50])
-    assert RISK_SURFACE <= window
-    assert STREAMING_WINDOW <= window
-    assert R4_PERF_CHANGED <= window
+    assert POST_GUARD <= window
+    assert R5_NEW <= window
+    assert R5_FUNC_CHANGED <= window
+    assert SPARE <= window
 
 
 def test_every_query_has_a_row_or_a_window_slot():
-    """No query may be unverifiable: each is either in the r4 window,
-    already holds a driver row from r01-r03 (and, by the
-    changed-module test above, that row still covers current code), or
-    sits in the declared R5_QUEUE of late additions awaiting the next
-    rotation."""
+    """No query may be unverifiable: each is either in the r5 window
+    or already holds a driver row from r01-r04 (and, by the
+    changed-module test above, that row still covers current code).
+    Round 5 declares NO late-addition queue."""
     checked = _driver_checked_rounds()
     if not checked:  # artifacts absent (e.g. fresh clone)
         return
     names = list(registry.queries())
     window = set(names[:50])
-    uncovered = [
-        q
-        for q in names
-        if q not in window and q not in checked and q not in R5_QUEUE
-    ]
+    uncovered = [q for q in names if q not in window and q not in checked]
     assert not uncovered, f"queries with no driver row ever: {uncovered}"
-    # queue entries must at least exist and carry oracles
-    osql = registry.oracle_sql()
-    for q in R5_QUEUE & set(names):
-        assert q in osql, f"{q} queued without an oracle"
 
 
 def test_no_names_lost_by_reorder():
     names = list(registry.queries())
     assert len(names) == len(set(names))
-    assert len(names) >= 139
+    assert len(names) >= 142
