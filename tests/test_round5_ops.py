@@ -90,3 +90,26 @@ def test_incremental_marker_gates_reuse(spark, tmp_path, monkeypatch):
     full = dd.minhash_index_export(spark, SF_DIR).toPandas()
     release_transient()
     _frames_equal(got, full)
+
+
+def test_compaction_preserves_probe(spark):
+    """Per-bucket compaction: appended multi-file buckets rewrite to
+    one file each (dynamic partition overwrite, only hot buckets
+    touched), and probe results are byte-identical."""
+    from psd_project_spark.functions.caching import release_transient
+    from psd_project_spark.operators import index_compact as ic
+    from psd_project_spark.operators.dedup import (
+        _minhash_index_dir,
+        minhash_index_incremental,
+    )
+
+    before = minhash_index_incremental(spark, SF_DIR).toPandas()
+    release_transient()
+    path = _minhash_index_dir(SF_DIR) + "_incr"
+    assert ic.multi_file_buckets(path), "append left no multi-file buckets"
+    n = ic.compact_minhash_index(spark, path)
+    assert n > 0
+    assert ic.multi_file_buckets(path) == []
+    after = minhash_index_incremental(spark, SF_DIR).toPandas()
+    release_transient()
+    _frames_equal(after, before)
