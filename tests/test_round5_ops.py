@@ -92,20 +92,22 @@ def test_incremental_marker_gates_reuse(spark, tmp_path, monkeypatch):
     _frames_equal(got, full)
 
 
-def test_compaction_preserves_probe(spark):
+def test_compaction_preserves_probe(spark, tmp_path, monkeypatch):
     """Per-bucket compaction: appended multi-file buckets rewrite to
     one file each (dynamic partition overwrite, only hot buckets
-    touched), and probe results are byte-identical."""
+    touched), and probe results are byte-identical. Scratch index dir:
+    the shared /tmp index may already be compacted from a prior run."""
+    import psd_project_spark.operators.dedup as dd
     from psd_project_spark.functions.caching import release_transient
     from psd_project_spark.operators import index_compact as ic
-    from psd_project_spark.operators.dedup import (
-        _minhash_index_dir,
-        minhash_index_incremental,
-    )
+    from psd_project_spark.operators.dedup import minhash_index_incremental
 
+    monkeypatch.setattr(
+        dd, "_minhash_index_dir", lambda sf: str(tmp_path / "idx")
+    )
     before = minhash_index_incremental(spark, SF_DIR).toPandas()
     release_transient()
-    path = _minhash_index_dir(SF_DIR) + "_incr"
+    path = str(tmp_path / "idx") + "_incr"
     assert ic.multi_file_buckets(path), "append left no multi-file buckets"
     n = ic.compact_minhash_index(spark, path)
     assert n > 0
