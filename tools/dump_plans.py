@@ -32,10 +32,20 @@ SHOWCASE = [
     ),
     (
         "dsir_weights",
-        "Both bigram models in ONE map-side-combined aggregation; the "
-        "only BroadcastNestedLoopJoin is the 1-row normalizer frame; "
-        "scoring is an equi-join on the bigram key plus an integer "
-        "sum — the model is never collected.",
+        "ONE bigram-keyed Exchange for the whole query: occurrences "
+        "hash-partition by bigram up front and the multiplicity "
+        "collapse, both-models aggregation, and scoring join all "
+        "reuse that partitioning (no further exchange on the bigram "
+        "side); the only BroadcastNestedLoopJoin is the 1-row "
+        "normalizer frame; the model is never collected.",
+    ),
+    (
+        "dyadic_quantile_sketch",
+        "The (b+1)-level dyadic explode collapses in ONE "
+        "map-side-combined aggregation (the shuffle carries node "
+        "partials, never values); every join after it touches only "
+        "the bounded heavy-node sketch; the window cumsum runs over "
+        "sketch rows — no sort of the data anywhere.",
     ),
     (
         "q1_pricing_summary",
