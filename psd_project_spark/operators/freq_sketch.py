@@ -17,6 +17,8 @@ Summary: The Count-Min Sketch and its Applications", J. Algorithms
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -338,20 +340,76 @@ def dyadic_quantile_frame(
 
     u = F.expr(f"CAST(floor({value_col} * {grid}) AS BIGINT)")
     base = df.groupBy(group_col).agg(
-        F.min(u).alias("umin"), F.count(F.lit(1)).alias("n")
+        F.min(u).alias("umin"),
+        F.max(u).alias("umax"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumn(
+        # per-group mid level for EXACT pruning (plan-only — results
+        # are provably invariant, see below): at level mg a
+        # roughly-uniform group's nodes hold ~n/(4k) < n/k mass, so
+        # most are light and the deep explode below only visits rows
+        # under the few heavy ones. log2(k)+2 = the "+2" safety
+        # quarter-threshold.
+        "mg",
+        F.greatest(
+            F.lit(0),
+            F.length(F.expr("bin(umax - umin)"))
+            - F.lit(int(math.log2(k)) + 2),
+        ),
     )
-    lv = (
-        df.select(F.col(group_col), u.alias("_u"))
-        .join(F.broadcast(base), group_col)
+    dus = df.select(F.col(group_col), u.alias("_u")).join(
+        F.broadcast(base), group_col
+    ).select(
+        group_col, "mg", "n", (F.col("_u") - F.col("umin")).alias("us")
+    )
+    # mid-level node counts: one narrow map-side-combined aggregation
+    # over the data (the only data-sized shuffle in the sketch build)
+    mid = dus.groupBy(
+        group_col, "mg", "n", F.expr("shiftright(us, mg)").alias("pm")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # levels mg..b aggregate FROM the mid table (it is a prefix sum
+    # refinement — counts nest), never from the data again
+    upper = (
+        mid.select(
+            group_col,
+            F.expr(f"explode(sequence(mg, {b}))").alias("lvl"),
+            "mg",
+            "pm",
+            "cnt",
+        )
+        .groupBy(
+            group_col, "lvl", F.expr("shiftright(pm, lvl - mg)").alias("p")
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # levels 0..mg-1 exist in the sketch only under a HEAVY ancestor
+    # (counts nest: a heavy deep node's level-mg ancestor is heavy),
+    # so counting them only for rows inside heavy mid nodes drops
+    # nothing but provably-light nodes — the heavy set, and hence the
+    # sketch, is bit-identical to the unpruned build the oracle runs.
+    heavy_mid = mid.where(F.col("cnt") * F.lit(k) > F.col("n")).select(
+        F.col(group_col).alias("_hg"), F.col("pm").alias("_hpm")
+    )
+    deep = (
+        dus.join(
+            F.broadcast(heavy_mid),
+            (F.col(group_col) == F.col("_hg"))
+            & (F.expr("shiftright(us, mg)") == F.col("_hpm")),
+        )
         .select(
             group_col,
-            F.expr(f"explode(sequence(0, {b}))").alias("lvl"),
-            (F.col("_u") - F.col("umin")).alias("us"),
+            F.explode(
+                F.expr(
+                    "CASE WHEN mg >= 1 THEN sequence(0, mg - 1) "
+                    "ELSE CAST(array() AS array<int>) END"
+                )
+            ).alias("lvl"),
+            "us",
         )
+        .groupBy(group_col, "lvl", F.expr("shiftright(us, lvl)").alias("p"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    counts = lv.groupBy(
-        group_col, "lvl", F.expr("shiftright(us, lvl)").alias("p")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    counts = upper.unionByName(deep)
     heavy = (
         counts.join(F.broadcast(base.select(group_col, "n")), group_col)
         .where(F.col("cnt") * F.lit(k) > F.col("n"))

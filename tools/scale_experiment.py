@@ -63,6 +63,8 @@ QUERIES = [
     "dedup_canonical",
     "dsir_weights",
     "bpe_encode_stats",
+    # round-5: rank-error-bounded quantile sketch (bounded node state)
+    "dyadic_quantile_sketch",
 ]
 
 
