@@ -304,3 +304,35 @@ def test_ann_index_probe_prunes_partitions(spark):
     df = ann_index_export(spark, SF_DIR)
     pf = partition_filters(df)
     assert any("band" in f and "bkey" in f for f in pf), pf
+
+
+def test_incremental_index_probes_prune_partitions(spark):
+    """The append path must keep the pruned-probe property: both
+    incremental indexes answer probes from their bucket directories
+    only (partition predicates for the ANN index, an explicit
+    bucket-path file index for the MinHash band index)."""
+    from psd_project_spark.functions.caching import release_transient
+    from psd_project_spark.operators.dedup import (
+        MINHASH_INDEX_BUCKETS,
+        _minhash_index_dir,
+        minhash_index_incremental,
+    )
+    from psd_project_spark.operators.similarity import ann_index_incremental
+
+    df = ann_index_incremental(spark, SF_DIR)
+    pf = partition_filters(df)
+    assert any("band" in f and "bkey" in f for f in pf), pf
+
+    df2 = minhash_index_incremental(spark, SF_DIR)
+    # the probe scan lists explicit bucket dirs: the index files the
+    # query READS must be a strict subset of the full
+    # LSH_BANDS x MINHASH_INDEX_BUCKETS directory grid, all under the
+    # incremental index root
+    root = _minhash_index_dir(SF_DIR) + "_incr"
+    idx_files = [f for f in df2.inputFiles() if root.rsplit("/", 1)[-1] in f]
+    release_transient()
+    assert idx_files, "probe reads no index files"
+    probed_dirs = {f.rsplit("/", 1)[0] for f in idx_files}
+    from psd_project_spark.functions.text import LSH_BANDS
+
+    assert len(probed_dirs) < LSH_BANDS * MINHASH_INDEX_BUCKETS
