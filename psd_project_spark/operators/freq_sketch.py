@@ -410,6 +410,24 @@ def dyadic_quantile_frame(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     counts = upper.unionByName(deep)
+    return _dqs_compress(counts, base, group_col, grid, k)
+
+
+def _dqs_compress(
+    counts: DataFrame,
+    base: DataFrame,
+    group_col: str,
+    grid: int,
+    k: int,
+) -> DataFrame:
+    """Compress a dyadic node-count table (group, lvl, p, cnt) into
+    quantile estimates: heavy filter → residuals vs heavy children →
+    post-order cumulative mass → first interval reaching each target
+    rank. ``base`` carries (group, n, umin). Shared by the batch frame
+    and the streaming sketch (whose counts come out of a streaming
+    aggregation — the compress is identical either way)."""
+    from pyspark.sql import Window
+
     heavy = (
         counts.join(F.broadcast(base.select(group_col, "n")), group_col)
         .where(F.col("cnt") * F.lit(k) > F.col("n"))
@@ -533,3 +551,119 @@ ORDER BY 1
 
 
 QUERIES["dyadic_quantile_sketch"] = (dyadic_quantile_sketch, _dqs_oracle())
+
+
+# --- stream_value_quantiles (streaming dyadic sketch, bounded state) ---------
+
+#: Streaming variant constants: FIXED universe (no data-dependent
+#: shift — a stream can't know min(u) up front): u = floor(value·1e6)
+#: must fit in [0, 2^32) (values in [0, ~4294]; events.value is
+#: [0, ~560]). Node counts are maintained only at levels
+#: SVQ_LMIN..SVQ_B, which HARD-bounds streaming state at
+#: 2^(B−LMIN+1) ≈ 131k nodes per group regardless of the data —
+#: the trade is value resolution (leaf = 2^16 grid cells ≈ 0.066
+#: value units), not the rank guarantee, which tightens to
+#: 2·(B−LMIN)·n/K ≈ 0.78% of n.
+SVQ_B = 32
+SVQ_LMIN = 16
+SVQ_GRID = 1_000_000
+SVQ_K = 4096
+
+
+def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10/q50/q90 of ``events.value`` per event type from a LIVE
+    STREAM — the dyadic quantile sketch as a Structured Streaming
+    aggregation. The sketch state (dyadic node counts at levels
+    ``SVQ_LMIN..SVQ_B``) is exactly a streaming ``groupBy().count()``:
+    order-free integer sums, so the complete-mode emission after a
+    bounded replay equals the batch count table bit-for-bit, the
+    compress step is the shared :func:`_dqs_compress`, and the DuckDB
+    oracle (the same fixed-universe arithmetic over the full table)
+    hash-matches a STREAMING sketch — the HLL/CMS portability recipe
+    carried into Structured Streaming.
+
+    Plan shape for 100 TB/day: per-micro-batch the explode adds
+    (B−LMIN+1) rows per event into a map-side-combined streaming
+    aggregation whose total state is hard-bounded (≤ 2^(B−LMIN+1)
+    nodes per group — the level floor is what makes an unbounded
+    value stream safe); quantile extraction reads the state table,
+    never the stream."""
+    from psd_project_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    events = stream_events(spark, sf_dir)
+    lv = events.select(
+        "event_type",
+        F.expr(f"CAST(floor(value * {SVQ_GRID}) AS BIGINT)").alias("u"),
+    ).select(
+        "event_type",
+        F.expr(f"explode(sequence({SVQ_LMIN}, {SVQ_B}))").alias("lvl"),
+        "u",
+    )
+    agg = lv.groupBy(
+        "event_type", "lvl", F.expr("shiftright(u, lvl)").alias("p")
+    ).count()
+    # localCheckpoint: (a) the compress below reads the count table
+    # multiple times (heavy filter + base extraction) and memory-sink
+    # views break Spark's self-join dedup (INTERNAL_ERROR on
+    # conflicting references); (b) the table is the BOUNDED sketch
+    # state (≤ 2^(B−LMIN+1) nodes per group), so snapshotting it is
+    # O(state), never O(stream)
+    counts = (
+        run_stream_to_memory(agg, mode="complete")
+        .withColumnRenamed("count", "cnt")
+        .localCheckpoint(eager=True)
+    )
+    # n per group = the root node's count (every u has u >> B == 0),
+    # umin = 0 by the fixed-universe contract
+    base = counts.where(F.col("lvl") == SVQ_B).select(
+        "event_type", F.col("cnt").alias("n"), F.lit(0).alias("umin")
+    )
+    return _dqs_compress(counts, base, "event_type", SVQ_GRID, SVQ_K)
+
+
+def _svq_oracle() -> str:
+    ests = ", ".join(
+        f"(b.umin + min(CASE WHEN c.cum >= "
+        f"CAST(ceiling({q!r} * b.n) AS BIGINT) THEN c.hi END)) / "
+        f"CAST({SVQ_GRID} AS DOUBLE) AS q{int(q * 100)}_est"
+        for q in (0.1, 0.5, 0.9)
+    )
+    return f"""
+WITH v AS (
+  SELECT event_type AS g, CAST(floor(value * {SVQ_GRID}) AS BIGINT) AS u
+  FROM events
+), counts AS (
+  SELECT g, gs.lvl, (u >> gs.lvl) AS p, count(*) AS cnt
+  FROM v CROSS JOIN generate_series({SVQ_LMIN}, {SVQ_B}) AS gs(lvl)
+  GROUP BY 1, 2, 3
+), base AS (
+  SELECT g, cnt AS n, 0 AS umin FROM counts WHERE lvl = {SVQ_B}
+), heavy AS (
+  SELECT c.g, c.lvl, c.p, c.cnt
+  FROM counts c JOIN base b ON c.g = b.g WHERE c.cnt * {SVQ_K} > b.n
+), kids AS (
+  SELECT g, lvl + 1 AS plvl, (p >> 1) AS pp, sum(cnt) AS csum
+  FROM heavy GROUP BY 1, 2, 3
+), nodes AS (
+  SELECT h.g, h.lvl, h.cnt - coalesce(k.csum, 0) AS resid,
+         ((h.p + 1) << h.lvl) - 1 AS hi
+  FROM heavy h LEFT JOIN kids k
+    ON h.g = k.g AND h.lvl = k.plvl AND h.p = k.pp
+), cum AS (
+  SELECT g, lvl, resid, hi,
+         sum(resid) OVER (PARTITION BY g ORDER BY hi, lvl
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM nodes WHERE resid > 0
+)
+SELECT c.g AS event_type, b.n, CAST(count(*) AS BIGINT) AS n_nodes, {ests}
+FROM cum c JOIN base b ON c.g = b.g
+GROUP BY c.g, b.n, b.umin
+ORDER BY 1
+"""
+
+
+QUERIES["stream_value_quantiles"] = (stream_value_quantiles, _svq_oracle())

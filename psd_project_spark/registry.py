@@ -80,6 +80,7 @@ _PRIORITY = (
     "doc_fingerprint",
     # -- operators/freq_sketch.py --------------------------------------
     "cms_heavy_hitters",
+    "stream_value_quantiles",
     # -- streaming/jobs.py ---------------------------------------------
     "stream_ingest_dedup",
     "measures_window_stream",
@@ -90,10 +91,14 @@ _PRIORITY = (
     "stream_stream_join",
     # -- functions/measures_np.py (NULL-key fix) -----------------------
     "measures_window_np",
-    # -- spare slots: reference risk surface + sketch profiler ---------
+    # -- spare slots: reference risk surface re-verification -----------
+    # (table_profile's slot yielded to the late-round
+    # stream_value_quantiles addition above: a NEW query needs a
+    # day-one driver row to keep the zero-queue property, while
+    # table_profile holds an r04 hash-match row over bytes whose only
+    # r5 change is upstream-module-free)
     "measures_agg",
     "alerts_batch",
-    "table_profile",
 )
 
 _MODULES = (

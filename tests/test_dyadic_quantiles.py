@@ -102,3 +102,38 @@ def test_bounded_state(spark):
     )
     row = dyadic_quantile_frame(df, "g", "v").collect()[0]
     assert 0 < row["n_nodes"] <= DQS_K * (DQS_B + 1)
+
+
+def test_streaming_sketch_rank_error_and_state_bound(spark):
+    """The streaming form answers at leaf resolution 2^SVQ_LMIN grid
+    cells with rank error ≤ 2·(B−LMIN)·n/K — checked against the raw
+    parquet values — and its node count respects the hard state bound
+    that makes an unbounded value stream safe."""
+    import pyarrow.parquet as pq
+
+    from psd_project_spark.operators.freq_sketch import (
+        SVQ_B,
+        SVQ_GRID,
+        SVQ_K,
+        SVQ_LMIN,
+        stream_value_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = stream_value_quantiles(spark, sf).collect()
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"])
+    by_type = {}
+    for et, v in zip(t["event_type"].to_pylist(), t["value"].to_pylist()):
+        by_type.setdefault(et, []).append(v)
+    cell = (1 << SVQ_LMIN) / SVQ_GRID
+    state_bound = 1 << (SVQ_B - SVQ_LMIN + 1)
+    for row in rows:
+        values = by_type[row["event_type"]]
+        n = len(values)
+        assert row["n"] == n
+        assert 0 < row["n_nodes"] <= state_bound
+        bound = math.ceil(2 * (SVQ_B - SVQ_LMIN) * n / SVQ_K)
+        for q in QS:
+            est = row[f"q{int(q * 100)}_est"]
+            err = _cell_rank_error(values, est, cell, math.ceil(q * n))
+            assert err <= bound, (row["event_type"], q, est, err, bound)

@@ -31,10 +31,12 @@ R5_QUEUE_FRONT = [
 POST_GUARD = {"frame_sample"}
 
 #: Round-5 additions: incremental index maintenance for both persisted
-#: indexes, and the rank-error-bounded dyadic quantile sketch.
+#: indexes, the rank-error-bounded dyadic quantile sketch, and its
+#: Structured Streaming form (bounded-state node counts as a streaming
+#: aggregation).
 R5_NEW = {
     "minhash_index_incremental", "ann_index_incremental",
-    "dyadic_quantile_sketch",
+    "dyadic_quantile_sketch", "stream_value_quantiles",
 }
 
 #: Operator modules whose source functionally changed in round 5 —
@@ -52,8 +54,10 @@ R5_CHANGED_MODULES = (
 R5_FUNC_CHANGED = {"measures_window_np"}
 
 #: Spare-slot re-verifications: the reference risk-surface flagship
-#: pair plus the sketch-backed profiler.
-SPARE = {"measures_agg", "alerts_batch", "table_profile"}
+#: pair (table_profile's slot yielded to the late-round
+#: stream_value_quantiles addition — it holds an r04 hash-match row
+#: over unchanged bytes).
+SPARE = {"measures_agg", "alerts_batch"}
 
 
 def _driver_checked_rounds() -> set[str]:
@@ -111,4 +115,4 @@ def test_every_query_has_a_row_or_a_window_slot():
 def test_no_names_lost_by_reorder():
     names = list(registry.queries())
     assert len(names) == len(set(names))
-    assert len(names) >= 142
+    assert len(names) >= 143
