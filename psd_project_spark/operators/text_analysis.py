@@ -607,34 +607,45 @@ def ngram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle matches exactly.
 
     Plan shape for 100 TB: bigram extraction is per-row JVM codegen
-    (no Python); the model "training" is one map-side-combined count
-    shuffle on the bigram key; scoring re-joins doc bigrams to the
-    model on that same key — the model is never collected anywhere and
-    may be arbitrarily larger than memory (contrast with perplexity
-    UDFs that broadcast a fixed LM)."""
+    (no Python); occurrences hash-partition by bigram ONCE up front
+    (the ``dsir_weights`` discipline), and the per-doc multiplicity
+    collapse, the model aggregation, and the scoring join all reuse
+    that partitioning with no further bigram-side exchange. Scoring is
+    ``sum(k·corpus_n)`` over distinct (doc, bigram) multiplicities —
+    integer arithmetic, bit-identical to per-occurrence summing. The
+    model is never collected anywhere and may be arbitrarily larger
+    than memory (contrast with perplexity UDFs that broadcast a fixed
+    LM)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(T.tokens_expr()).alias("_toks")
     )
-    bg = d.select(
-        "doc_id", F.explode(F.expr(_bigrams_expr("_toks"))).alias("bigram")
+    db = (
+        d.select(
+            "doc_id", F.explode(F.expr(_bigrams_expr("_toks"))).alias("bigram")
+        )
+        .repartition("bigram")
+        .groupBy("bigram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
     )
     # transient cache: feeds both the model aggregation and the
     # scoring join; released on next query entry (functions/caching).
-    bg = transient_cache(bg)
-    model = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("corpus_n"))
+    db = transient_cache(db)
+    model = db.groupBy("bigram").agg(F.sum("k").alias("corpus_n"))
+    nb = F.sum("k")
     return (
-        bg.join(model, "bigram")
+        db.join(model, "bigram")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            nb.alias("n_bigrams"),
             F.round(
-                F.sum("corpus_n").cast("double") / F.count(F.lit(1)), 6
+                F.sum(F.col("k") * F.col("corpus_n")).cast("double") / nb, 6
             ).alias("avg_corpus_freq"),
             F.round(
-                F.sum((F.col("corpus_n") <= RARE_BIGRAM_MAX).cast("long")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1)),
+                F.sum(
+                    F.col("k")
+                    * (F.col("corpus_n") <= RARE_BIGRAM_MAX).cast("long")
+                ).cast("double")
+                / nb,
                 6,
             ).alias("rare_frac"),
         )
