@@ -114,11 +114,14 @@ SHOWCASE = [
     ),
     (
         "ngram_familiarity",
-        "Bigram model is a count table joined on the bigram key "
-        "(map-side-combined HashAggregate partials). Nothing forces a "
-        "broadcast: at this SF Catalyst elects BroadcastHashJoin from "
-        "size stats, and past the threshold the same declarative plan "
-        "degrades to a shuffle join — model size is unbounded.",
+        "ONE bigram-keyed Exchange for the whole query (the "
+        "dsir_weights discipline): occurrences hash-partition by "
+        "bigram up front and the multiplicity collapse, model "
+        "aggregation, and scoring join all reuse that partitioning. "
+        "Nothing forces a broadcast: at this SF Catalyst may elect "
+        "BroadcastHashJoin from size stats, and past the threshold "
+        "the same declarative plan keeps the co-partitioned join — "
+        "model size is unbounded.",
     ),
     (
         "source_mix_rebalance",
