@@ -115,3 +115,24 @@ def test_compaction_preserves_probe(spark, tmp_path, monkeypatch):
     after = minhash_index_incremental(spark, SF_DIR).toPandas()
     release_transient()
     _frames_equal(after, before)
+
+
+def test_ann_compaction_preserves_probe(spark, tmp_path, monkeypatch):
+    """compact_ann_index: same per-bucket rewrite contract as the
+    MinHash index — appended multi-file buckets become one file each
+    and probe results are byte-identical."""
+    import psd_project_spark.operators.similarity as sim
+    from psd_project_spark.operators import index_compact as ic
+    from psd_project_spark.operators.similarity import ann_index_incremental
+
+    monkeypatch.setattr(
+        sim, "_ann_index_dir", lambda sf: str(tmp_path / "annidx")
+    )
+    before = ann_index_incremental(spark, SF_DIR).toPandas()
+    path = str(tmp_path / "annidx") + "_incr"
+    assert ic.multi_file_buckets(path), "append left no multi-file buckets"
+    n = ic.compact_ann_index(spark, path)
+    assert n > 0
+    assert ic.multi_file_buckets(path) == []
+    after = ann_index_incremental(spark, SF_DIR).toPandas()
+    _frames_equal(after, before)
