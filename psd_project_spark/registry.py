@@ -81,6 +81,8 @@ _PRIORITY = (
     # -- operators/freq_sketch.py --------------------------------------
     "cms_heavy_hitters",
     "stream_value_quantiles",
+    # -- operators/packing.py (new module) -----------------------------
+    "pack_sequences",
     # -- streaming/jobs.py ---------------------------------------------
     "stream_ingest_dedup",
     "measures_window_stream",
@@ -91,14 +93,13 @@ _PRIORITY = (
     "stream_stream_join",
     # -- functions/measures_np.py (NULL-key fix) -----------------------
     "measures_window_np",
-    # -- spare slots: reference risk surface re-verification -----------
-    # (table_profile's slot yielded to the late-round
-    # stream_value_quantiles addition above: a NEW query needs a
-    # day-one driver row to keep the zero-queue property, while
-    # table_profile holds an r04 hash-match row over bytes whose only
-    # r5 change is upstream-module-free)
+    # -- spare slot: reference risk surface re-verification ------------
+    # (table_profile's and alerts_batch's slots yielded to the
+    # late-round stream_value_quantiles / pack_sequences additions
+    # above: a NEW query needs a day-one driver row to keep the
+    # zero-queue property, while both displaced queries hold r03/r04
+    # hash-match rows over bytes untouched this round)
     "measures_agg",
-    "alerts_batch",
 )
 
 _MODULES = (
@@ -120,6 +121,7 @@ _MODULES = (
     "psd_project_spark.operators.scalar_functions",
     "psd_project_spark.operators.sketches",
     "psd_project_spark.operators.freq_sketch",
+    "psd_project_spark.operators.packing",
     "psd_project_spark.operators.skew",
     "psd_project_spark.sources.jsonl",
     "psd_project_spark.sources.orc",

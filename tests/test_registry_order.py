@@ -37,6 +37,7 @@ POST_GUARD = {"frame_sample"}
 R5_NEW = {
     "minhash_index_incremental", "ann_index_incremental",
     "dyadic_quantile_sketch", "stream_value_quantiles",
+    "pack_sequences",
 }
 
 #: Operator modules whose source functionally changed in round 5 —
@@ -53,11 +54,11 @@ R5_CHANGED_MODULES = (
 #: its query re-earns a driver row.
 R5_FUNC_CHANGED = {"measures_window_np"}
 
-#: Spare-slot re-verifications: the reference risk-surface flagship
-#: pair (table_profile's slot yielded to the late-round
-#: stream_value_quantiles addition — it holds an r04 hash-match row
-#: over unchanged bytes).
-SPARE = {"measures_agg", "alerts_batch"}
+#: Spare-slot re-verification: the reference risk-surface flagship
+#: (table_profile's and alerts_batch's slots yielded to the late-round
+#: stream_value_quantiles / pack_sequences additions — both hold
+#: r03/r04 hash-match rows over bytes untouched this round).
+SPARE = {"measures_agg"}
 
 
 def _driver_checked_rounds() -> set[str]:
@@ -115,4 +116,4 @@ def test_every_query_has_a_row_or_a_window_slot():
 def test_no_names_lost_by_reorder():
     names = list(registry.queries())
     assert len(names) == len(set(names))
-    assert len(names) >= 143
+    assert len(names) >= 144
