@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from psd_project_spark.functions import hll_sql as HLL
 from psd_project_spark.functions import text as T
+from psd_project_spark.functions.caching import transient_cache
 from psd_project_spark.sources.registry import load_table
 
 #: Sketch geometry: d independent rows × w buckets. Overestimate is
@@ -339,6 +340,12 @@ def dyadic_quantile_frame(
     from pyspark.sql import Window
 
     u = F.expr(f"CAST(floor({value_col} * {grid}) AS BIGINT)")
+    # transient caches: `base` (one row per group) feeds the dus join,
+    # the heavy filter and the final quantile join; `mid` feeds the
+    # upper-level rollup, the heavy-mid probe list and (via dus) the
+    # deep recount. Without them Spark re-derives each branch from the
+    # SCAN — measured 15 parquet scans of the table for one query
+    # (AQE defeats ReuseExchange here). Released at next query entry.
     base = df.groupBy(group_col).agg(
         F.min(u).alias("umin"),
         F.max(u).alias("umax"),
@@ -357,6 +364,7 @@ def dyadic_quantile_frame(
             - F.lit(int(math.log2(k)) + 2),
         ),
     )
+    base = transient_cache(base)
     dus = df.select(F.col(group_col), u.alias("_u")).join(
         F.broadcast(base), group_col
     ).select(
@@ -364,9 +372,11 @@ def dyadic_quantile_frame(
     )
     # mid-level node counts: one narrow map-side-combined aggregation
     # over the data (the only data-sized shuffle in the sketch build)
-    mid = dus.groupBy(
-        group_col, "mg", "n", F.expr("shiftright(us, mg)").alias("pm")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mid = transient_cache(
+        dus.groupBy(
+            group_col, "mg", "n", F.expr("shiftright(us, mg)").alias("pm")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
     # levels mg..b aggregate FROM the mid table (it is a prefix sum
     # refinement — counts nest), never from the data again
     upper = (
