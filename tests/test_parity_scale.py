@@ -38,6 +38,16 @@ ADAPTIVE = [
     "dsir_weights",
     "bpe_encode_stats",
     "stream_ingest_dedup",
+    # round 5: index bucket population and per-bucket file layout grow
+    # with corpus; the dyadic sketch's heavy set / mid-level pruning
+    # and the packing bin count are cardinality-dependent; the
+    # streaming sketch's node state only multi-bins at larger n
+    "minhash_index_incremental",
+    "ann_index_incremental",
+    "dyadic_quantile_sketch",
+    "stream_value_quantiles",
+    "pack_sequences",
+    "ngram_familiarity",
 ]
 
 
