@@ -47,6 +47,7 @@ R5_CHANGED_MODULES = (
     "psd_project_spark.operators.similarity",
     "psd_project_spark.operators.text_analysis",
     "psd_project_spark.operators.freq_sketch",
+    "psd_project_spark.operators.packing",  # new this round
     "psd_project_spark.streaming.jobs",
 )
 

@@ -124,6 +124,15 @@ SHOWCASE = [
         "model size is unbounded.",
     ),
     (
+        "pack_sequences",
+        "Training-sequence packing: ONE hash exchange on the shard "
+        "key feeds a per-shard window cumsum (no global sort — "
+        "determinism is per shard, the scale-out axis); bin "
+        "assignment and boundary-crossing are all-integer codegen "
+        "expressions, and the final rollup reuses the shard "
+        "partitioning.",
+    ),
+    (
         "source_mix_rebalance",
         "Per-language counts collapse to ≤5 rows then broadcast back; "
         "the only data-sized shuffle is the per-language hash-rank "
