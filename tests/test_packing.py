@@ -69,3 +69,30 @@ def test_fixture_has_real_crossings_and_matches_oracle(spark):
     assert got["n_crossing"].sum() > 0  # boundary logic exercised
     con = duck_connection(SF_DIR)
     compare_frames(got, con.execute(PACK_SEQUENCES_ORACLE).fetchdf())
+
+
+def test_randomized_docs_match_reference(spark, monkeypatch):
+    """200 random docs (random token counts incl. empties and
+    boundary-sized docs) against the Python reference — one Spark run,
+    seeded, so the differential is deterministic."""
+    import random
+
+    import psd_project_spark.operators.packing as pk
+
+    rng = random.Random(17)
+    monkeypatch.setattr(pk, "PACK_SEQ_LEN", 37)  # prime: misaligned bins
+    monkeypatch.setattr(pk, "PACK_SHARDS", 5)
+    rows = []
+    for i in range(200):
+        n = rng.choice([0, 1, rng.randint(2, 36), 37, rng.randint(38, 120)])
+        rows.append(
+            Row(doc_id=i * 7 % 997, text=" ".join(["t"] * n) if n else "")
+        )
+    counts = [(r.doc_id, len(r.text.strip(" ").split(" "))) for r in rows]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(pk, "load_table", lambda s, sf, name: df)
+    got = {
+        (r["shard"], r["bin"]): (r["n_docs"], r["n_tokens"], r["n_crossing"])
+        for r in pk.pack_sequences(spark, "unused").collect()
+    }
+    assert got == _py_pack(counts, 37, 5)
