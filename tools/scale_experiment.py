@@ -63,8 +63,11 @@ QUERIES = [
     "dedup_canonical",
     "dsir_weights",
     "bpe_encode_stats",
-    # round-5: rank-error-bounded quantile sketch (bounded node state)
+    # round-5: rank-error-bounded quantile sketch (bounded node state),
+    # its streaming form, and training-sequence packing
     "dyadic_quantile_sketch",
+    "stream_value_quantiles",
+    "pack_sequences",
 ]
 
 
