@@ -19,7 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+SF_DIR = os.path.normpath(
+    os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+)
 #: Second scale factor: the headline queries re-run here so the JSON
 #: carries a scaling ratio (sf/sf_small per query), letting the judge
 #: separate fixed per-query overhead from data-proportional work and
@@ -111,10 +114,14 @@ def main() -> None:
         with open(base_path) as fh:
             raw_base = json.load(fh)
         if "queries" in raw_base and isinstance(raw_base["queries"], dict):
-            baseline_sf_ok = raw_base.get("_sf_dir") == SF_DIR
+            # normpath both sides: a trailing slash in the env var must
+            # not silently disable the stall gate + baseline refresh
+            baseline_sf_ok = (
+                os.path.normpath(str(raw_base.get("_sf_dir"))) == SF_DIR
+            )
             baseline = raw_base["queries"] if baseline_sf_ok else {}
         else:
-            baseline_sf_ok = SF_DIR == "/root/testdata/sf0.1"
+            baseline_sf_ok = SF_DIR == os.path.normpath(DEFAULT_SF_DIR)
             baseline = raw_base if baseline_sf_ok else {}
 
     def stalled(name: str) -> bool:

@@ -906,16 +906,20 @@ def _minhash_index_dir(sf_dir: str) -> str:
 
     from psd_project_spark.sources.registry import source_fingerprint
 
+    from psd_project_spark.operators.index_compact import (
+        prune_stale_siblings,
+    )
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     # layout-version suffix + source-data fingerprint: stale dirs from
     # older layouts OR regenerated source data must never satisfy the
     # _SUCCESS check (ADVICE r04 — the index rebuilds when documents
-    # changes under the same path)
+    # changes under the same path). Superseded fingerprints' trees are
+    # pruned so the sink root stays bounded across data regenerations.
     fp = source_fingerprint(sf_dir, "documents")
-    return (
-        f"/tmp/psd_spark_sink/{key}/minhash_index_"
-        f"{T.LSH_BANDS}x{MINHASH_INDEX_BUCKETS}_{fp}"
-    )
+    prefix = f"minhash_index_{T.LSH_BANDS}x{MINHASH_INDEX_BUCKETS}_"
+    prune_stale_siblings(f"/tmp/psd_spark_sink/{key}", prefix, fp)
+    return f"/tmp/psd_spark_sink/{key}/{prefix}{fp}"
 
 
 def _with_bucket(bands: DataFrame) -> DataFrame:

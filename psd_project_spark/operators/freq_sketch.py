@@ -337,8 +337,6 @@ def dyadic_quantile_frame(
     (b+1)-level explode (the band-explode discipline), then joins on
     the ≤ k·(b+1)-row sketch only; no sort of the data, no
     collect_list, no per-value state."""
-    from pyspark.sql import Window
-
     u = F.expr(f"CAST(floor({value_col} * {grid}) AS BIGINT)")
     # transient caches: `base` (one row per group) feeds the dus join,
     # the heavy filter and the final quantile join; `mid` feeds the
@@ -365,11 +363,21 @@ def dyadic_quantile_frame(
         ),
     )
     base = transient_cache(base)
+    # loud universe guard: a NULL value or a shifted range beyond 2^b
+    # would silently split the root / drop quantile mass (and the
+    # oracle would fail identically, so parity could never catch it) —
+    # fail the job instead of corrupting the sketch
+    us_guarded = F.expr(
+        f"CASE WHEN _u IS NULL THEN "
+        f"CAST(raise_error('dyadic_quantile_frame: NULL value') AS BIGINT) "
+        f"WHEN _u - umin >= shiftleft(CAST(1 AS BIGINT), {b}) THEN "
+        f"CAST(raise_error(concat('dyadic_quantile_frame: value range ', "
+        f"'exceeds 2^{b} grid cells — raise b or coarsen grid')) AS BIGINT) "
+        f"ELSE _u - umin END"
+    )
     dus = df.select(F.col(group_col), u.alias("_u")).join(
         F.broadcast(base), group_col
-    ).select(
-        group_col, "mg", "n", (F.col("_u") - F.col("umin")).alias("us")
-    )
+    ).select(group_col, "mg", "n", us_guarded.alias("us"))
     # mid-level node counts: one narrow map-side-combined aggregation
     # over the data (the only data-sized shuffle in the sketch build)
     mid = transient_cache(
@@ -604,7 +612,15 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = stream_events(spark, sf_dir)
-    lv = events.select(
+    # explicit fixed-universe domain screen, identical in the oracle:
+    # a NULL or out-of-range value would mint a second level-B root
+    # row and silently corrupt every group's n/quantiles (both engines
+    # identically — parity could never catch it), so out-of-domain
+    # rows are EXCLUDED by contract on both sides
+    lim = repr(2**SVQ_B / SVQ_GRID)
+    lv = events.where(
+        F.expr(f"value IS NOT NULL AND value >= 0 AND value < {lim}")
+    ).select(
         "event_type",
         F.expr(f"CAST(floor(value * {SVQ_GRID}) AS BIGINT)").alias("u"),
     ).select(
@@ -645,6 +661,7 @@ def _svq_oracle() -> str:
 WITH v AS (
   SELECT event_type AS g, CAST(floor(value * {SVQ_GRID}) AS BIGINT) AS u
   FROM events
+  WHERE value IS NOT NULL AND value >= 0 AND value < {2**SVQ_B / SVQ_GRID!r}
 ), counts AS (
   SELECT g, gs.lvl, (u >> gs.lvl) AS p, count(*) AS cnt
   FROM v CROSS JOIN generate_series({SVQ_LMIN}, {SVQ_B}) AS gs(lvl)

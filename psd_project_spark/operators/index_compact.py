@@ -17,6 +17,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def prune_stale_siblings(parent: str, prefix: str, fp: str) -> int:
+    """Delete sibling index dirs of the same layout ``prefix`` whose
+    name does not carry the current data fingerprint ``fp`` — the
+    fingerprinted cache key (sources/registry.source_fingerprint)
+    mints a new directory whenever the source data changes, and the
+    superseded trees (each a full corpus band/vector copy) would
+    otherwise accumulate under the sink root forever. Returns the
+    number of directories removed."""
+    import shutil
+
+    if not os.path.isdir(parent):
+        return 0
+    n = 0
+    for entry in os.listdir(parent):
+        if entry.startswith(prefix) and f"_{fp}" not in entry:
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+            n += 1
+    return n
+
+
 def multi_file_buckets(path: str) -> list[str]:
     """Relative bucket dirs (e.g. ``band_id=3/bucket=17``) holding more
     than one parquet part file."""
@@ -28,6 +48,17 @@ def multi_file_buckets(path: str) -> list[str]:
     return sorted(out)
 
 
+def _rewrite(hot, path: str, partition_cols: list[str], nparts: int) -> None:
+    """The overwrite job itself — separated so tests can fault-inject
+    a mid-compaction crash."""
+    (
+        hot.repartition(nparts, *partition_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def compact_index(
     spark: SparkSession, path: str, partition_cols: list[str], schema: str
 ) -> int:
@@ -36,10 +67,25 @@ def compact_index(
 
     Uses dynamic partition overwrite so ONLY the buckets present in
     the rewrite frame are replaced — the per-bucket rewrite contract:
-    cost tracks the appended-to buckets, not the index size."""
+    cost tracks the appended-to buckets, not the index size.
+
+    Crash safety: the completion gates (``_SUCCESS``, and
+    ``_DELTA_APPENDED`` for incremental indexes) are REMOVED before
+    the rewrite touches any bucket and restored only after the job
+    commits — a crash mid-compaction leaves a directory that fails
+    the builders' gate, forcing a rebuild instead of silently serving
+    an index with destroyed buckets (the same durability contract the
+    incremental build path documents)."""
     buckets = multi_file_buckets(path)
     if not buckets:
         return 0
+    succ = os.path.join(path, "_SUCCESS")
+    marker = os.path.join(path, "_DELTA_APPENDED")
+    had_marker = os.path.exists(marker)
+    if had_marker:
+        os.remove(marker)
+    if os.path.exists(succ):
+        os.remove(succ)  # the overwrite job recreates it on commit
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -48,14 +94,12 @@ def compact_index(
             .schema(schema)
             .parquet(*[f"{path}/{b}" for b in buckets])
         )
-        (
-            hot.repartition(max(1, len(buckets) // 4), *partition_cols)
-            .write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
+        _rewrite(hot, path, partition_cols, max(1, len(buckets) // 4))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if had_marker:
+        with open(marker, "w") as fh:
+            fh.write("base+delta\n")
     return len(buckets)
 
 

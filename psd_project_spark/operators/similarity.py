@@ -839,15 +839,19 @@ def _ann_index_dir(sf_dir: str) -> str:
 
     from psd_project_spark.sources.registry import source_fingerprint
 
+    from psd_project_spark.operators.index_compact import (
+        prune_stale_siblings,
+    )
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     # layout version suffix + source-data fingerprint: a stale dir from
     # an older layout OR regenerated source data must never satisfy the
-    # _SUCCESS check (ADVICE r04)
+    # _SUCCESS check (ADVICE r04); superseded fingerprints' trees are
+    # pruned so the sink root stays bounded across data regenerations
     fp = source_fingerprint(sf_dir, "embeddings")
-    return (
-        f"/tmp/psd_spark_sink/{key}/ann_lsh_index_"
-        f"{PAIR_N_BANDS}x{PAIR_BAND_BITS}_ibkey_{fp}"
-    )
+    prefix = f"ann_lsh_index_{PAIR_N_BANDS}x{PAIR_BAND_BITS}_ibkey_"
+    prune_stale_siblings(f"/tmp/psd_spark_sink/{key}", prefix, fp)
+    return f"/tmp/psd_spark_sink/{key}/{prefix}{fp}"
 
 
 def ann_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,12 +98,26 @@ def spread_small(df: DataFrame, spark: SparkSession) -> DataFrame:
 
 def source_fingerprint(sf_dir: str, name: str) -> str:
     """Short content fingerprint of one source table's parquet files
-    (relative names + sizes + mtimes). Persisted-index operators fold
-    this into their cache-directory key so a regenerated/changed source
-    can never be served a stale index (ADVICE r04): new data → new
-    fingerprint → new directory → rebuild."""
+    (relative names + sizes + mtimes + first/last 4 KiB of content).
+    Persisted-index operators fold this into their cache-directory key
+    so a regenerated/changed source can never be served a stale index
+    (ADVICE r04): new data → new fingerprint → new directory → rebuild.
+    The head/tail content sample defeats attribute-preserving copies
+    (``cp -p`` / ``rsync -a`` of different same-size data, fixture
+    writers that restore timestamps): parquet data+footer changes land
+    in those bytes, and reading 8 KiB per file keeps this O(files),
+    never O(data)."""
     import hashlib
     import os
+
+    def _file(h, fp):
+        st = os.stat(fp)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}:".encode())
+        with open(fp, "rb") as fh:
+            h.update(fh.read(4096))
+            if st.st_size > 8192:
+                fh.seek(-4096, os.SEEK_END)
+            h.update(fh.read(4096))
 
     path = f"{sf_dir}/{name}.parquet"
     h = hashlib.md5()
@@ -112,12 +126,11 @@ def source_fingerprint(sf_dir: str, name: str) -> str:
             for f in sorted(files):
                 if f.startswith(".") or f.endswith(".crc"):
                     continue
-                st = os.stat(os.path.join(root, f))
-                rel = os.path.relpath(os.path.join(root, f), path)
-                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}|".encode())
+                fp = os.path.join(root, f)
+                h.update(f"{os.path.relpath(fp, path)}:".encode())
+                _file(h, fp)
     elif os.path.exists(path):
-        st = os.stat(path)
-        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        _file(h, path)
     return h.hexdigest()[:10]
 
 

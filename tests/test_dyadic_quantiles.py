@@ -137,3 +137,20 @@ def test_streaming_sketch_rank_error_and_state_bound(spark):
             est = row[f"q{int(q * 100)}_est"]
             err = _cell_rank_error(values, est, cell, math.ceil(q * n))
             assert err <= bound, (row["event_type"], q, est, err, bound)
+
+
+def test_universe_guards_fail_loudly(spark):
+    """NULL values or a value range beyond the 2^b grid must raise,
+    never silently drop quantile mass (review finding r5)."""
+    import pytest as _pytest
+
+    df_null = spark.createDataFrame(
+        [("g", 1.0), ("g", None)], "g string, v double"
+    )
+    with _pytest.raises(Exception, match="NULL value"):
+        dyadic_quantile_frame(df_null, "g", "v").collect()
+    df_wide = spark.createDataFrame(
+        [("g", 0.0), ("g", 2.0**40)], "g string, v double"
+    )
+    with _pytest.raises(Exception, match="exceeds"):
+        dyadic_quantile_frame(df_wide, "g", "v").collect()

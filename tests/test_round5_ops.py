@@ -136,3 +136,42 @@ def test_ann_compaction_preserves_probe(spark, tmp_path, monkeypatch):
     assert ic.multi_file_buckets(path) == []
     after = ann_index_incremental(spark, SF_DIR).toPandas()
     _frames_equal(after, before)
+
+
+def test_compaction_crash_forces_rebuild(spark, tmp_path, monkeypatch):
+    """Fault injection: a crash mid-compaction must leave a directory
+    that FAILS the incremental gate (markers removed before the
+    rewrite), so the next run rebuilds instead of silently serving an
+    index with destroyed buckets."""
+    import os
+
+    import pytest as _pytest
+
+    import psd_project_spark.operators.dedup as dd
+    from psd_project_spark.functions.caching import release_transient
+    from psd_project_spark.operators import index_compact as ic
+
+    monkeypatch.setattr(
+        dd, "_minhash_index_dir", lambda sf: str(tmp_path / "idx")
+    )
+    before = dd.minhash_index_incremental(spark, SF_DIR).toPandas()
+    release_transient()
+    path = str(tmp_path / "idx") + "_incr"
+    assert os.path.exists(os.path.join(path, "_DELTA_APPENDED"))
+
+    def boom(hot, p, cols, nparts):
+        raise RuntimeError("injected mid-compaction crash")
+
+    monkeypatch.setattr(ic, "_rewrite", boom)
+    with _pytest.raises(RuntimeError):
+        ic.compact_minhash_index(spark, path)
+    # gates invalidated -> the builder must NOT trust this directory
+    assert not os.path.exists(os.path.join(path, "_DELTA_APPENDED"))
+    assert not os.path.exists(os.path.join(path, "_SUCCESS"))
+    monkeypatch.undo()
+    monkeypatch.setattr(
+        dd, "_minhash_index_dir", lambda sf: str(tmp_path / "idx")
+    )
+    after = dd.minhash_index_incremental(spark, SF_DIR).toPandas()
+    release_transient()
+    _frames_equal(after, before)
