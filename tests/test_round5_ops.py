@@ -175,3 +175,28 @@ def test_compaction_crash_forces_rebuild(spark, tmp_path, monkeypatch):
     after = dd.minhash_index_incremental(spark, SF_DIR).toPandas()
     release_transient()
     _frames_equal(after, before)
+
+
+def test_prune_stale_siblings_scopes_correctly(tmp_path):
+    """Pruning removes only same-layout-prefix dirs with a DIFFERENT
+    fingerprint — current fp's one-shot and _incr trees survive, other
+    layouts survive."""
+    import os
+
+    from psd_project_spark.operators.index_compact import (
+        prune_stale_siblings,
+    )
+
+    parent = str(tmp_path)
+    keep = ["minhash_index_4x256_aaaaaaaaaa",
+            "minhash_index_4x256_aaaaaaaaaa_incr",
+            "ann_lsh_index_8x6_ibkey_bbbbbbbbbb",
+            "unrelated_dir"]
+    drop = ["minhash_index_4x256_0123456789",
+            "minhash_index_4x256_0123456789_incr"]
+    for d in keep + drop:
+        os.makedirs(os.path.join(parent, d))
+    n = prune_stale_siblings(parent, "minhash_index_4x256_", "aaaaaaaaaa")
+    assert n == len(drop)
+    left = sorted(os.listdir(parent))
+    assert left == sorted(keep)
