@@ -27,7 +27,9 @@ SF_DIR = os.path.normpath(
 #: carries a scaling ratio (sf/sf_small per query), letting the judge
 #: separate fixed per-query overhead from data-proportional work and
 #: factor out VM noise. Empty string disables.
-SF2_DIR = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+SF2_DIR = os.path.normpath(
+    os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+)
 
 #: Headline queries benchmarked per round (a representative slice of the
 #: registry: flagship aggregate, count-window pipeline, full alert

@@ -906,20 +906,18 @@ def _minhash_index_dir(sf_dir: str) -> str:
 
     from psd_project_spark.sources.registry import source_fingerprint
 
-    from psd_project_spark.operators.index_compact import (
-        prune_stale_siblings,
-    )
-
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     # layout-version suffix + source-data fingerprint: stale dirs from
     # older layouts OR regenerated source data must never satisfy the
     # _SUCCESS check (ADVICE r04 — the index rebuilds when documents
     # changes under the same path). Superseded fingerprints' trees are
-    # pruned so the sink root stays bounded across data regenerations.
+    # pruned by the BUILD branches (index_compact.prune_siblings_of)
+    # so the sink root stays bounded across data regenerations.
     fp = source_fingerprint(sf_dir, "documents")
-    prefix = f"minhash_index_{T.LSH_BANDS}x{MINHASH_INDEX_BUCKETS}_"
-    prune_stale_siblings(f"/tmp/psd_spark_sink/{key}", prefix, fp)
-    return f"/tmp/psd_spark_sink/{key}/{prefix}{fp}"
+    return (
+        f"/tmp/psd_spark_sink/{key}/minhash_index_"
+        f"{T.LSH_BANDS}x{MINHASH_INDEX_BUCKETS}_{fp}"
+    )
 
 
 def _with_bucket(bands: DataFrame) -> DataFrame:
@@ -963,6 +961,11 @@ def minhash_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_eval = F.col("doc_id") % 50 == 0
     if not os.path.exists(os.path.join(ensure_conf_path, "_SUCCESS")):
+        from psd_project_spark.operators.index_compact import (
+            prune_siblings_of,
+        )
+
+        prune_siblings_of(ensure_conf_path)
         _write_minhash_index(
             sigs.filter(~is_eval), ensure_conf_path, "overwrite"
         )
@@ -1093,6 +1096,11 @@ def minhash_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % 50 == 0
     is_delta = F.col("doc_id") % 3 == 2
     if not os.path.exists(marker):
+        from psd_project_spark.operators.index_compact import (
+            prune_siblings_of,
+        )
+
+        prune_siblings_of(ensure_conf_path)
         _write_minhash_index(
             sigs.filter(~is_eval & ~is_delta), ensure_conf_path, "overwrite"
         )

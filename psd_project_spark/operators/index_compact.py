@@ -19,22 +19,50 @@ from pyspark.sql import SparkSession
 
 def prune_stale_siblings(parent: str, prefix: str, fp: str) -> int:
     """Delete sibling index dirs of the same layout ``prefix`` whose
-    name does not carry the current data fingerprint ``fp`` — the
+    fingerprint segment differs from the current ``fp`` — the
     fingerprinted cache key (sources/registry.source_fingerprint)
     mints a new directory whenever the source data changes, and the
     superseded trees (each a full corpus band/vector copy) would
     otherwise accumulate under the sink root forever. Returns the
-    number of directories removed."""
+    number of directories actually removed.
+
+    The match is an exact parse of the name's fingerprint position
+    (``{prefix}{fp}`` or ``{prefix}{fp}_suffix``), never a substring
+    test — a substring test would mis-keep/mis-drop depending on how
+    the prefix happens to end."""
     import shutil
 
     if not os.path.isdir(parent):
         return 0
     n = 0
     for entry in os.listdir(parent):
-        if entry.startswith(prefix) and f"_{fp}" not in entry:
-            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        if not entry.startswith(prefix):
+            continue
+        rest = entry[len(prefix):]
+        if rest == fp or rest.startswith(fp + "_"):
+            continue  # the live index (or its _incr sibling)
+        target = os.path.join(parent, entry)
+        shutil.rmtree(target, ignore_errors=True)
+        if not os.path.exists(target):
             n += 1
     return n
+
+
+def prune_siblings_of(path: str) -> int:
+    """Prune superseded fingerprint siblings of a current index dir
+    whose basename is ``{prefix}{fp10}`` or ``{prefix}{fp10}_incr``
+    (``source_fingerprint`` returns exactly 10 hex chars). Called from
+    the BUILD branches only — pruning is meaningful exactly when the
+    fingerprint changed, i.e. when the completion gate fails."""
+    base = os.path.basename(path)
+    core = base[: -len("_incr")] if base.endswith("_incr") else base
+    fp = core[-10:]
+    # only act on real fingerprinted names (10 hex chars after a
+    # non-empty prefix) — a test-scratch dir like "idx" must never
+    # trigger a prune of its whole parent
+    if len(core) <= 10 or not all(c in "0123456789abcdef" for c in fp):
+        return 0
+    return prune_stale_siblings(os.path.dirname(path), core[:-10], fp)
 
 
 def multi_file_buckets(path: str) -> list[str]:
@@ -82,10 +110,6 @@ def compact_index(
     succ = os.path.join(path, "_SUCCESS")
     marker = os.path.join(path, "_DELTA_APPENDED")
     had_marker = os.path.exists(marker)
-    if had_marker:
-        os.remove(marker)
-    if os.path.exists(succ):
-        os.remove(succ)  # the overwrite job recreates it on commit
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -94,6 +118,14 @@ def compact_index(
             .schema(schema)
             .parquet(*[f"{path}/{b}" for b in buckets])
         )
+        # gates come off only once everything up to the job itself has
+        # succeeded (read frame built, conf set): a failure BEFORE the
+        # rewrite leaves the intact index still valid; a failure
+        # DURING it leaves a gate-less dir that rebuilds
+        if had_marker:
+            os.remove(marker)
+        if os.path.exists(succ):
+            os.remove(succ)  # the overwrite job recreates it on commit
         _rewrite(hot, path, partition_cols, max(1, len(buckets) // 4))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

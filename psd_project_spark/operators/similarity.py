@@ -839,19 +839,17 @@ def _ann_index_dir(sf_dir: str) -> str:
 
     from psd_project_spark.sources.registry import source_fingerprint
 
-    from psd_project_spark.operators.index_compact import (
-        prune_stale_siblings,
-    )
-
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     # layout version suffix + source-data fingerprint: a stale dir from
     # an older layout OR regenerated source data must never satisfy the
     # _SUCCESS check (ADVICE r04); superseded fingerprints' trees are
-    # pruned so the sink root stays bounded across data regenerations
+    # pruned by the BUILD branches (index_compact.prune_siblings_of)
+    # so the sink root stays bounded across data regenerations
     fp = source_fingerprint(sf_dir, "embeddings")
-    prefix = f"ann_lsh_index_{PAIR_N_BANDS}x{PAIR_BAND_BITS}_ibkey_"
-    prune_stale_siblings(f"/tmp/psd_spark_sink/{key}", prefix, fp)
-    return f"/tmp/psd_spark_sink/{key}/{prefix}{fp}"
+    return (
+        f"/tmp/psd_spark_sink/{key}/ann_lsh_index_"
+        f"{PAIR_N_BANDS}x{PAIR_BAND_BITS}_ibkey_{fp}"
+    )
 
 
 def ann_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,6 +875,11 @@ def ann_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from psd_project_spark.operators.index_compact import (
+            prune_siblings_of,
+        )
+
+        prune_siblings_of(path)
         _write_ann_index(e, path, "overwrite")
     return _probe_ann_index(spark, e, path)
 
@@ -1025,6 +1028,11 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ann_index_dir(sf_dir) + "_incr"
     marker = os.path.join(path, "_DELTA_APPENDED")
     if not os.path.exists(marker):
+        from psd_project_spark.operators.index_compact import (
+            prune_siblings_of,
+        )
+
+        prune_siblings_of(path)
         is_delta = F.col("vec_id") % 3 == 2
         _write_ann_index(e.filter(~is_delta), path, "overwrite")
         _write_ann_index(e.filter(is_delta), path, "append")

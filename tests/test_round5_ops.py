@@ -200,3 +200,28 @@ def test_prune_stale_siblings_scopes_correctly(tmp_path):
     assert n == len(drop)
     left = sorted(os.listdir(parent))
     assert left == sorted(keep)
+
+
+def test_prune_siblings_of_parses_and_guards(tmp_path):
+    """prune_siblings_of: exact fingerprint-position parse for both
+    the one-shot and _incr forms, and a hard no-op on
+    non-fingerprinted (test-scratch) names."""
+    import os
+
+    from psd_project_spark.operators.index_compact import prune_siblings_of
+
+    for d in ["minhash_index_4x256_aaaa0000bb",
+              "minhash_index_4x256_aaaa0000bb_incr",
+              "minhash_index_4x256_ccc111ddd2",
+              "idx", "annidx"]:
+        os.makedirs(tmp_path / d)
+    # incr form of the live fp prunes only the stale sibling fp
+    n = prune_siblings_of(str(tmp_path / "minhash_index_4x256_aaaa0000bb_incr"))
+    assert n == 1
+    assert sorted(os.listdir(tmp_path)) == sorted(
+        ["minhash_index_4x256_aaaa0000bb",
+         "minhash_index_4x256_aaaa0000bb_incr", "idx", "annidx"]
+    )
+    # scratch names never prune anything
+    assert prune_siblings_of(str(tmp_path / "idx")) == 0
+    assert len(os.listdir(tmp_path)) == 4
