@@ -297,9 +297,9 @@ def estimate_stages(n_obs: str = "n_obs", sinv: str = "sinv"):
         ),
         (
             "n_distinct_approx",
-            f"CAST(round(CASE WHEN raw_est <= CAST({2.5 * m} AS DOUBLE) "
+            f"CAST(CAST(CAST(round(CAST(CAST(CASE WHEN raw_est <= CAST({2.5 * m} AS DOUBLE) "
             f"AND v_emp > 0 "
             f"THEN CAST({m}.0 AS DOUBLE) * (({HLL_B} - kk) * {_LN2} - poly_ln) "
-            f"ELSE raw_est END) AS BIGINT)",
+            f"ELSE raw_est END AS STRING) AS DECIMAL(38,21))) AS STRING) AS DOUBLE) AS BIGINT)",
         ),
     ]

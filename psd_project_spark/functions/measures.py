@@ -143,8 +143,8 @@ WITH ranked AS (
   SELECT {g}, CAST({value_col} AS DOUBLE) AS v,
          row_number() OVER (PARTITION BY {g} ORDER BY CAST({value_col} AS DOUBLE)) AS rn,
          count(*) OVER (PARTITION BY {g}) AS n,
-         CAST(sum(CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(27,15)))
-              OVER (PARTITION BY {g}) AS DOUBLE) AS gsum
+         CAST(CAST(sum(CAST(CAST(CAST({value_col} AS DOUBLE) AS STRING) AS DECIMAL(27,15)))
+              OVER (PARTITION BY {g}) AS STRING) AS DOUBLE) AS gsum
   FROM {table_sql}
   WHERE {value_col} IS NOT NULL
 ), d AS (
@@ -152,16 +152,16 @@ WITH ranked AS (
 )
 SELECT {g},
   max(n) AS n_rows,
-  round(max(gmean), {digits}) AS mean,
-  round(avg(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1 THEN v END), {digits}) AS median,
-  round(max(CASE WHEN rn = n // 10 + 1 THEN v END), {digits}) AS q10,
-  round(CAST(sum(CASE WHEN rn <= greatest(n // 10, 1)
-                      THEN CAST(v AS DECIMAL(27,15)) END) AS DOUBLE)
-        / max(greatest(n // 10, 1)), {digits}) AS tail_mean,
-  round(max(gmean) - CAST(sum(CAST(abs(v - gmean) AS DECIMAL(27,15))) AS DOUBLE)
-        / (2 * max(n)), {digits}) AS sm1,
-  round(max(gmean) - CAST(sum(CAST((2 * rn - n - 1) * v AS DECIMAL(27,15))) AS DOUBLE)
-        / (max(n) * max(n)), {digits}) AS sm2
+  CAST(CAST(round(CAST(CAST(max(gmean) AS STRING) AS DECIMAL(38,21)), {digits}) AS STRING) AS DOUBLE) AS mean,
+  CAST(CAST(round(CAST(CAST(avg(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1 THEN v END) AS STRING) AS DECIMAL(38,21)), {digits}) AS STRING) AS DOUBLE) AS median,
+  CAST(CAST(round(CAST(CAST(max(CASE WHEN rn = n // 10 + 1 THEN v END) AS STRING) AS DECIMAL(38,21)), {digits}) AS STRING) AS DOUBLE) AS q10,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CASE WHEN rn <= greatest(n // 10, 1)
+                      THEN CAST(CAST(v AS STRING) AS DECIMAL(27,15)) END) AS STRING) AS DOUBLE)
+        / max(greatest(n // 10, 1)) AS STRING) AS DECIMAL(38,21)), {digits}) AS STRING) AS DOUBLE) AS tail_mean,
+  CAST(CAST(round(CAST(CAST(max(gmean) - CAST(CAST(sum(CAST(CAST(abs(v - gmean) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE)
+        / (2 * max(n)) AS STRING) AS DECIMAL(38,21)), {digits}) AS STRING) AS DOUBLE) AS sm1,
+  CAST(CAST(round(CAST(CAST(max(gmean) - CAST(CAST(sum(CAST(CAST((2 * rn - n - 1) * v AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE)
+        / (max(n) * max(n)) AS STRING) AS DECIMAL(38,21)), {digits}) AS STRING) AS DOUBLE) AS sm2
 FROM d
 GROUP BY {g}
 """

@@ -429,23 +429,23 @@ MOMENT_STATS_ORACLE = """
 WITH m AS (
   SELECT l_returnflag,
     CAST(count(*) AS DOUBLE) AS n,
-    CAST(sum(CAST(l_quantity AS DECIMAL(38,15))) AS DOUBLE) AS sx,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,15))) AS DOUBLE) AS sy,
-    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,15))) AS DOUBLE) AS sxx,
-    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,15))) AS DOUBLE) AS syy,
-    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,15))) AS DOUBLE) AS sxy
+    CAST(CAST(sum(CAST(CAST(l_quantity AS STRING) AS DECIMAL(38,15))) AS STRING) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(38,15))) AS STRING) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(CAST(l_quantity * l_quantity AS STRING) AS DECIMAL(38,15))) AS STRING) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(CAST(l_extendedprice * l_extendedprice AS STRING) AS DECIMAL(38,15))) AS STRING) AS DOUBLE) AS syy,
+    CAST(CAST(sum(CAST(CAST(l_quantity * l_extendedprice AS STRING) AS DECIMAL(38,15))) AS STRING) AS DOUBLE) AS sxy
   FROM lineitem
   GROUP BY 1
 )
 SELECT l_returnflag,
   CAST(n AS BIGINT) AS n,
-  round(sx / n, 6) AS mean_qty,
-  round(sy / n, 6) AS mean_price,
-  round(sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS std_qty,
-  round(sqrt((syy - sy * sy / n) / (n - 1.0)), 6) AS std_price,
-  round((sxy - sx * sy / n) / (n - 1.0), 6) AS covar_qp,
-  round((sxy - sx * sy / n)
-        / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qp
+  CAST(CAST(round(CAST(CAST(sx / n AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS mean_qty,
+  CAST(CAST(round(CAST(CAST(sy / n AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS mean_price,
+  CAST(CAST(round(CAST(CAST(sqrt((sxx - sx * sx / n) / (n - 1.0)) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS std_qty,
+  CAST(CAST(round(CAST(CAST(sqrt((syy - sy * sy / n) / (n - 1.0)) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS std_price,
+  CAST(CAST(round(CAST(CAST((sxy - sx * sy / n) / (n - 1.0) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS covar_qp,
+  CAST(CAST(round(CAST(CAST((sxy - sx * sy / n)
+        / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS corr_qp
 FROM m
 ORDER BY l_returnflag
 """
@@ -496,16 +496,16 @@ VALUE_OUTLIERS_ORACLE = """
 WITH stats AS (
   SELECT event_type AS et,
     CAST(count(*) AS DOUBLE) AS n,
-    CAST(sum(CAST(value AS DECIMAL(38,15))) AS DOUBLE) AS sv,
-    CAST(sum(CAST(value * value AS DECIMAL(38,15))) AS DOUBLE) AS svv
+    CAST(CAST(sum(CAST(CAST(value AS STRING) AS DECIMAL(38,15))) AS STRING) AS DOUBLE) AS sv,
+    CAST(CAST(sum(CAST(CAST(value * value AS STRING) AS DECIMAL(38,15))) AS STRING) AS DOUBLE) AS svv
   FROM events GROUP BY 1
 )
 SELECT event_type, count(*) AS n,
   CAST(sum(CASE WHEN abs((value - sv / n)
                / sqrt((svv - sv * sv / n) / (n - 1.0))) > 3.0
            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-  round(max(abs((value - sv / n)
-                / sqrt((svv - sv * sv / n) / (n - 1.0)))), 6) AS max_abs_z
+  CAST(CAST(round(CAST(CAST(max(abs((value - sv / n)
+                / sqrt((svv - sv * sv / n) / (n - 1.0)))) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS max_abs_z
 FROM events JOIN stats ON event_type = et
 GROUP BY 1
 ORDER BY 1
@@ -524,7 +524,7 @@ def _profile_canon(c: str) -> str:
     double→string formatting differences between engines and double
     rounding noise; documented profiler contract — the sketch counts
     distinct 2-dp values). Identical text runs in both dialects."""
-    return f"CAST(round({c} * 100) AS BIGINT)"
+    return f"CAST(CAST(CAST(round(CAST(CAST({c} * 100 AS STRING) AS DECIMAL(38,21))) AS STRING) AS DOUBLE) AS BIGINT)"
 
 
 def _profile_base_aggs(cols):
@@ -717,8 +717,8 @@ def table_profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _profile_base_select(c: str, with_distinct: bool) -> str:
     mean = (
-        "round(CAST(sum(CAST({c} AS DECIMAL(38,15))) AS DOUBLE)"
-        " / count({c}), 6)".format(c=c)
+        "CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST({c} AS STRING) AS DECIMAL(38,15))) AS STRING) AS DOUBLE)"
+        " / count({c}) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE)".format(c=c)
         if c in _PROFILE_NUMERIC
         else "CAST(NULL AS DOUBLE)"
     )
@@ -899,11 +899,11 @@ def _revenue_col() -> F.Column:
 
 INCREMENTAL_ROLLUP_ORACLE = """
 SELECT l_returnflag, count(*) AS n,
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                      AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue,
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                      AS DECIMAL(27,15))) AS DOUBLE)
-        / CAST(count(*) AS DOUBLE), 6) AS avg_revenue
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS avg_revenue
 FROM lineitem
 GROUP BY 1
 ORDER BY 1

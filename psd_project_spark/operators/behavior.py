@@ -67,7 +67,7 @@ def hourly_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_SPENDERS_ORACLE = """
 WITH hourly AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, user_id,
-         round(CAST(sum(CAST(value AS DECIMAL(27,15))) AS DOUBLE), 6) AS spend
+         CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(value AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS spend
   FROM events WHERE event_type = 'purchase'
   GROUP BY 1, 2
 )

@@ -186,8 +186,14 @@ def _mq_stages():
     """Shared (column, expression) stages from the decimal power sums
     (n, s1, s2, s3) to the Cornish-Fisher quantile estimates — every
     float op identical literal arithmetic in both engines (CAST AS
-    DOUBLE literals; sqrt is IEEE correctly-rounded in both)."""
-    D = "CAST({} AS DOUBLE)"
+    DOUBLE literals; sqrt is IEEE correctly-rounded in both).
+
+    The decimal→double hop goes through a STRING: DuckDB's direct
+    decimal→double cast is not correctly rounded (float division by
+    10^scale, 1-2 ulp off), while decimal→string→double parses
+    correctly-rounded in both engines — Java's BigDecimal.doubleValue
+    semantics, which is what Spark's direct cast already does."""
+    D = "CAST(CAST({} AS STRING) AS DOUBLE)"
     stages = [
         ("mu", f"({D.format('s1')} / n)"),
         ("m2c", f"({D.format('s2')} / n - mu * mu)"),
@@ -207,7 +213,7 @@ def _mq_stages():
             f"({zz} + ({zz} * {zz} - CAST(1.0 AS DOUBLE)) * g1 "
             f"/ CAST(6.0 AS DOUBLE))"
         )
-        stages.append((f"{name}_est", f"round(mu + sigma * {w}, 6)"))
+        stages.append((f"{name}_est", f"CAST(CAST(round(CAST(CAST(mu + sigma * {w} AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE)"))
     return stages
 
 
@@ -272,15 +278,15 @@ def _mq_oracle() -> str:
     return f"""
 WITH base AS (
   SELECT l_returnflag, count(*) AS n,
-         sum(CAST(l_extendedprice AS {_MQ_DEC})) AS s1,
-         sum(CAST(l_extendedprice * l_extendedprice AS {_MQ_DEC})) AS s2,
-         sum(CAST(l_extendedprice * l_extendedprice * l_extendedprice
-                  AS {_MQ_DEC})) AS s3
+         sum(CAST(CAST(l_extendedprice AS STRING) AS {_MQ_DEC})) AS s1,
+         sum(CAST(CAST(l_extendedprice * l_extendedprice AS STRING) AS {_MQ_DEC})) AS s2,
+         sum(CAST(CAST(l_extendedprice * l_extendedprice * l_extendedprice
+                  AS STRING) AS {_MQ_DEC})) AS s3
   FROM lineitem GROUP BY 1
 ),
 {', '.join(ctes)}
-SELECT l_returnflag, n, round(mu, 6) AS mean, round(sigma, 6) AS stddev,
-       round(g1, 6) AS skewness, q10_est, q50_est, q90_est
+SELECT l_returnflag, n, CAST(CAST(round(CAST(CAST(mu AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS mean, CAST(CAST(round(CAST(CAST(sigma AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS stddev,
+       CAST(CAST(round(CAST(CAST(g1 AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS skewness, q10_est, q50_est, q90_est
 FROM {cur} ORDER BY l_returnflag
 """
 

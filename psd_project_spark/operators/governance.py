@@ -72,7 +72,7 @@ SELECT c_nationkey, c_mktsegment, n,
        CASE WHEN n >= {K_ANON} THEN avg_bal END AS avg_acctbal
 FROM (
   SELECT c_nationkey, c_mktsegment, count(*) AS n,
-         round(CAST(sum(CAST(c_acctbal AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS avg_bal
+         CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) / count(*) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS avg_bal
   FROM customer GROUP BY 1, 2
 )
 ORDER BY c_nationkey, c_mktsegment
@@ -127,7 +127,7 @@ WITH e AS (
 SELECT event_type,
        CAST(sum(CASE WHEN u < value / vmax THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        count(*) AS n_total,
-       round(CAST(sum(CAST(CASE WHEN u < value / vmax THEN value ELSE 0.0 END AS DECIMAL(27,15))) AS DOUBLE), 6) AS sampled_value
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(CASE WHEN u < value / vmax THEN value ELSE 0.0 END AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sampled_value
 FROM e
 GROUP BY event_type
 ORDER BY event_type

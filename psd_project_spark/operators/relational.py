@@ -58,13 +58,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-  round(CAST(sum(CAST(l_quantity AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_qty,
-  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_base_price,
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_disc_price,
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_charge,
-  round(CAST(sum(CAST(l_quantity AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS avg_qty,
-  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS avg_price,
-  round(CAST(sum(CAST(l_discount AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_quantity AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_qty,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_charge,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_quantity AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) / count(*) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS avg_qty,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) / count(*) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS avg_price,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_discount AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) / count(*) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -102,7 +102,7 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_ORDERS_ORACLE = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -133,7 +133,7 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLUP_ORACLE = """
 SELECT r_name, n_name, count(*) AS n_customers,
-       round(CAST(sum(CAST(c_acctbal AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_acctbal
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -153,7 +153,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_price
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -286,9 +286,9 @@ def running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RUNNING_ORACLE = """
 SELECT user_id, event_id,
-       round(CAST(sum(CAST(value AS DECIMAL(27,15))) OVER (
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(value AS STRING) AS DECIMAL(27,15))) OVER (
          PARTITION BY user_id ORDER BY event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE)
          AS running_value
 FROM events
 """
@@ -436,7 +436,7 @@ GROUPING_SETS_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
        count(*) AS n_orders,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_price
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
@@ -464,9 +464,9 @@ def pivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_ORACLE = """
 SELECT o_orderpriority,
-  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 6) AS total_F,
-  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 6) AS total_O,
-  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 6) AS total_P
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(27,15))) FILTER (WHERE o_orderstatus = 'F') AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS total_F,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(27,15))) FILTER (WHERE o_orderstatus = 'O') AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS total_O,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(27,15))) FILTER (WHERE o_orderstatus = 'P') AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS total_P
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -554,7 +554,7 @@ v AS (SELECT user_id AS v_user, ts_ns AS v_ns, value AS v_value
       FROM e WHERE event_type = 'view')
 SELECT p.user_id, p.purchase_id,
        count(v.v_ns) AS n_views_1h,
-       coalesce(round(CAST(sum(CAST(v.v_value AS DECIMAL(27,15))) AS DOUBLE), 6), 0.0)
+       coalesce(CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(v.v_value AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE), 0.0)
          AS view_value_1h
 FROM p LEFT JOIN v
   ON p.user_id = v.v_user
@@ -607,7 +607,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_ORACLE = """
 SELECT n_name,
-       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -671,7 +671,7 @@ WITH stats AS (
   FROM lineitem
 )
 SELECT p_brand, count(*) AS n_lines,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,15))) AS DOUBLE), 6)
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE)
          AS small_qty_revenue
 FROM stats JOIN part ON l_partkey = p_partkey
 WHERE p_type = 'PROMO' AND CAST(l_quantity AS BIGINT) * 5 * n < sum_q
@@ -750,11 +750,11 @@ def nation_accounts_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 FULL_OUTER_ORACLE = """
 WITH c AS (
   SELECT c_nationkey AS nationkey, count(*) AS n_customers,
-         round(CAST(sum(CAST(c_acctbal AS DECIMAL(27,15))) AS DOUBLE), 6) AS cust_balance
+         CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS cust_balance
   FROM customer GROUP BY c_nationkey
 ), s AS (
   SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
-         round(CAST(sum(CAST(s_acctbal AS DECIMAL(27,15))) AS DOUBLE), 6) AS supp_balance
+         CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(s_acctbal AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS supp_balance
   FROM supplier GROUP BY s_nationkey
 )
 SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
@@ -804,9 +804,9 @@ WITH ranked AS (
                ORDER BY o_totalprice, o_orderkey)
 )
 SELECT o_orderpriority, decile, count(*) AS n_orders,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_price,
-       round(max(pr), 6) AS max_percent_rank,
-       round(max(cd), 6) AS max_cume_dist
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS total_price,
+       CAST(CAST(round(CAST(CAST(max(pr) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS max_percent_rank,
+       CAST(CAST(round(CAST(CAST(max(cd) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS max_cume_dist
 FROM ranked
 GROUP BY o_orderpriority, decile
 """
@@ -841,8 +841,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_ORACLE = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+                           AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -887,7 +887,7 @@ WITH gaps AS (
   FROM orders
 )
 SELECT o_custkey, count(*) AS n_gaps,
-       round(avg(gap_days), 6) AS avg_gap_days,
+       CAST(CAST(round(CAST(CAST(avg(gap_days) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS avg_gap_days,
        max(gap_days) AS max_gap_days
 FROM gaps
 WHERE gap_days IS NOT NULL
@@ -929,7 +929,7 @@ WITH e AS (
 )
 SELECT user_id, event_id,
        count(*) OVER w AS n_events_1h,
-       round(CAST(sum(CAST(value AS DECIMAL(27,15))) OVER w AS DOUBLE), 6)
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(value AS STRING) AS DECIMAL(27,15))) OVER w AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE)
          AS value_1h
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns

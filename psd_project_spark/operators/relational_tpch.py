@@ -108,7 +108,7 @@ Q7_ORACLE = """
 WITH nat AS (SELECT * FROM nation WHERE n_regionkey IN (0, 1))
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nat sn ON s_nationkey = sn.n_nationkey
@@ -155,7 +155,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_ORACLE = """
 SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
-       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -235,10 +235,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_ORACLE = """
 SELECT
-  round(CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(27,15))) AS DOUBLE), 6) AS promo_revenue,
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_revenue,
-  round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(27,15))) AS DOUBLE)
-        / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS promo_share
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS promo_revenue,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS total_revenue,
+  CAST(CAST(round(CAST(CAST(100.0 * CAST(CAST(sum(CAST(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE)
+        / CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS promo_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -281,9 +281,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_ORACLE = """
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-       round(sum_qty, 6) AS sum_qty
+       CAST(CAST(round(CAST(CAST(sum_qty AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_qty
 FROM (
-  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(27,15))) AS DOUBLE) AS sum_qty
+  SELECT l_orderkey, CAST(CAST(sum(CAST(CAST(l_quantity AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS sum_qty
   FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250.0
 ) big
 JOIN orders ON o_orderkey = big.l_orderkey
@@ -328,7 +328,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q19_ORACLE = """
 SELECT
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue,
   count(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -375,10 +375,10 @@ def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q22_ORACLE = """
 SELECT CAST(c_nationkey % 10 AS INT) AS cntry, count(*) AS numcust,
-       round(CAST(sum(CAST(c_acctbal AS DECIMAL(27,15))) AS DOUBLE), 6) AS totacctbal
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (
-        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(27,15))) AS DOUBLE) / count(*)
+        SELECT CAST(CAST(sum(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) / count(*)
         FROM customer WHERE c_acctbal > 0.0
       )
   AND NOT EXISTS (
@@ -414,7 +414,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q6_ORACLE = """
 SELECT
-  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * l_discount AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue,
   count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -481,10 +481,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_ORACLE = """
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-  round(CAST(sum(CAST(CASE WHEN sn.n_regionkey = 2 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(27,15))) AS DOUBLE), 6) AS region2_revenue,
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_revenue,
-  round(CAST(sum(CAST(CASE WHEN sn.n_regionkey = 2 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(27,15))) AS DOUBLE)
-        / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS mkt_share
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(CASE WHEN sn.n_regionkey = 2 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS region2_revenue,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS total_revenue,
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(CASE WHEN sn.n_regionkey = 2 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE)
+        / CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -532,7 +532,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_ORACLE = """
 WITH rev AS (
   SELECT l_suppkey AS supplier_no,
-         round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_revenue
+         CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'

@@ -124,7 +124,7 @@ WITH offers AS (
   GROUP BY 1, 2, 3, 4, 5, 6
 )
 SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-       round(unit_cost, 6) AS unit_cost
+       CAST(CAST(round(CAST(CAST(unit_cost AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS unit_cost
 FROM offers o
 WHERE unit_cost = (
   SELECT min(unit_cost) FROM offers i WHERE i.p_partkey = o.p_partkey
@@ -176,9 +176,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q9_ORACLE = """
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS INT) AS o_year,
-       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount)
                            - 0.6 * p_retailprice * l_quantity
-                           AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_profit
+                           AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -229,8 +229,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q11_ORACLE = """
 WITH per_part AS (
   SELECT l_partkey AS p_partkey,
-         round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                             AS DECIMAL(27,15))) AS DOUBLE), 6) AS part_value
+         CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS part_value
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -240,7 +240,7 @@ WITH per_part AS (
 SELECT p_partkey, part_value
 FROM per_part
 WHERE part_value > (
-  SELECT CAST(sum(CAST(part_value AS DECIMAL(27,15))) AS DOUBLE) * 0.001
+  SELECT CAST(CAST(sum(CAST(CAST(part_value AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) * 0.001
   FROM per_part
 )
 ORDER BY part_value DESC, p_partkey

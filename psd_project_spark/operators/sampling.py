@@ -167,7 +167,7 @@ WITH d AS (
 )
 SELECT lang, CAST(sum(keep) AS BIGINT) AS n_kept,
        count(*) AS n_total,
-       round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS kept_rate
+       CAST(CAST(round(CAST(CAST(CAST(sum(keep) AS DOUBLE) / count(*) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS kept_rate
 FROM d
 GROUP BY lang
 """

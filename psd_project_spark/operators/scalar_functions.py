@@ -41,8 +41,8 @@ JSON_PROPS_ORACLE = """
 SELECT event_type, count(*) AS n,
   min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
   max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
-  round(CAST(sum(CAST(CAST(json_extract(props, '$.k') AS INT) AS DECIMAL(27,15))) AS DOUBLE)
-        / count(*), 6) AS avg_k
+  CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(CAST(json_extract(props, '$.k') AS INT) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE)
+        / count(*) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS avg_k
 FROM events
 GROUP BY event_type
 """
@@ -73,7 +73,7 @@ SELECT CAST(year(o_orderdate) AS INT) AS order_year,
        CAST(quarter(o_orderdate) AS INT) AS order_quarter,
        CAST(month(o_orderdate) AS INT) AS order_month,
        count(*) AS n_orders,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) AS DOUBLE), 6) AS total_price,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS total_price,
        CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS month_start
 FROM orders
 GROUP BY 1, 2, 3

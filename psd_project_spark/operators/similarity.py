@@ -564,7 +564,7 @@ WITH e AS (
   FROM e, unnest(generate_series(0, len(v) - 1)) AS t(i)
 )
 SELECT label, pos, count(*) AS n_vecs,
-       round(CAST(sum(CAST(val AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6)
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(val AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) / count(*) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE)
          AS centroid_val
 FROM exploded
 GROUP BY label, pos
@@ -799,7 +799,7 @@ def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
     def update(n: int) -> str:
         return f"""u{n} AS (
   SELECT cid, t.i AS pos,
-         CAST(sum(CAST(v[t.i] AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS cval
+         CAST(CAST(sum(CAST(CAST(v[t.i] AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) / count(*) AS cval
   FROM a{n}, (SELECT unnest(generate_series(1, {dim})) AS i) t
   GROUP BY cid, t.i
 ), c{n} AS (
@@ -819,7 +819,7 @@ def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
             ctes.append(update(it))
         reports.append(
             f"SELECT CAST({it} AS INT) AS iteration, "
-            f"(SELECT round(CAST(sum(CAST(d2 AS DECIMAL(27,15))) AS DOUBLE), 6) "
+            f"(SELECT CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(d2 AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) "
             f"FROM a{it}) AS inertia, "
             f"(SELECT CAST(count(DISTINCT cid) AS INT) FROM a{it}) "
             f"AS n_active_clusters"

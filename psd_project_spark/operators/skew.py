@@ -79,7 +79,7 @@ def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SALTED_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_value,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(value AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_value,
        count(DISTINCT user_id) AS n_users,
        max(per_user) AS max_events_per_user
 FROM (

@@ -120,13 +120,13 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, lang, source, n_tokens, n_subword_tokens, n_distinct_tokens,
-  round(n_distinct_tokens / CAST(n_tokens AS DOUBLE), 6) AS ttr,
-  round(char_sum / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
-  round(n_punct / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-  round(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(50.0 AS DOUBLE))
+  CAST(CAST(round(CAST(CAST(n_distinct_tokens / CAST(n_tokens AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS ttr,
+  CAST(CAST(round(CAST(CAST(char_sum / CAST(n_tokens AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS avg_token_len,
+  CAST(CAST(round(CAST(CAST(n_punct / CAST(length(text) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS punct_ratio,
+  CAST(CAST(round(CAST(CAST(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(50.0 AS DOUBLE))
         * (CAST(0.3 AS DOUBLE) + CAST(0.7 AS DOUBLE)
            * (n_distinct_tokens / CAST(n_tokens AS DOUBLE)))
-        * (CAST(1.0 AS DOUBLE) - n_punct / CAST(length(text) AS DOUBLE)), 6)
+        * (CAST(1.0 AS DOUBLE) - n_punct / CAST(length(text) AS DOUBLE)) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE)
     AS quality_score
 FROM s
 """
@@ -226,8 +226,8 @@ CORPUS_FILTER_ORACLE = f"""
 WITH stats AS ({DOC_STATS_ORACLE})
 SELECT lang, count(*) AS n_docs_kept,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       round(CAST(sum(CAST(quality_score AS DECIMAL(27,15))) AS DOUBLE)
-             / count(*), 6) AS avg_quality
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(quality_score AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE)
+             / count(*) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS avg_quality
 FROM stats
 WHERE n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
 GROUP BY lang
@@ -284,8 +284,8 @@ kept AS (
 SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        CAST(sum(n_subword_tokens) AS BIGINT) AS total_subword_tokens,
-       round(CAST(sum(CAST(quality_score AS DECIMAL(27,15))) AS DOUBLE)
-             / count(*), 6) AS avg_quality
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(quality_score AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE)
+             / count(*) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS avg_quality
 FROM stats JOIN kept USING (doc_id)
 WHERE n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
 GROUP BY lang, source
@@ -366,8 +366,8 @@ WITH t AS (
   SELECT count(*) AS _n FROM documents
 ), scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-         round(CAST(tf.tf AS DOUBLE)
-               * (CAST(n._n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6)
+         CAST(CAST(round(CAST(CAST(CAST(tf.tf AS DOUBLE)
+               * (CAST(n._n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE)
            AS score
   FROM tf JOIN dfreq USING (term) CROSS JOIN n
 ), ranked AS (
@@ -508,7 +508,7 @@ WITH base AS (
     {df_defs}
   FROM base
 )
-SELECT doc_id, round({contribs}, 6) AS score
+SELECT doc_id, CAST(CAST(round(CAST(CAST({contribs} AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS score
 FROM base, stats
 WHERE tf_0 + tf_1 + tf_2 > 0
 ORDER BY score DESC, doc_id
@@ -661,9 +661,9 @@ WITH t AS (
   SELECT bigram, count(*) AS corpus_n FROM bgr GROUP BY 1
 )
 SELECT doc_id, count(*) AS n_bigrams,
-  round(CAST(sum(corpus_n) AS DOUBLE) / count(*), 6) AS avg_corpus_freq,
-  round(CAST(sum(CASE WHEN corpus_n <= {RARE_BIGRAM_MAX} THEN 1 ELSE 0 END) AS DOUBLE)
-        / count(*), 6) AS rare_frac
+  CAST(CAST(round(CAST(CAST(CAST(sum(corpus_n) AS DOUBLE) / count(*) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS avg_corpus_freq,
+  CAST(CAST(round(CAST(CAST(CAST(sum(CASE WHEN corpus_n <= {RARE_BIGRAM_MAX} THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS rare_frac
 FROM bgr JOIN model USING (bigram)
 GROUP BY doc_id
 """
@@ -695,14 +695,14 @@ def _dsir_ln_stages():
         stages += HLL.ln_int_stages(v, out, max_bits=_DSIR_LN_BITS)
     # Quantize the weight to an int64 at 1e-9 grain: double→DECIMAL
     # casts round differently across engines on irrational values, but
-    # round()-to-integer of the SAME double is identical — and integer
+    # CAST(CAST(round(CAST(CAST( AS STRING) AS DECIMAL(38,21))) AS STRING) AS DOUBLE)-to-integer of the SAME double is identical — and integer
     # sums are exact and order-independent (the vectors.py CSCALE
     # discipline).
     stages.append(
         (
             "wq",
-            "CAST(round((ln_t - ln_bigt - ln_c + ln_bigc)"
-            " * 1000000000.0) AS BIGINT)",
+            "CAST(CAST(CAST(round(CAST(CAST((ln_t - ln_bigt - ln_c + ln_bigc)"
+            " * 1000000000.0 AS STRING) AS DECIMAL(38,21))) AS STRING) AS DOUBLE) AS BIGINT)",
         )
     )
     return stages
@@ -826,7 +826,7 @@ scored AS (
   FROM bgr JOIN {stage_sel} USING (bigram) GROUP BY 1
 )
 SELECT d.doc_id, d.lang, coalesce(n_bigrams, 0) AS n_bigrams,
-       round(CAST(swq AS DOUBLE) / 1000000000.0, 6) AS dsir_weight
+       CAST(CAST(round(CAST(CAST(CAST(swq AS DOUBLE) / 1000000000.0 AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS dsir_weight
 FROM documents d LEFT JOIN scored USING (doc_id)
 """
 
@@ -1057,8 +1057,8 @@ def _bpe_encode_oracle() -> str:
 SELECT d.doc_id,
        coalesce(n_words, 0) AS n_words,
        coalesce(n_tokens, 0) AS n_tokens,
-       round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
-       round(CAST(n_word_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+       CAST(CAST(round(CAST(CAST(CAST(n_tokens AS DOUBLE) / n_words AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS fertility,
+       CAST(CAST(round(CAST(CAST(CAST(n_word_chars AS DOUBLE) / n_tokens AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS chars_per_token
 FROM documents d LEFT JOIN scored USING (doc_id)
 """
     )

@@ -291,8 +291,8 @@ WITH t AS (
 SELECT doc_id, count(*) AS n_chunks,
   CAST(sum(CASE WHEN n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
     AS n_boiler,
-  round(CAST(sum(CASE WHEN n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS DOUBLE)
-        / count(*), 6) AS boiler_frac
+  CAST(CAST(round(CAST(CAST(CAST(sum(CASE WHEN n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS boiler_frac
 FROM chunks JOIN freq USING (chunk)
 GROUP BY doc_id
 """

@@ -148,8 +148,8 @@ def partitioned_parquet_roundtrip(
 
 ROUNDTRIP_ORACLE = """
 SELECT l_linestatus, count(*) AS n_lines,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_price,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_qty
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_price,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_quantity AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_qty
 FROM lineitem
 WHERE l_returnflag = 'R'
 GROUP BY l_linestatus
@@ -220,7 +220,7 @@ def _ewma_oracle() -> str:
     )
     return f"""
 SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value,
-       round(({terms}) / ({masks}), 6) AS ewma8
+       CAST(CAST(round(CAST(CAST(({terms}) / ({masks}) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS ewma8
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
 """

@@ -264,7 +264,7 @@ def _roundtrip_oracle() -> str:
 WITH alerts AS ({_alerts_oracle()})
 SELECT user_id, measure,
        count(*) AS n_alerts,
-       round(CAST(sum(CAST(measure_value AS DECIMAL(27,15))) AS DOUBLE), 6)
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(measure_value AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE)
          AS sum_value
 FROM alerts
 GROUP BY 1, 2

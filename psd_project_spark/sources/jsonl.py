@@ -87,7 +87,7 @@ def events_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSONL_ORACLE = """
 SELECT event_type, count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_value,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(value AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_value,
        min(event_id) AS min_event_id,
        max(event_id) AS max_event_id,
        max(epoch_ns(ts)) AS max_ts_ns

@@ -86,8 +86,8 @@ def lineitem_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINEITEM_ORC_ORACLE = """
 SELECT l_returnflag, count(*) AS n_lines,
-       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                           AS DECIMAL(27,15))) AS DOUBLE), 6) AS revenue,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue,
        max(l_shipdate) AS max_shipdate
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'

@@ -306,7 +306,7 @@ SELECT bucket_start AS window_start,
        bucket_start + INTERVAL 10 MINUTE AS window_end,
        event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_value
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(value AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_value
 FROM w
 GROUP BY bucket_start, event_type
 """
@@ -403,7 +403,7 @@ SELECT user_id,
        make_timestamp(min(ts_ns) // 1000) AS session_start,
        make_timestamp((max(ts_ns) + {SESSION_GAP_NS}) // 1000) AS session_end,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(27,15))) AS DOUBLE), 6) AS sum_value
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(value AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_value
 FROM sessions
 GROUP BY user_id, sid
 """

@@ -48,6 +48,20 @@ ADAPTIVE = [
     "stream_value_quantiles",
     "pack_sequences",
     "ngram_familiarity",
+    # round 5 float-fidelity regressions: these queries diverged from
+    # the oracle ONLY at sf0.1 (sums big enough that the ulp crosses
+    # the rounding digit / decimal-cast drift accumulates / a value
+    # lands within an ulp of a half boundary) — the three cross-engine
+    # classes fixed by the canonicalization sweeps (shortest-repr
+    # decimal cast, decimal-space round, string-hop decimal→double).
+    # A small-SF-only suite can never catch this class again.
+    "q1_pricing_summary",
+    "cube_orders",
+    "grouping_sets_orders",
+    "pivot_status_totals",
+    "partitioned_parquet_roundtrip",
+    "alerts_batch",
+    "alerts_stream",
 ]
 
 
