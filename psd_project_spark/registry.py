@@ -33,6 +33,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # green row (their r01-r04 rows stay current). For the first time
 # there is NO queue: every registry query holds or re-earns a
 # current-bytes driver row this round (tests/test_registry_order.py).
+#
+# ORACLE-ONLY text change, late round 5: the cross-engine
+# float-fidelity sweeps (see COVERAGE.md) rewrote DuckDB-oracle SQL
+# strings across most operator modules. These transformations are the
+# IDENTITY on the Spark side (string-canonicalized decimal casts,
+# decimal-space rounds, string-hop decimal→double — each provably
+# value-preserving under Spark's existing cast/round semantics), so
+# Spark results and their driver-row hashes are unchanged; what
+# changed is the VERIFIER, which is re-proven in-repo by full
+# 141-query bit-equality sweeps at sf0.001 (test_oracle_parity),
+# sf0.01 (the driver's scale) and sf0.1 (test_parity_scale + the
+# round-5 full sweep). The module-staleness criterion therefore does
+# not re-window these modules: their Spark bytes' behavior is
+# byte-identical, and the driver re-validates every WINDOW query
+# against the new oracle text anyway.
 _PRIORITY = (
     # -- R5_QUEUE: late r04 additions, front of the window ------------
     "minhash_index_export",
