@@ -695,7 +695,7 @@ def _dsir_ln_stages():
         stages += HLL.ln_int_stages(v, out, max_bits=_DSIR_LN_BITS)
     # Quantize the weight to an int64 at 1e-9 grain: double→DECIMAL
     # casts round differently across engines on irrational values, but
-    # CAST(CAST(round(CAST(CAST( AS STRING) AS DECIMAL(38,21))) AS STRING) AS DOUBLE)-to-integer of the SAME double is identical — and integer
+    # round()-to-integer of the SAME double is identical — and integer
     # sums are exact and order-independent (the vectors.py CSCALE
     # discipline).
     stages.append(
