@@ -27,13 +27,14 @@ def test_round_on_double_divergence_and_fix():
     """DuckDB round(double, d) multiplies in double space and can flip
     the last digit near scaled half boundaries; decimal-space round of
     the shortest repr is Spark's F.round semantics."""
+    # 65.9175449525 round-trips exactly (its shortest repr ends ...525)
     raw, fixed = duckdb.sql(
-        "SELECT round(27.604570312499998::DOUBLE, 9), "
-        "CAST(round(CAST(CAST(27.604570312499998::DOUBLE AS STRING) "
+        "SELECT round(65.9175449525::DOUBLE, 9), "
+        "CAST(round(CAST(CAST(65.9175449525::DOUBLE AS STRING) "
         "AS DECIMAL(38,21)), 9) AS DOUBLE)"
     ).fetchone()
-    assert fixed == 27.604570312  # HALF_UP on the shortest repr
-    assert raw == 27.604570313  # the multiply-in-double artifact
+    assert fixed == 65.917544953  # HALF_UP on the shortest repr
+    assert raw == 65.917544952  # the multiply-in-double artifact
 
 
 def test_decimal_to_double_cast_divergence_and_fix():
