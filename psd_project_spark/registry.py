@@ -16,50 +16,36 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness driver only checks the FIRST 50 registry entries (in
 # iteration order), so ordering is part of the verification contract.
-# Round-5 rotation (VERDICT r04 "Next round" #1): the declared
-# R5_QUEUE (late r04 additions that the full r04 window could not
-# take) goes first, then the post-guard frame_sample re-verification,
-# then round 5's new operators (incremental index maintenance, the
-# rank-error-bounded dyadic quantile sketch), then every query of a
-# module functionally changed in round 5 — dedup.py (shingle-set
-# collapse in _minhash_pairs, fingerprinted index-cache keys,
-# build/probe refactor), similarity.py (same cache/refactor),
-# text_analysis.py (dsir single-shuffle replan), freq_sketch.py
-# (dyadic addition), streaming/jobs.py (watermark-bounded ingest
-# dedup + progress capture), functions/measures_np.py (NULL-key
-# dropna fix) — and the three spare slots re-verify the reference
-# risk surface flagship pair plus the sketch-backed profiler.
-# Outside the window: queries in files untouched since their last
-# green row (their r01-r04 rows stay current). For the first time
-# there is NO queue: every registry query holds or re-earns a
-# current-bytes driver row this round (tests/test_registry_order.py).
+# Round-6 rotation (VERDICT r05 "Next round"): round 6's new operators
+# lead the window (substring-level exact dedup, the driver-verified
+# compaction round-trip, the dyadic sketch rollup/merge, the
+# update-mode durable-sink streaming quantiles — each needs a day-one
+# driver row to keep the zero-queue property), then every query of a
+# module functionally changed in round 6 — dedup.py (collision-safe
+# shingle-group key, manifest-based probe enumeration, compaction
+# query), similarity.py (manifest-based probe enumeration),
+# freq_sketch.py (rollup + sink-variant additions) — then the spare
+# slots re-verify the reference risk surface (measures/alerts/
+# samples/alert-log), the streaming battery (whose module is reused
+# by the new sink variant), and the three 1.5-1.7× bench drifters
+# flagged by the r05 judge (table_profile, dedup_ngram_jaccard,
+# events_jsonl_source). Outside the window: queries in files
+# untouched since their last green row (their r01-r05 rows stay
+# current). NO queue: every registry query holds or re-earns a
+# current-bytes driver row (tests/test_registry_order.py).
 #
-# ORACLE-ONLY text change, late round 5: the cross-engine
-# float-fidelity sweeps (see COVERAGE.md) rewrote DuckDB-oracle SQL
-# strings across most operator modules. These transformations are the
-# IDENTITY on the Spark side (string-canonicalized decimal casts,
-# decimal-space rounds, string-hop decimal→double — each provably
-# value-preserving under Spark's existing cast/round semantics), so
-# Spark results and their driver-row hashes are unchanged; what
-# changed is the VERIFIER, which is re-proven in-repo by full
-# 141-query bit-equality sweeps at sf0.001 (test_oracle_parity),
-# sf0.01 (the driver's scale) and sf0.1 (test_parity_scale + the
-# round-5 full sweep). The module-staleness criterion therefore does
-# not re-window these modules: their Spark bytes' behavior is
-# byte-identical, and the driver re-validates every WINDOW query
-# against the new oracle text anyway.
+# sources/registry.py note: the content-sampled source fingerprint
+# gained two interior samples this round (ADVICE r05 #3). The
+# fingerprint is an index-cache KEY, not semantics — a changed key
+# only forces an index rebuild; the queries it affects are exactly
+# the persisted-index queries in dedup.py/similarity.py, all of which
+# re-window above.
 _PRIORITY = (
-    # -- R5_QUEUE: late r04 additions, front of the window ------------
+    # -- round-6 new operators (front: day-one driver rows) ------------
+    "dedup_exact_substr",
+    # -- operators/dedup.py (module changed in r6) ---------------------
     "minhash_index_export",
-    "moments_quantile_sketch",
-    "embedding_pq_quantize",
-    # -- post-guard re-verification (VERDICT r04 #1) ------------------
-    "frame_sample",
-    # -- round-5 new operators ----------------------------------------
     "minhash_index_incremental",
-    "ann_index_incremental",
-    "dyadic_quantile_sketch",
-    # -- operators/dedup.py (module changed in r5) ---------------------
     "dedup_minhash_lsh",
     "dedup_exact_then_minhash",
     "cross_dedup_minhash",
@@ -70,8 +56,9 @@ _PRIORITY = (
     "dedup_canonical",
     "decontaminate_ngrams",
     "dedup_embedding_1nn",
-    # -- operators/similarity.py ---------------------------------------
+    # -- operators/similarity.py (module changed in r6) ----------------
     "ann_index_export",
+    "ann_index_incremental",
     "ann_lsh_cosine",
     "knn_cosine",
     "ivf_ann_cosine",
@@ -79,26 +66,22 @@ _PRIORITY = (
     "kmeans_embeddings",
     "dedup_embedding_lsh",
     "semantic_dedup",
-    # -- operators/text_analysis.py ------------------------------------
-    "dsir_weights",
-    "bpe_encode_stats",
-    "bpe_vocab_train",
-    "ngram_familiarity",
-    "doc_stats",
-    "bm25_rank",
-    "trigram_udtf_freq",
-    "corpus_quality_filter",
-    "curation_pipeline",
-    "lang_id",
-    "token_freq",
-    "tfidf_top_terms",
-    "doc_fingerprint",
-    # -- operators/freq_sketch.py --------------------------------------
+    # -- operators/freq_sketch.py (module changed in r6) ---------------
     "cms_heavy_hitters",
+    "moments_quantile_sketch",
+    "dyadic_quantile_sketch",
     "stream_value_quantiles",
-    # -- operators/packing.py (new module) -----------------------------
-    "pack_sequences",
-    # -- streaming/jobs.py ---------------------------------------------
+    # -- spares: reference risk surface re-verification ----------------
+    "measures_agg",
+    "measures_window",
+    "alerts_batch",
+    "alert_counts",
+    "value_histogram",
+    "portfolio_projection",
+    "measures_window_np",
+    "psd_samples_source",
+    "alert_log_roundtrip",
+    # -- spares: streaming battery (module reused by the sink variant) -
     "stream_ingest_dedup",
     "measures_window_stream",
     "alerts_stream",
@@ -106,15 +89,15 @@ _PRIORITY = (
     "stream_dedup_users",
     "stream_session_windows",
     "stream_stream_join",
-    # -- functions/measures_np.py (NULL-key fix) -----------------------
-    "measures_window_np",
-    # -- spare slot: reference risk surface re-verification ------------
-    # (table_profile's and alerts_batch's slots yielded to the
-    # late-round stream_value_quantiles / pack_sequences additions
-    # above: a NEW query needs a day-one driver row to keep the
-    # zero-queue property, while both displaced queries hold r03/r04
-    # hash-match rows over bytes untouched this round)
-    "measures_agg",
+    "stream_upsert_latest",
+    # -- spares: r05 bench drifters + recent additions -----------------
+    "table_profile",
+    "table_profile_exact",
+    "events_jsonl_source",
+    "pack_sequences",
+    "frame_sample",
+    "embedding_pq_quantize",
+    "q1_pricing_summary",
 )
 
 _MODULES = (
@@ -130,6 +113,7 @@ _MODULES = (
     "psd_project_spark.operators.text_analysis",
     "psd_project_spark.operators.text_curation",
     "psd_project_spark.operators.dedup",
+    "psd_project_spark.operators.exact_substr",
     "psd_project_spark.operators.sampling",
     "psd_project_spark.operators.similarity",
     "psd_project_spark.operators.multimodal",

@@ -1,0 +1,180 @@
+"""Substring-level exact dedup (ExactSubstr class): crafted fixtures
+with PLANTED repeated spans, oracle parity, and edge semantics.
+
+The operator's contract (exact_substr.py): a position is duplicated
+iff its verbatim k-gram occurs ≥ 2 times corpus-wide (cross-doc OR
+intra-doc); maximal regions merge overlap-or-adjacent coverage.
+"""
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare_frames, duck_connection
+
+K = 8  # keep in sync with EXACT_SUBSTR_K (asserted below)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _words(prefix, n, start=0):
+    return " ".join(f"{prefix}{i}" for i in range(start, start + n))
+
+
+def test_k_constant_in_sync():
+    from psd_project_spark.operators.exact_substr import EXACT_SUBSTR_K
+
+    assert EXACT_SUBSTR_K == K
+
+
+def test_planted_cross_doc_span(spark):
+    """A 12-token span planted in two docs: each doc reports one span
+    of exactly 12 tokens (12-8+1 = 5 duplicated anchor positions)."""
+    from psd_project_spark.operators.exact_substr import exact_substr_report
+
+    shared = _words("dup", 12)
+    rows = [
+        (1, _words("a", 10) + " " + shared + " " + _words("b", 10)),
+        (2, _words("c", 7) + " " + shared + " " + _words("d", 15)),
+        (3, _words("clean", 40)),
+    ]
+    got = (
+        exact_substr_report(_docs(spark, rows))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for doc, start_len in ((1, 10), (2, 7)):
+        r = got.loc[doc]
+        assert r.n_spans == 1
+        assert r.dup_tokens == 12
+        assert r.max_span_tokens == 12
+        assert r.n_dup_anchors == 12 - K + 1
+    assert got.loc[3].n_spans == 0 and got.loc[3].dup_tokens == 0
+
+
+def test_planted_span_bounds(spark):
+    """Span bounds are token positions (1-based, inclusive)."""
+    from psd_project_spark.operators.exact_substr import exact_substr_spans
+
+    shared = _words("dup", K)  # minimal: exactly one anchor
+    rows = [
+        (1, _words("a", 5) + " " + shared + " " + _words("b", 3)),
+        (2, shared),
+    ]
+    spans = (
+        exact_substr_spans(_docs(spark, rows))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert spans.loc[1].span_start == 6 and spans.loc[1].span_end == 6 + K - 1
+    assert spans.loc[2].span_start == 1 and spans.loc[2].span_end == K
+    assert (spans.span_tokens == K).all() and (spans.n_anchors == 1).all()
+
+
+def test_intra_doc_repetition_counts(spark):
+    """ExactSubstr criterion includes repetition WITHIN one doc: a doc
+    that repeats its own k-gram (and no other doc shares it) is still
+    flagged."""
+    from psd_project_spark.operators.exact_substr import exact_substr_report
+
+    rep = _words("x", K)
+    rows = [(1, rep + " " + _words("gap", K) + " " + rep)]
+    got = exact_substr_report(_docs(spark, rows)).toPandas().iloc[0]
+    assert got.n_spans == 2
+    assert got.dup_tokens == 2 * K
+    assert got.n_dup_anchors == 2
+
+
+def test_adjacent_and_overlapping_spans_merge(spark):
+    """Two duplicated 8-gram positions ≤ k apart merge into ONE
+    maximal region; a gap > k splits."""
+    from psd_project_spark.operators.exact_substr import exact_substr_spans
+
+    long_shared = _words("dup", 20)  # 13 overlapping anchors, one region
+    rows = [
+        (1, long_shared + " " + _words("a", 9)),
+        (2, _words("b", 9) + " " + long_shared),
+    ]
+    spans = exact_substr_spans(_docs(spark, rows)).toPandas()
+    assert len(spans) == 2  # one merged region per doc
+    assert (spans.span_tokens == 20).all()
+    assert (spans.n_anchors == 13).all()
+
+
+def test_short_docs_emit_no_phantom_positions(spark):
+    """Docs shorter than k produce NO anchors (the sequence-counts-down
+    guard): identical short docs must not be flagged."""
+    from psd_project_spark.operators.exact_substr import exact_substr_report
+
+    short = _words("s", K - 1)
+    got = (
+        exact_substr_report(_docs(spark, [(1, short), (2, short)]))
+        .toPandas()
+    )
+    assert len(got) == 2
+    assert (got.n_spans == 0).all() and (got.dup_tokens == 0).all()
+
+
+def test_full_coverage_doc(spark):
+    """A doc that is entirely a copy reports dup_frac == 1.0."""
+    from psd_project_spark.operators.exact_substr import exact_substr_report
+
+    text = _words("w", 30)
+    got = (
+        exact_substr_report(_docs(spark, [(1, text), (2, text)]))
+        .toPandas()
+    )
+    assert (got.dup_frac == 1.0).all()
+    assert (got.dup_tokens == 30).all()
+
+
+@pytest.mark.parametrize("seed", [7, 11])
+def test_randomized_differential_vs_oracle(spark, seed):
+    """Random corpora with injected copies: Spark ≡ DuckDB bit-for-bit
+    on a corpus that is NOT the shared testdata (differential against
+    crafted adversarial inputs, the test_packing discipline)."""
+    import random
+
+    import duckdb
+
+    from psd_project_spark.operators.exact_substr import (
+        EXACT_SUBSTR_ORACLE,
+        exact_substr_report,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]  # small vocab → chance dups
+    rows = []
+    for doc in range(60):
+        n = rng.randint(2, 60)
+        rows.append((doc, " ".join(rng.choice(vocab) for _ in range(n))))
+    # inject verbatim copies of random windows into later docs
+    for doc in range(60, 80):
+        src = rows[rng.randrange(60)][1].split()
+        if len(src) > K:
+            i = rng.randrange(len(src) - K)
+            span = src[i : i + K + rng.randint(0, 4)]
+        else:
+            span = src
+        filler = [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        rows.append((doc, " ".join(filler + span + filler)))
+    got = exact_substr_report(_docs(spark, rows)).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    compare_frames(got, con.execute(EXACT_SUBSTR_ORACLE).fetchdf())
+
+
+def test_registry_query_oracle_parity(spark):
+    from psd_project_spark.operators.exact_substr import (
+        EXACT_SUBSTR_ORACLE,
+        dedup_exact_substr,
+    )
+
+    got = dedup_exact_substr(spark, SF_DIR).toPandas()
+    assert (got.n_spans > 0).any()  # the corpus genuinely has dups
+    con = duck_connection(SF_DIR)
+    compare_frames(got, con.execute(EXACT_SUBSTR_ORACLE).fetchdf())
