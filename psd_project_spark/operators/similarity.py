@@ -877,10 +877,14 @@ def ann_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from psd_project_spark.operators.index_compact import (
             prune_siblings_of,
+            single_writer,
+            write_partition_manifest,
         )
 
         prune_siblings_of(path)
-        _write_ann_index(e, path, "overwrite")
+        with single_writer(path):
+            _write_ann_index(e, path, "overwrite")
+            write_partition_manifest(path)
     return _probe_ann_index(spark, e, path)
 
 
@@ -953,11 +957,17 @@ def _probe_ann_index(
     # the explicit schema skips the inference pass; the residual
     # literal filter is belt-and-braces and keeps the partition
     # pruning visible in the plan (PartitionFilters test).
+    # Manifest-based enumeration (VERDICT r05 "What's wrong" #1): one
+    # `_PARTITIONS` read instead of a per-bucket isdir (= one object-
+    # store LIST per probed bucket).
+    from psd_project_spark.operators.index_compact import list_partitions
+
+    present = list_partitions(path)
     buckets = sorted({(b, k) for _, b, k in probes})
     bucket_dirs = [
         f"{path}/band={b}/bkey={k}"
         for b, k in buckets
-        if os.path.isdir(f"{path}/band={b}/bkey={k}")
+        if f"band={b}/bkey={k}" in present
     ]
     if not bucket_dirs:
         return spark.createDataFrame(
@@ -1030,14 +1040,20 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(marker):
         from psd_project_spark.operators.index_compact import (
             prune_siblings_of,
+            single_writer,
+            write_partition_manifest,
         )
 
         prune_siblings_of(path)
-        is_delta = F.col("vec_id") % 3 == 2
-        _write_ann_index(e.filter(~is_delta), path, "overwrite")
-        _write_ann_index(e.filter(is_delta), path, "append")
-        with open(marker, "w") as fh:
-            fh.write("base+delta\n")
+        with single_writer(path):
+            is_delta = F.col("vec_id") % 3 == 2
+            _write_ann_index(e.filter(~is_delta), path, "overwrite")
+            _write_ann_index(e.filter(is_delta), path, "append")
+            # manifest BEFORE the completion marker: marker present ⇒
+            # manifest current (a crash between them rebuilds)
+            write_partition_manifest(path)
+            with open(marker, "w") as fh:
+                fh.write("base+delta\n")
     return _probe_ann_index(spark, e, path)
 
 

@@ -43,6 +43,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _PRIORITY = (
     # -- round-6 new operators (front: day-one driver rows) ------------
     "dedup_exact_substr",
+    "minhash_index_compaction",
     # -- operators/dedup.py (module changed in r6) ---------------------
     "minhash_index_export",
     "minhash_index_incremental",
@@ -97,7 +98,6 @@ _PRIORITY = (
     "pack_sequences",
     "frame_sample",
     "embedding_pq_quantize",
-    "q1_pricing_summary",
 )
 
 _MODULES = (

@@ -21,6 +21,7 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 #: earns a driver row the round it ships.
 R6_NEW = {
     "dedup_exact_substr",
+    "minhash_index_compaction",
 }
 
 #: Operator modules whose source functionally changed in round 6 —

