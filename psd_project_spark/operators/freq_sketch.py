@@ -617,36 +617,21 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events,
     )
 
-    events = stream_events(spark, sf_dir)
-    # explicit fixed-universe domain screen, identical in the oracle:
-    # a NULL or out-of-range value would mint a second level-B root
-    # row and silently corrupt every group's n/quantiles (both engines
-    # identically — parity could never catch it), so out-of-domain
-    # rows are EXCLUDED by contract on both sides
-    lim = repr(2**SVQ_B / SVQ_GRID)
-    lv = events.where(
-        F.expr(f"value IS NOT NULL AND value >= 0 AND value < {lim}")
-    ).select(
-        "event_type",
-        F.expr(f"CAST(floor(value * {SVQ_GRID}) AS BIGINT)").alias("u"),
-    ).select(
-        "event_type",
-        F.expr(f"explode(sequence({SVQ_LMIN}, {SVQ_B}))").alias("lvl"),
-        "u",
-    )
-    agg = lv.groupBy(
-        "event_type", "lvl", F.expr("shiftright(u, lvl)").alias("p")
-    ).count()
+    # _svq_level_counts carries the explicit fixed-universe domain
+    # screen, identical in the oracle: a NULL or out-of-range value
+    # would mint a second level-B root row and silently corrupt every
+    # group's n/quantiles (both engines identically — parity could
+    # never catch it), so out-of-domain rows are EXCLUDED by contract
+    # on both sides.
+    agg = _svq_level_counts(stream_events(spark, sf_dir))
     # localCheckpoint: (a) the compress below reads the count table
     # multiple times (heavy filter + base extraction) and memory-sink
     # views break Spark's self-join dedup (INTERNAL_ERROR on
     # conflicting references); (b) the table is the BOUNDED sketch
     # state (≤ 2^(B−LMIN+1) nodes per group), so snapshotting it is
     # O(state), never O(stream)
-    counts = (
-        run_stream_to_memory(agg, mode="complete")
-        .withColumnRenamed("count", "cnt")
-        .localCheckpoint(eager=True)
+    counts = run_stream_to_memory(agg, mode="complete").localCheckpoint(
+        eager=True
     )
     # n per group = the root node's count (every u has u >> B == 0),
     # umin = 0 by the fixed-universe contract
@@ -700,3 +685,133 @@ ORDER BY 1
 
 
 QUERIES["stream_value_quantiles"] = (stream_value_quantiles, _svq_oracle())
+
+
+# --- dyadic_quantile_rollup (mergeable-sketch proof at the driver) -----------
+
+def _svq_level_counts(
+    events: DataFrame, group_cols: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Fixed-universe dyadic node-count rows for an events frame —
+    the shared sketch-state builder of the streaming sketch, the
+    per-day rollup shards, and the durable-sink variant (same domain
+    screen, same levels — the oracles mirror it verbatim)."""
+    lim = repr(2**SVQ_B / SVQ_GRID)
+    return (
+        events.where(
+            F.expr(f"value IS NOT NULL AND value >= 0 AND value < {lim}")
+        )
+        .select(
+            *group_cols,
+            F.expr(f"CAST(floor(value * {SVQ_GRID}) AS BIGINT)").alias("u"),
+        )
+        .select(
+            *group_cols,
+            F.expr(f"explode(sequence({SVQ_LMIN}, {SVQ_B}))").alias("lvl"),
+            "u",
+        )
+        .groupBy(
+            *group_cols, "lvl", F.expr("shiftright(u, lvl)").alias("p")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dyadic_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE claim of the dyadic sketch, driver-verified
+    (VERDICT r05 'Next round' #4): build one fixed-universe sketch PER
+    DAY of ``events``, persist them as a partitioned parquet sketch
+    store (the shape a daily pipeline actually materializes), read the
+    store back and MERGE by summing node counts — order-free integer
+    sums, so the merged sketch is bit-identical to the monolithic one
+    (unlike the HLL rollup, whose estimate needed ``no_oracle``). The
+    oracle is the monolithic fixed-universe sketch over the full table
+    (verbatim ``stream_value_quantiles`` oracle): a hash-match PROVES
+    merge(per-day sketches) ≡ sketch(all data).
+
+    Plan shape for 100 TB/day: each day's build is one map-side-
+    combined aggregation over that day's partition (state hard-bounded
+    at 2^(B−LMIN+1) nodes per group); the store holds only sketch rows
+    (≤ state × days); the rollup reads sketches, never data — a
+    90-day quantile backfill touches zero raw events. The store is a
+    fresh per-run tempdir: rebuilding it IS the query (no caching
+    semantics to get stale)."""
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    per_day = _svq_level_counts(events, group_cols=("day", "event_type"))
+    store = tempfile.mkdtemp(prefix="psd_dqs_store_")
+    per_day.repartition(4, "day").write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(store)
+    # the rollup: read the SKETCH STORE (never the data) and merge
+    back = spark.read.option("basePath", store).parquet(store)
+    counts = (
+        back.groupBy("event_type", "lvl", "p")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)  # bounded state, read 3× below
+    )
+    base = counts.where(F.col("lvl") == SVQ_B).select(
+        "event_type", F.col("cnt").alias("n"), F.lit(0).alias("umin")
+    )
+    return _dqs_compress(counts, base, "event_type", SVQ_GRID, SVQ_K)
+
+
+QUERIES["dyadic_quantile_rollup"] = (dyadic_quantile_rollup, _svq_oracle())
+
+
+# --- stream_value_quantiles_sink (update mode through a durable sink) --------
+
+def stream_value_quantiles_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming dyadic sketch emitted through a DURABLE sink in
+    UPDATE mode (VERDICT r05 'Next round' #3): the same bounded-state
+    node-count aggregation as ``stream_value_quantiles``, but instead
+    of the complete-mode memory sink (a test harness), each micro-batch
+    emits only its CHANGED sketch rows into the keyed parquet upsert
+    sink (``streaming/foreach_sink.run_foreachbatch_upsert`` — atomic
+    version swap, replay-idempotent), keyed on the sketch node
+    ``(event_type, lvl, p)`` with last-writer-wins by epoch. Because a
+    streaming aggregation's final emission per key carries its final
+    cumulative count, the sink's ``current`` table after a bounded
+    replay IS the complete sketch — read back and compressed with the
+    shared :func:`_dqs_compress`, it hash-matches the same monolithic
+    oracle. This is the long-running deployment shape: per-epoch sink
+    writes track CHANGED nodes (O(updates)), never the full state, and
+    a reader always sees a complete atomic version."""
+    import tempfile
+
+    from psd_project_spark.streaming.foreach_sink import (
+        current_upsert_table,
+        run_foreachbatch_upsert,
+    )
+    from psd_project_spark.streaming.jobs import stream_events
+
+    agg = _svq_level_counts(stream_events(spark, sf_dir)).withColumnRenamed(
+        "cnt", "node_cnt"
+    )
+    out_dir = tempfile.mkdtemp(prefix="psd_svq_sink_")
+    ckpt = tempfile.mkdtemp(prefix="psd_svq_ckpt_")
+    run_foreachbatch_upsert(
+        agg,
+        out_dir,
+        ckpt,
+        key_cols=["event_type", "lvl", "p"],
+        order_cols=["_epoch"],
+    )
+    counts = (
+        current_upsert_table(spark, out_dir)
+        .select("event_type", "lvl", "p", F.col("node_cnt").alias("cnt"))
+        .localCheckpoint(eager=True)  # bounded sketch state, read 3×
+    )
+    base = counts.where(F.col("lvl") == SVQ_B).select(
+        "event_type", F.col("cnt").alias("n"), F.lit(0).alias("umin")
+    )
+    return _dqs_compress(counts, base, "event_type", SVQ_GRID, SVQ_K)
+
+
+QUERIES["stream_value_quantiles_sink"] = (
+    stream_value_quantiles_sink,
+    _svq_oracle(),
+)

@@ -44,6 +44,8 @@ _PRIORITY = (
     # -- round-6 new operators (front: day-one driver rows) ------------
     "dedup_exact_substr",
     "minhash_index_compaction",
+    "dyadic_quantile_rollup",
+    "stream_value_quantiles_sink",
     # -- operators/dedup.py (module changed in r6) ---------------------
     "minhash_index_export",
     "minhash_index_incremental",
@@ -93,11 +95,9 @@ _PRIORITY = (
     "stream_upsert_latest",
     # -- spares: r05 bench drifters + recent additions -----------------
     "table_profile",
-    "table_profile_exact",
     "events_jsonl_source",
     "pack_sequences",
     "frame_sample",
-    "embedding_pq_quantize",
 )
 
 _MODULES = (

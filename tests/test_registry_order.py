@@ -22,6 +22,8 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 R6_NEW = {
     "dedup_exact_substr",
     "minhash_index_compaction",
+    "dyadic_quantile_rollup",
+    "stream_value_quantiles_sink",
 }
 
 #: Operator modules whose source functionally changed in round 6 —

@@ -94,6 +94,77 @@ def test_probe_issues_no_per_bucket_fs_calls(spark, monkeypatch):
     assert bucket_checks == []
 
 
+def test_rollup_merge_is_bit_identical_to_monolithic(spark):
+    """Mergeable-sketch property: summing per-day node counts yields
+    the EXACT monolithic count table (order-free integer sums), so the
+    rollup's quantiles equal both the one-shot streaming sketch and
+    the DuckDB oracle."""
+    from psd_project_spark.operators.freq_sketch import (
+        _svq_oracle,
+        dyadic_quantile_rollup,
+        stream_value_quantiles,
+    )
+
+    rolled = dyadic_quantile_rollup(spark, SF_DIR).toPandas()
+    mono = stream_value_quantiles(spark, SF_DIR).toPandas()
+    _frames_equal(rolled, mono)
+    con = duck_connection(SF_DIR)
+    compare_frames(rolled, con.execute(_svq_oracle()).fetchdf())
+
+
+def test_sink_variant_equals_memory_sink_variant(spark):
+    """The durable-upsert-sink emission (update mode, changed keys per
+    epoch, last-writer-wins) reconstructs the complete sketch state:
+    identical output to the complete-mode memory-sink harness and the
+    oracle."""
+    from psd_project_spark.operators.freq_sketch import (
+        _svq_oracle,
+        stream_value_quantiles_sink,
+    )
+
+    got = stream_value_quantiles_sink(spark, SF_DIR).toPandas()
+    con = duck_connection(SF_DIR)
+    compare_frames(got, con.execute(_svq_oracle()).fetchdf())
+
+
+def test_rollup_store_is_sketch_sized_per_day(spark, monkeypatch):
+    """The persisted store holds per-day SKETCH rows (bounded nodes),
+    never data rows — the '90-day backfill touches zero raw events'
+    claim: every (day, group) shard stays under the 2^(B-LMIN+1)
+    hard node bound."""
+    import glob
+    import tempfile
+
+    captured = {}
+    real_mkdtemp = tempfile.mkdtemp
+
+    def spy(*a, **k):
+        d = real_mkdtemp(*a, **k)
+        if k.get("prefix", "").startswith("psd_dqs_store"):
+            captured["store"] = d
+        return d
+
+    monkeypatch.setattr(tempfile, "mkdtemp", spy)
+    from psd_project_spark.operators.freq_sketch import (
+        SVQ_B,
+        SVQ_LMIN,
+        dyadic_quantile_rollup,
+    )
+
+    dyadic_quantile_rollup(spark, SF_DIR).count()
+    store = captured["store"]
+    days = glob.glob(f"{store}/day=*")
+    assert len(days) > 1  # the merge is a real multi-shard rollup
+    per_shard = (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .groupBy("day", "event_type")
+        .count()
+        .toPandas()
+    )
+    assert (per_shard["count"] <= 2 ** (SVQ_B - SVQ_LMIN + 1)).all()
+
+
 def test_manifest_fallback_walk(tmp_path):
     """Without a manifest, enumeration still works via ONE recursive
     walk; with one, the manifest wins."""
