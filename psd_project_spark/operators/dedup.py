@@ -173,8 +173,23 @@ def _minhash_pairs(sigs: DataFrame) -> DataFrame:
     quadratically — which is the contract (all pairs). Shared by
     ``dedup_minhash_lsh`` (raw corpus) and ``dedup_exact_then_minhash``
     (collapsed corpus, where the collapse is a near-no-op)."""
+    # Group key = md5 ⊕ xxhash64 ⊕ set size of the sorted shingle set
+    # (ADVICE r05 #1): grouping on md5 alone would let a constructible
+    # md5 collision between two DIFFERENT shingle sets merge their
+    # groups and emit fabricated jaccard=1.0 'within' pairs with no
+    # exact verification (web-corpus input is adversarial). A compound
+    # key requires a simultaneous md5 AND xxhash64 collision on
+    # same-cardinality sets; the key stays engine-internal (never in
+    # output), so semantics and oracles are unchanged.
+    _js = F.to_json(F.array_sort("_sh"))
     g = sigs.withColumn(
-        "_gk", F.md5(F.to_json(F.array_sort("_sh")))
+        "_gk",
+        F.concat_ws(
+            "_",
+            F.md5(_js),
+            F.xxhash64(_js).cast("string"),
+            F.size("_sh").cast("string"),
+        ),
     ).withColumn("_bandable", F.size("_sh") > 0)
     # transient cache: the group table feeds the band self-join (both
     # sides), the signature re-fetch, and the rep→group mapping.

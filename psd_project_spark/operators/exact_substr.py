@@ -175,14 +175,72 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the ExactSubstr cut: emit the cleaned corpus with every
+    maximal duplicated region removed (all occurrences — the
+    conservative variant; Lee et al. discuss both). One row per doc:
+    the surviving text, plus before/after token counts so the removed
+    mass is auditable against ``dedup_exact_substr``.
+
+    Plan shape: the span table (tiny — only duplicated regions) is
+    exploded back to covered positions (bounded by corpus token count,
+    in practice a small fraction) and anti-joined against the anchor
+    corpus' token positions on ``(doc_id, pos)``; surviving tokens are
+    reassembled with an order-pinned in-group sort
+    (``sort_array(collect_list(struct(pos, tok)))`` — deterministic,
+    no window). Docs left fully empty keep an empty string (never
+    dropped: downstream curation decides)."""
+    k = EXACT_SUBSTR_K
+    docs = spread_small(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(T.tokens_expr())).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    covered = (
+        _dup_islands(_anchor_positions(docs))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(span_start, span_end)")
+            ).alias("pos"),
+        )
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(sort_array(collect_list(struct(pos, tok))), "
+                   "s -> s.tok)"),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    all_docs = docs.select(
+        "doc_id", F.size(F.expr(T.tokens_expr())).alias("n_tokens")
+    )
+    return (
+        all_docs.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_tokens_kept", F.lit(0).cast("long")).alias(
+                "n_tokens_kept"
+            ),
+        )
+        .withColumn(
+            "n_tokens_cut", F.col("n_tokens") - F.col("n_tokens_kept")
+        )
+        .orderBy("doc_id")
+    )
+
+
 _K = EXACT_SUBSTR_K
 
-#: Bit-exact DuckDB oracle: the same anchor table via a scalar
-#: generate_series unnest, the same count-over-anchor window, the same
-#: gaps-and-islands windows. ``dup_frac`` uses the cross-engine
-#: decimal-space rounding recipe (identity on the Spark side).
-EXACT_SUBSTR_ORACLE = f"""
-WITH t AS (
+#: Shared CTE chain of both oracles: anchor table via a scalar
+#: generate_series unnest, count-over-anchor window, gaps-and-islands
+#: windows down to the maximal-span table.
+_SPAN_CTES = f"""
+t AS (
   SELECT doc_id, {T.tokens_sql()} AS toks FROM documents
 ), pos AS (
   SELECT doc_id, len(toks) AS n_tokens,
@@ -215,7 +273,13 @@ WITH t AS (
          min(pos) AS span_start, max(pos) + {_K - 1} AS span_end,
          count(*) AS n_anchors
   FROM isl GROUP BY 1, 2, 3
-), per_doc AS (
+)"""
+
+#: Bit-exact DuckDB oracle for the per-doc report. ``dup_frac`` uses
+#: the cross-engine decimal-space rounding recipe (identity on the
+#: Spark side).
+EXACT_SUBSTR_ORACLE = f"""
+WITH {_SPAN_CTES}, per_doc AS (
   SELECT doc_id,
          sum(n_anchors) AS n_dup_anchors,
          count(*) AS n_spans,
@@ -236,7 +300,38 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY doc_id
 """
 
+#: Bit-exact DuckDB oracle for the cut: covered positions from the
+#: span table, anti-join against token positions, order-pinned
+#: reassembly (string_agg ORDER BY pos ≡ Spark's sorted collect).
+EXACT_SUBSTR_CUT_ORACLE = f"""
+WITH {_SPAN_CTES}, covered AS (
+  SELECT DISTINCT doc_id,
+         unnest(generate_series(span_start, span_end)) AS pos
+  FROM spans
+), toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+  FROM t
+), kept AS (
+  SELECT tk.doc_id, tk.pos, tk.toks[tk.pos] AS tok
+  FROM toks tk ANTI JOIN covered c
+    ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_tokens_kept
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(len({T.tokens_sql()}) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len({T.tokens_sql()}) - coalesce(r.n_tokens_kept, 0) AS BIGINT)
+         AS n_tokens_cut
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
 
 QUERIES = {
     "dedup_exact_substr": (dedup_exact_substr, EXACT_SUBSTR_ORACLE),
+    "exact_substr_cut": (exact_substr_cut, EXACT_SUBSTR_CUT_ORACLE),
 }

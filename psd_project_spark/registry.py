@@ -43,6 +43,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _PRIORITY = (
     # -- round-6 new operators (front: day-one driver rows) ------------
     "dedup_exact_substr",
+    "exact_substr_cut",
     "minhash_index_compaction",
     "dyadic_quantile_rollup",
     "stream_value_quantiles_sink",
@@ -97,7 +98,6 @@ _PRIORITY = (
     "table_profile",
     "events_jsonl_source",
     "pack_sequences",
-    "frame_sample",
 )
 
 _MODULES = (

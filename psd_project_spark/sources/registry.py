@@ -98,15 +98,19 @@ def spread_small(df: DataFrame, spark: SparkSession) -> DataFrame:
 
 def source_fingerprint(sf_dir: str, name: str) -> str:
     """Short content fingerprint of one source table's parquet files
-    (relative names + sizes + mtimes + first/last 4 KiB of content).
+    (relative names + sizes + mtimes + head/tail AND two interior 4 KiB
+    content samples at 1/3 and 2/3 of each file).
     Persisted-index operators fold this into their cache-directory key
     so a regenerated/changed source can never be served a stale index
     (ADVICE r04): new data → new fingerprint → new directory → rebuild.
     The head/tail content sample defeats attribute-preserving copies
     (``cp -p`` / ``rsync -a`` of different same-size data, fixture
     writers that restore timestamps): parquet data+footer changes land
-    in those bytes, and reading 8 KiB per file keeps this O(files),
-    never O(data)."""
+    in those bytes. The interior samples (ADVICE r05 #3) shrink the
+    remaining blind spot — a same-size mtime-restored rewrite changing
+    only MIDDLE bytes (one value inside a large row group whose footer
+    stats don't move) now lands in a sampled window unless it dodges
+    all four. Still O(files) at ≤ 16 KiB per file, never O(data)."""
     import hashlib
     import os
 
@@ -115,6 +119,11 @@ def source_fingerprint(sf_dir: str, name: str) -> str:
         h.update(f"{st.st_size}:{st.st_mtime_ns}:".encode())
         with open(fp, "rb") as fh:
             h.update(fh.read(4096))
+            for third in (1, 2):  # interior offsets: size/3, 2·size/3
+                off = (st.st_size * third) // 3
+                if 4096 < off < st.st_size - 8192:
+                    fh.seek(off)
+                    h.update(fh.read(4096))
             if st.st_size > 8192:
                 fh.seek(-4096, os.SEEK_END)
             h.update(fh.read(4096))

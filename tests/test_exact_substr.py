@@ -7,6 +7,7 @@ intra-doc); maximal regions merge overlap-or-adjacent coverage.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from tests.oracle_utils import compare_frames, duck_connection
@@ -166,6 +167,66 @@ def test_randomized_differential_vs_oracle(spark, seed):
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     compare_frames(got, con.execute(EXACT_SUBSTR_ORACLE).fetchdf())
+
+
+def test_cut_removes_planted_span_everywhere(spark):
+    """exact_substr_cut removes ALL occurrences of a duplicated span
+    (the conservative variant) and nothing else."""
+    from psd_project_spark.operators.exact_substr import exact_substr_cut
+
+    import tempfile
+
+    shared = _words("dup", 12)
+    rows = [
+        (1, _words("a", 10) + " " + shared + " " + _words("b", 10)),
+        (2, _words("c", 7) + " " + shared),
+        (3, _words("clean", 40)),
+    ]
+    # exact_substr_cut reads via load_table → write a scratch corpus
+    d = tempfile.mkdtemp(prefix="psd_escut_")
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = exact_substr_cut(spark, d).toPandas().set_index("doc_id").sort_index()
+    assert got.loc[1].clean_text == _words("a", 10) + " " + _words("b", 10)
+    assert got.loc[2].clean_text == _words("c", 7)
+    assert got.loc[3].clean_text == _words("clean", 40)
+    assert got.loc[1].n_tokens_cut == 12 and got.loc[2].n_tokens_cut == 12
+    assert got.loc[3].n_tokens_cut == 0
+
+
+def test_cut_mass_consistent_with_report(spark):
+    """Per doc, n_tokens_cut == the report's dup_tokens — the two
+    registry queries agree on the removed mass."""
+    from psd_project_spark.operators.exact_substr import (
+        dedup_exact_substr,
+        exact_substr_cut,
+    )
+
+    rep = (
+        dedup_exact_substr(spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")["dup_tokens"]
+        .sort_index()
+    )
+    cut = (
+        exact_substr_cut(spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")["n_tokens_cut"]
+        .sort_index()
+    )
+    assert (rep == cut).all()
+
+
+def test_cut_oracle_parity(spark):
+    from psd_project_spark.operators.exact_substr import (
+        EXACT_SUBSTR_CUT_ORACLE,
+        exact_substr_cut,
+    )
+
+    got = exact_substr_cut(spark, SF_DIR).toPandas()
+    con = duck_connection(SF_DIR)
+    compare_frames(got, con.execute(EXACT_SUBSTR_CUT_ORACLE).fetchdf())
 
 
 def test_registry_query_oracle_parity(spark):

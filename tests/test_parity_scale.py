@@ -62,6 +62,14 @@ ADAPTIVE = [
     "partitioned_parquet_roundtrip",
     "alerts_batch",
     "alerts_stream",
+    # round 6: duplicated-anchor volume, index bucket/file layout,
+    # per-day shard count and micro-batch/epoch structure all grow
+    # with the corpus
+    "dedup_exact_substr",
+    "exact_substr_cut",
+    "minhash_index_compaction",
+    "dyadic_quantile_rollup",
+    "stream_value_quantiles_sink",
 ]
 
 

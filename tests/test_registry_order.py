@@ -21,6 +21,7 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 #: earns a driver row the round it ships.
 R6_NEW = {
     "dedup_exact_substr",
+    "exact_substr_cut",
     "minhash_index_compaction",
     "dyadic_quantile_rollup",
     "stream_value_quantiles_sink",

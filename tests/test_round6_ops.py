@@ -193,6 +193,27 @@ def test_manifest_fallback_walk(tmp_path):
     }
 
 
+def test_fingerprint_sees_middle_byte_rewrite(tmp_path):
+    """ADVICE r05 #3 pin: a same-size rewrite with restored mtime that
+    changes ONLY middle bytes (outside head/tail 4 KiB) still changes
+    the fingerprint via the interior samples."""
+    from psd_project_spark.sources.registry import source_fingerprint
+
+    f = tmp_path / "documents.parquet"
+    data = bytearray(64 * 1024)  # 64 KiB of zeros
+    f.write_bytes(bytes(data))
+    st = os.stat(f)
+    fp0 = source_fingerprint(str(tmp_path), "documents")
+    # unchanged file → stable fingerprint
+    assert source_fingerprint(str(tmp_path), "documents") == fp0
+    # flip one byte at size/3 (≈ 21.8 KiB — outside head/tail windows),
+    # keep size, restore mtime
+    data[len(data) // 3] = 0xFF
+    f.write_bytes(bytes(data))
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert source_fingerprint(str(tmp_path), "documents") != fp0
+
+
 def test_single_writer_lock_refuses_live_holder(tmp_path):
     from psd_project_spark.operators.index_compact import single_writer
 

@@ -68,6 +68,14 @@ QUERIES = [
     "dyadic_quantile_sketch",
     "stream_value_quantiles",
     "pack_sequences",
+    # round-6: substring-level exact dedup (under 10x exact replication
+    # EVERY anchor position is duplicated — the adversarial maximum for
+    # the islands stage, not just for the anchor-count window), the
+    # per-day sketch store rollup, and the durable-sink streaming
+    # sketch
+    "dedup_exact_substr",
+    "dyadic_quantile_rollup",
+    "stream_value_quantiles_sink",
 ]
 
 
