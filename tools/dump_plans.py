@@ -124,6 +124,15 @@ SHOWCASE = [
         "model size is unbounded.",
     ),
     (
+        "dedup_exact_substr",
+        "ExactSubstr: the anchor table never joins itself — duplicated "
+        "positions come from ONE count window keyed on the anchor "
+        "string (a hot boilerplate anchor costs a wide count, never a "
+        "quadratic pair join), then the islands stage windows on "
+        "doc_id over the collapsed duplicated rows only; both "
+        "exchanges are data-sized at most, all expressions codegen.",
+    ),
+    (
         "pack_sequences",
         "Training-sequence packing: ONE hash exchange on the shard "
         "key feeds a per-shard window cumsum (no global sort — "
