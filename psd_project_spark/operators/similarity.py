@@ -718,28 +718,103 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall < 1 by design; the oracle generates candidates with the
     IDENTICAL banding, so parity is exact whatever the recall.
 
+    Hot-group guard (round 6, the ``_minhash_pairs`` discipline ported
+    to vectors): a scraped corpus carries byte-identical embeddings in
+    bulk (re-crawled pages, boilerplate), and every copy lands in the
+    SAME buckets — the band self-join and the pandas-UDF verify then
+    grow quadratically in the replication factor (measured 4.2× at 10×
+    exact replication, the worst SCALE_EXPERIMENT entry of r05). The
+    guard collapses identical vectors FIRST, grouping on the raw
+    vector array itself (exact float equality — no hash key, so no
+    collision surface at all, unlike the md5 key ADVICE r05 #1 flagged
+    on the shingle path), bands/verifies one representative per
+    distinct vector, then expands: within-group pairs get the group's
+    self-cosine, cross-group pairs inherit the verified rep cosine
+    (cosine is a function of the vector VALUES only). Recall is
+    exactly preserved — identical vectors have identical signatures,
+    so a member pair collides in a band iff its rep pair does, which
+    is why the full-corpus oracle still matches verbatim. Banding and
+    verify now scale with DISTINCT vectors; only the final pair
+    emission is output-sized (which is the semantics).
+
     No ``.cache()``: the signature column feeds ONLY the band explode
-    (computed once), and the verify joins re-scan the bare parquet
-    vectors — columnar scans are cheaper than retaining executor
-    storage memory across a many-query session (the round-2 review
-    flagged the never-unpersisted variant as a session-level leak)."""
+    (computed once), and the collapsed group table that feeds the
+    three expansion joins is a transient cache released on next query
+    entry (functions/caching)."""
     e = _embeddings(spark, sf_dir)
-    pairs = _pair_band_candidates(e)
+    groups = transient_cache(
+        e.groupBy("_v").agg(
+            F.min("vec_id").alias("gid"),
+            F.array_sort(F.collect_list("vec_id")).alias("_members"),
+        )
+    )
+    reps = groups.select(F.col("gid").alias("vec_id"), "_v")
+    rep_pairs = _pair_band_candidates(reps)
     verified = (
-        pairs.join(
-            e.select(F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va")),
+        rep_pairs.join(
+            reps.select(
+                F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va")
+            ),
             "vec_a",
         )
         .join(
-            e.select(F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb")),
+            reps.select(
+                F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb")
+            ),
             "vec_b",
         )
         .withColumn("cosine", V.cosine_q(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= F.lit(EMB_PAIR_THRESHOLD))
+        .select(F.col("vec_a").alias("ga"), F.col("vec_b").alias("gb"),
+                "cosine")
     )
-    return verified.select("vec_a", "vec_b", "cosine").orderBy(
-        F.desc("cosine"), "vec_a", "vec_b"
+    # Within-group pairs: every pair of byte-identical copies, at the
+    # group's self-cosine (computed by the SAME quantized kernel both
+    # engines run — ≈1.0 but never assumed). C(m,2) emission per group
+    # is the output itself, not overhead.
+    within = (
+        groups.filter(F.size("_members") >= 2)
+        .withColumn("cosine", V.cosine_q(F.col("_v"), F.col("_v")))
+        .filter(F.col("cosine") >= F.lit(EMB_PAIR_THRESHOLD))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_members, (x, i) -> "
+                    "transform(slice(_members, i + 2, size(_members)), "
+                    "y -> struct(x AS vec_a, y AS vec_b))))"
+                )
+            ).alias("pr"),
+            "cosine",
+        )
+        .select("pr.vec_a", "pr.vec_b", "cosine")
     )
+    # Cross-group pairs: expand each verified rep pair to its member
+    # grid; groups are disjoint so no pair repeats, least/greatest
+    # restores the global vec_a < vec_b orientation.
+    cross = (
+        verified.join(
+            groups.select(
+                F.col("gid").alias("ga"), F.col("_members").alias("_ma")
+            ),
+            "ga",
+        )
+        .join(
+            groups.select(
+                F.col("gid").alias("gb"), F.col("_members").alias("_mb")
+            ),
+            "gb",
+        )
+        .select(F.explode("_ma").alias("a"), "_mb", "cosine")
+        .select(
+            F.col("a"), F.explode("_mb").alias("b"), "cosine"
+        )
+        .select(
+            F.least("a", "b").alias("vec_a"),
+            F.greatest("a", "b").alias("vec_b"),
+            "cosine",
+        )
+    )
+    return within.unionByName(cross).orderBy(F.desc("cosine"), "vec_a", "vec_b")
 
 
 DEDUP_EMB_LSH_ORACLE = f"""
