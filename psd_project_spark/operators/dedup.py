@@ -1111,38 +1111,26 @@ def minhash_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dir → coalesce(1) → overwrite that partition via dynamic partition
     overwrite), embarrassingly parallel across buckets and never a
     full-index rebuild."""
-    import os
+    from psd_project_spark.operators.index_compact import (
+        build_base_plus_delta,
+    )
 
-    ensure_conf_path = _minhash_index_dir(sf_dir) + "_incr"
-    marker = os.path.join(ensure_conf_path, "_DELTA_APPENDED")
+    path = _minhash_index_dir(sf_dir) + "_incr"
     sigs = transient_cache(
         _with_signatures(load_table(spark, sf_dir, "documents"), spark)
     )
     is_eval = F.col("doc_id") % 50 == 0
     is_delta = F.col("doc_id") % 3 == 2
-    if not os.path.exists(marker):
-        from psd_project_spark.operators.index_compact import (
-            prune_siblings_of,
-            single_writer,
-            write_partition_manifest,
-        )
-
-        prune_siblings_of(ensure_conf_path)
-        with single_writer(ensure_conf_path):
-            _write_minhash_index(
-                sigs.filter(~is_eval & ~is_delta),
-                ensure_conf_path,
-                "overwrite",
-            )
-            _write_minhash_index(
-                sigs.filter(~is_eval & is_delta), ensure_conf_path, "append"
-            )
-            # manifest BEFORE the completion marker: marker present ⇒
-            # manifest current (a crash between them rebuilds)
-            write_partition_manifest(ensure_conf_path)
-            with open(marker, "w") as fh:
-                fh.write("base+delta\n")
-    return _probe_minhash_index(spark, sf_dir, sigs, ensure_conf_path)
+    build_base_plus_delta(
+        path,
+        lambda: _write_minhash_index(
+            sigs.filter(~is_eval & ~is_delta), path, "overwrite"
+        ),
+        lambda: _write_minhash_index(
+            sigs.filter(~is_eval & is_delta), path, "append"
+        ),
+    )
+    return _probe_minhash_index(spark, sf_dir, sigs, path)
 
 
 def minhash_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1157,45 +1145,37 @@ def minhash_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver — previously the compaction parity/crash contract rested on
     in-repo tests alone (tests/test_round5_ops.py).
 
-    Durability: same ``_DELTA_APPENDED`` contract as the incremental
-    builder, and compaction itself removes/restores the gates around
-    the rewrite — a crash anywhere in build/append/compact leaves a
-    directory that fails the gate and rebuilds. A loud ``raise_error``
-    guard is unnecessary here: zero compacted buckets on a fresh build
-    is impossible by construction (asserted in tests, not in the hot
+    Durability: the shared ``build_base_plus_delta`` protocol with
+    compaction INSIDE the gated section — the ``_DELTA_APPENDED``
+    marker is written strictly after compaction commits, so a crash
+    anywhere in build/append/compact leaves a directory that fails the
+    gate and rebuilds (compaction can never be silently skipped by a
+    crash between marker and compact). A loud ``raise_error`` guard is
+    unnecessary here: zero compacted buckets on a fresh build is
+    impossible by construction (asserted in tests, not in the hot
     path)."""
-    import os
-
     from psd_project_spark.operators.index_compact import (
+        build_base_plus_delta,
         compact_minhash_index,
-        prune_siblings_of,
-        single_writer,
-        write_partition_manifest,
     )
 
-    ensure_conf_path = _minhash_index_dir(sf_dir) + "_cmp"
-    marker = os.path.join(ensure_conf_path, "_DELTA_APPENDED")
+    path = _minhash_index_dir(sf_dir) + "_cmp"
     sigs = transient_cache(
         _with_signatures(load_table(spark, sf_dir, "documents"), spark)
     )
     is_eval = F.col("doc_id") % 50 == 0
     is_delta = F.col("doc_id") % 3 == 2
-    if not os.path.exists(marker):
-        prune_siblings_of(ensure_conf_path)
-        with single_writer(ensure_conf_path):
-            _write_minhash_index(
-                sigs.filter(~is_eval & ~is_delta),
-                ensure_conf_path,
-                "overwrite",
-            )
-            _write_minhash_index(
-                sigs.filter(~is_eval & is_delta), ensure_conf_path, "append"
-            )
-            write_partition_manifest(ensure_conf_path)
-            with open(marker, "w") as fh:
-                fh.write("base+delta\n")
-        compact_minhash_index(spark, ensure_conf_path)
-    return _probe_minhash_index(spark, sf_dir, sigs, ensure_conf_path)
+    build_base_plus_delta(
+        path,
+        lambda: _write_minhash_index(
+            sigs.filter(~is_eval & ~is_delta), path, "overwrite"
+        ),
+        lambda: _write_minhash_index(
+            sigs.filter(~is_eval & is_delta), path, "append"
+        ),
+        compact_fn=lambda: compact_minhash_index(spark, path),
+    )
+    return _probe_minhash_index(spark, sf_dir, sigs, path)
 
 
 # --- dedup_canonical ---------------------------------------------------------

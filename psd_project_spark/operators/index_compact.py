@@ -58,12 +58,21 @@ def prune_stale_siblings(parent: str, prefix: str, fp: str) -> int:
 
 def prune_siblings_of(path: str) -> int:
     """Prune superseded fingerprint siblings of a current index dir
-    whose basename is ``{prefix}{fp10}`` or ``{prefix}{fp10}_incr``
-    (``source_fingerprint`` returns exactly 10 hex chars). Called from
-    the BUILD branches only — pruning is meaningful exactly when the
-    fingerprint changed, i.e. when the completion gate fails."""
+    whose basename is ``{prefix}{fp10}`` or ``{prefix}{fp10}_<layout>``
+    (``source_fingerprint`` returns exactly 10 hex chars; the layout
+    suffix is ``_incr``, ``_cmp``, or any future variant — detected by
+    the 10-hex fingerprint preceding the last ``_``, not a hardcoded
+    list, so a new variant can't silently opt out of pruning). Called
+    from the BUILD branches only — pruning is meaningful exactly when
+    the fingerprint changed, i.e. when the completion gate fails."""
     base = os.path.basename(path)
-    core = base[: -len("_incr")] if base.endswith("_incr") else base
+    core = base
+    if "_" in base:
+        head = base.rpartition("_")[0]
+        if len(head) > 10 and all(
+            c in "0123456789abcdef" for c in head[-10:]
+        ):
+            core = head
     fp = core[-10:]
     # only act on real fingerprinted names (10 hex chars after a
     # non-empty prefix) — a test-scratch dir like "idx" must never
@@ -104,41 +113,73 @@ def _pid_alive(pid: int) -> bool:
 
 class single_writer:
     """``with single_writer(path):`` around any index-mutating section.
-    Raises ``RuntimeError`` if another LIVE process holds the lock."""
+    Raises ``RuntimeError`` if another LIVE process holds the lock.
+
+    Acquisition is ATOMIC (``O_CREAT|O_EXCL`` — never a check-then-
+    create, which would let two simultaneous writers both "win"), and
+    RE-ENTRANT within one process: an inner section that already holds
+    the lock (e.g. ``compact_index`` called from inside a gated build)
+    enters as a no-op and leaves the outer holder's lock file alone."""
 
     def __init__(self, path: str):
         self.path = path
         self.lock = path.rstrip("/") + LOCK_SUFFIX
+        self._nested = False
 
     def __enter__(self):
         os.makedirs(os.path.dirname(self.lock), exist_ok=True)
-        if os.path.exists(self.lock):
+        self._nested = False
+        # two passes: the second retries the atomic create after a
+        # stale lock was broken; losing BOTH (live contention during
+        # the break window) fails loudly rather than proceeding
+        for _ in range(2):
             try:
-                holder = int(open(self.lock).read().strip())
-            except ValueError:
-                holder = -1
-            if holder != os.getpid() and holder > 0 and _pid_alive(holder):
-                raise RuntimeError(
-                    f"index writer lock held by live pid {holder}: "
-                    f"{self.lock} — concurrent build/compact refused"
+                fd = os.open(
+                    self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
                 )
-            os.remove(self.lock)  # stale (crashed writer) — break it
-        with open(self.lock, "w") as fh:
-            fh.write(str(os.getpid()))
-        return self
+            except FileExistsError:
+                try:
+                    holder = int(open(self.lock).read().strip())
+                except (ValueError, OSError):
+                    holder = -1  # vanished or garbled — treat as stale
+                if holder == os.getpid():
+                    self._nested = True  # re-entrant: outer frame owns it
+                    return self
+                if holder > 0 and _pid_alive(holder):
+                    raise RuntimeError(
+                        f"index writer lock held by live pid {holder}: "
+                        f"{self.lock} — concurrent build/compact refused"
+                    )
+                try:
+                    os.remove(self.lock)  # stale (crashed writer)
+                except FileNotFoundError:
+                    pass
+                continue
+            with os.fdopen(fd, "w") as fh:
+                fh.write(str(os.getpid()))
+            return self
+        raise RuntimeError(
+            f"index writer lock {self.lock} contended while breaking a "
+            "stale holder — concurrent build/compact refused"
+        )
 
     def __exit__(self, *exc):
-        try:
-            os.remove(self.lock)
-        except FileNotFoundError:
-            pass
+        if not self._nested:
+            try:
+                os.remove(self.lock)
+            except FileNotFoundError:
+                pass
         return False
 
 
-def _walk_partitions(path: str) -> list[str]:
+def _walk_partitions(path: str, min_files: int = 1) -> list[str]:
+    """ONE recursive walk collecting relative partition dirs holding at
+    least ``min_files`` parquet part files (1 = all partitions, 2 = the
+    compaction-eligible multi-file buckets)."""
     out = []
     for root, _dirs, files in os.walk(path):
-        if root != path and any(f.endswith(".parquet") for f in files):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if root != path and n >= min_files:
             out.append(os.path.relpath(root, path))
     return sorted(out)
 
@@ -171,12 +212,7 @@ def list_partitions(path: str) -> set[str]:
 def multi_file_buckets(path: str) -> list[str]:
     """Relative bucket dirs (e.g. ``band_id=3/bucket=17``) holding more
     than one parquet part file."""
-    out = []
-    for root, _dirs, files in os.walk(path):
-        parts = [f for f in files if f.endswith(".parquet")]
-        if len(parts) > 1:
-            out.append(os.path.relpath(root, path))
-    return sorted(out)
+    return _walk_partitions(path, min_files=2)
 
 
 def _rewrite(hot, path: str, partition_cols: list[str], nparts: int) -> None:
@@ -212,10 +248,15 @@ def compact_index(
         return 0
     succ = os.path.join(path, "_SUCCESS")
     marker = os.path.join(path, "_DELTA_APPENDED")
-    had_marker = os.path.exists(marker)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     with single_writer(path):
+        # conf mutation happens only once the lock is HELD: a lock
+        # refusal raises before any session state changes (a set-
+        # before-lock ordering would leak partitionOverwriteMode=
+        # dynamic into the session when __enter__ raises, turning a
+        # later overwrite-mode rebuild into a partial partition swap)
+        had_marker = os.path.exists(marker)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             hot = (
                 spark.read.option("basePath", path)
@@ -241,6 +282,43 @@ def compact_index(
             with open(marker, "w") as fh:
                 fh.write("base+delta\n")
     return len(buckets)
+
+
+def build_base_plus_delta(
+    path: str,
+    write_base,
+    write_delta,
+    compact_fn=None,
+) -> bool:
+    """The shared incremental-index build protocol, in ONE place so the
+    durability ordering can't diverge between the MinHash and ANN
+    builders (it previously lived as near-verbatim copies at every
+    call site): prune superseded fingerprint siblings → take the
+    writer lock → base batch (``overwrite``) → delta batch
+    (``append``) → partition manifest → optional compaction → the
+    ``_DELTA_APPENDED`` completion marker, strictly LAST.
+
+    Marker-last is the whole crash contract: a death anywhere in the
+    sequence — including inside ``compact_fn``, which previously ran
+    AFTER the marker was written and so could be skipped forever by a
+    crash in between — leaves a directory that fails the gate and
+    rebuilds. ``compact_fn`` runs inside the lock (``single_writer``
+    is re-entrant), so the whole lifecycle is one mutation section.
+
+    Returns True if a build ran, False if the marker already gated."""
+    marker = os.path.join(path, "_DELTA_APPENDED")
+    if os.path.exists(marker):
+        return False
+    prune_siblings_of(path)
+    with single_writer(path):
+        write_base()
+        write_delta()
+        write_partition_manifest(path)
+        if compact_fn is not None:
+            compact_fn()
+        with open(marker, "w") as fh:
+            fh.write("base+delta\n")
+    return True
 
 
 def compact_minhash_index(spark: SparkSession, path: str) -> int:

@@ -1107,28 +1107,18 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse (a crash between writes leaves an incomplete dir that
     rebuilds), and per-bucket appended files compact with per-bucket
     rewrites, never a full rebuild."""
-    import os
+    from psd_project_spark.operators.index_compact import (
+        build_base_plus_delta,
+    )
 
     e = _embeddings(spark, sf_dir)
     path = _ann_index_dir(sf_dir) + "_incr"
-    marker = os.path.join(path, "_DELTA_APPENDED")
-    if not os.path.exists(marker):
-        from psd_project_spark.operators.index_compact import (
-            prune_siblings_of,
-            single_writer,
-            write_partition_manifest,
-        )
-
-        prune_siblings_of(path)
-        with single_writer(path):
-            is_delta = F.col("vec_id") % 3 == 2
-            _write_ann_index(e.filter(~is_delta), path, "overwrite")
-            _write_ann_index(e.filter(is_delta), path, "append")
-            # manifest BEFORE the completion marker: marker present ⇒
-            # manifest current (a crash between them rebuilds)
-            write_partition_manifest(path)
-            with open(marker, "w") as fh:
-                fh.write("base+delta\n")
+    is_delta = F.col("vec_id") % 3 == 2
+    build_base_plus_delta(
+        path,
+        lambda: _write_ann_index(e.filter(~is_delta), path, "overwrite"),
+        lambda: _write_ann_index(e.filter(is_delta), path, "append"),
+    )
     return _probe_ann_index(spark, e, path)
 
 

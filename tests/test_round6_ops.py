@@ -256,3 +256,111 @@ def test_lock_survives_overwrite_build(spark, tmp_path):
         )
         assert os.path.exists(path + ".writer.pid")
     assert not os.path.exists(path + ".writer.pid")
+
+
+def test_prune_siblings_of_handles_cmp_suffix(tmp_path):
+    """Regression (round-6 review): the suffix strip must recognize ANY
+    layout suffix after the 10-hex fingerprint — a '_cmp' path used to
+    parse as a non-hex fingerprint and silently no-op, letting
+    superseded compaction-index trees accumulate unboundedly."""
+    from psd_project_spark.operators.index_compact import prune_siblings_of
+
+    keep = ["minhash_index_4x256_aaaa0000bb",
+            "minhash_index_4x256_aaaa0000bb_incr",
+            "minhash_index_4x256_aaaa0000bb_cmp"]
+    drop = ["minhash_index_4x256_ccc111ddd2_cmp",
+            "minhash_index_4x256_ccc111ddd2"]
+    for d in keep + drop:
+        os.makedirs(str(tmp_path / d))
+    n = prune_siblings_of(str(tmp_path / "minhash_index_4x256_aaaa0000bb_cmp"))
+    assert n == len(drop)
+    assert sorted(os.listdir(str(tmp_path))) == sorted(keep)
+
+
+def test_single_writer_is_reentrant(tmp_path):
+    """An inner mutation section in the SAME process (compaction inside
+    a gated build) enters as a no-op and must not release the outer
+    holder's lock on exit."""
+    from psd_project_spark.operators.index_compact import single_writer
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    lock = path + ".writer.pid"
+    with single_writer(path):
+        with single_writer(path):
+            assert open(lock).read() == str(os.getpid())
+        # inner exit must leave the outer lock in place
+        assert os.path.exists(lock)
+        assert open(lock).read() == str(os.getpid())
+    assert not os.path.exists(lock)
+
+
+def test_compact_refusal_leaks_no_session_conf(spark, tmp_path):
+    """Regression (round-6 review): a lock refusal must raise BEFORE
+    partitionOverwriteMode is touched — leaking 'dynamic' into the
+    session would turn a later overwrite-mode rebuild into a partial
+    partition swap that silently keeps stale buckets."""
+    from psd_project_spark.operators.index_compact import (
+        compact_minhash_index,
+        single_writer,
+    )
+
+    path = str(tmp_path / "idx")
+    df = spark.range(8).selectExpr(
+        "id AS doc_train", "'k' AS band_key",
+        "CAST(id % 2 AS INT) AS band_id", "CAST(id % 2 AS INT) AS bucket"
+    )
+    df.write.mode("overwrite").partitionBy("band_id", "bucket").parquet(path)
+    df.write.mode("append").partitionBy("band_id", "bucket").parquet(path)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    with open(path + ".writer.pid", "w") as fh:
+        fh.write(str(os.getppid()))  # a live pid that isn't ours
+    with pytest.raises(RuntimeError, match="lock held by live pid"):
+        compact_minhash_index(spark, path)
+    assert spark.conf.get(key) == before
+    os.remove(path + ".writer.pid")
+    # sanity: with the lock free the same compaction succeeds and
+    # still restores the conf
+    assert compact_minhash_index(spark, path) > 0
+    assert spark.conf.get(key) == before
+
+
+def test_compaction_query_crash_in_compact_forces_rebuild(
+    spark, tmp_path, monkeypatch
+):
+    """Regression (round-6 review): the lifecycle query writes its
+    completion marker strictly AFTER compaction — a crash inside the
+    compaction stage leaves a gate-less directory, so the next run
+    re-runs the FULL lifecycle (previously the marker was written
+    first and a crash there disabled compaction forever)."""
+    import psd_project_spark.operators.dedup as dd
+    from psd_project_spark.functions.caching import release_transient
+    from psd_project_spark.operators import index_compact as ic
+
+    monkeypatch.setattr(
+        dd, "_minhash_index_dir", lambda sf: str(tmp_path / "idx")
+    )
+    path = str(tmp_path / "idx") + "_cmp"
+
+    def boom(hot, p, cols, nparts):
+        raise RuntimeError("injected crash inside the compaction stage")
+
+    monkeypatch.setattr(ic, "_rewrite", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dd.minhash_index_compaction(spark, SF_DIR).count()
+    release_transient()
+    assert not os.path.exists(os.path.join(path, "_DELTA_APPENDED"))
+    assert not os.path.exists(path + ".writer.pid")  # lock released
+    monkeypatch.undo()  # restores the real _rewrite
+    monkeypatch.setattr(
+        dd, "_minhash_index_dir", lambda sf: str(tmp_path / "idx")
+    )
+    got = dd.minhash_index_compaction(spark, SF_DIR).toPandas()
+    release_transient()
+    assert os.path.exists(os.path.join(path, "_DELTA_APPENDED"))
+    assert ic.multi_file_buckets(path) == []
+    with duck_connection(SF_DIR) as con:
+        from psd_project_spark.operators.dedup import CROSS_DEDUP_ORACLE
+
+        _frames_equal(got, con.execute(CROSS_DEDUP_ORACLE).fetchdf())
