@@ -95,21 +95,18 @@ def _anchor_positions(docs: DataFrame) -> DataFrame:
     )
 
 
-def _dup_islands(anchors: DataFrame) -> DataFrame:
-    """Duplicated positions → per-island rows. One count window on the
-    anchor (the only data-sized shuffle), then gaps-and-islands per doc
-    over the surviving (small) rows."""
+def _islands(flagged: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of flagged ``(doc_id, n_tokens, pos)``
+    anchor positions into maximal spans. Runs on the flagged rows only
+    — orders of magnitude smaller than the corpus — so the per-doc
+    window shuffle is on collapsed data."""
     k = EXACT_SUBSTR_K
-    wa = Window.partitionBy("anchor")
-    dup = anchors.withColumn("n_occ", F.count(F.lit(1)).over(wa)).filter(
-        F.col("n_occ") >= 2
-    )
     wd = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(wd)
     newi = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
     wcum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        dup.withColumn("island", F.sum(newi).over(wcum))
+        flagged.withColumn("island", F.sum(newi).over(wcum))
         .groupBy("doc_id", "n_tokens", "island")
         .agg(
             F.min("pos").alias("span_start"),
@@ -117,6 +114,17 @@ def _dup_islands(anchors: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_anchors"),
         )
     )
+
+
+def _dup_islands(anchors: DataFrame) -> DataFrame:
+    """Duplicated positions → per-island rows. One count window on the
+    anchor (the only data-sized shuffle), then gaps-and-islands per doc
+    over the surviving (small) rows."""
+    wa = Window.partitionBy("anchor")
+    dup = anchors.withColumn("n_occ", F.count(F.lit(1)).over(wa)).filter(
+        F.col("n_occ") >= 2
+    )
+    return _islands(dup)
 
 
 def exact_substr_spans(docs: DataFrame) -> DataFrame:
@@ -246,10 +254,9 @@ def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _K = EXACT_SUBSTR_K
 
-#: Shared CTE chain of both oracles: anchor table via a scalar
-#: generate_series unnest, count-over-anchor window, gaps-and-islands
-#: windows down to the maximal-span table.
-_SPAN_CTES = f"""
+#: Anchor-table CTE prefix shared by every oracle in this module:
+#: token array, position unnest, verbatim k-gram anchor per position.
+_ANCHOR_CTES = f"""
 t AS (
   SELECT doc_id, {T.tokens_sql()} AS toks FROM documents
 ), pos AS (
@@ -260,7 +267,12 @@ t AS (
   SELECT doc_id, n_tokens, pos,
          array_to_string(toks[pos:pos + {_K - 1}], ' ') AS anchor
   FROM pos
-), dup AS (
+)"""
+
+#: Shared CTE chain of the report/cut oracles: anchor table,
+#: count-over-anchor window, gaps-and-islands windows down to the
+#: maximal-span table.
+_SPAN_CTES = f"""{_ANCHOR_CTES}, dup AS (
   SELECT * FROM (
     SELECT doc_id, n_tokens, pos,
            count(*) OVER (PARTITION BY anchor) AS n_occ
@@ -341,7 +353,121 @@ ORDER BY doc_id
 """
 
 
+def decontaminate_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-LEVEL benchmark decontamination: maximal verbatim
+    spans of TRAINING documents that also appear in the held-out eval
+    split (every 50th doc_id — the ``decontaminate_ngrams`` /
+    ``cross_dedup_minhash`` split). This is the production overlap
+    screen at span granularity (GPT-3's 13-gram and PaLM's n-gram
+    decontamination passes are this operator with a different k —
+    public knowledge; Brown et al. 2020 appendix C): where
+    ``decontaminate_ngrams`` reports only a shared-shingle COUNT,
+    this reports the actual leaked regions — span count, leaked token
+    mass, largest span, leaked fraction — which is what one cuts or
+    audits before an eval claim.
+
+    Plan shape for 100 TB: the eval side collapses to a distinct
+    anchor set (tiny — benchmarks are small by definition) and
+    broadcasts; the training anchor table streams through ONE scan
+    and inner-joins that broadcast — no shuffle of the corpus at all.
+    The islands window then runs on the contaminated rows only, the
+    same collapsed-data discipline as the dup report. If the eval side
+    ever outgrows broadcast, the join degrades to a plain anchor-keyed
+    equi-join (AQE decides) — still one corpus-sized exchange, never a
+    pair join."""
+    docs = spread_small(load_table(spark, sf_dir, "documents"), spark)
+    anchors = _anchor_positions(docs)
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_anchors = anchors.filter(is_eval).select("anchor").distinct()
+    flagged = (
+        anchors.filter(~is_eval)
+        .join(F.broadcast(eval_anchors), "anchor")
+        .select("doc_id", "n_tokens", "pos")
+    )
+    per_doc = _islands(flagged).groupBy("doc_id", "n_tokens").agg(
+        F.sum("n_anchors").alias("n_leak_anchors"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "leaked_tokens"
+        ),
+        F.max(F.col("span_end") - F.col("span_start") + 1).alias(
+            "max_span_tokens"
+        ),
+    )
+    train = docs.filter(~is_eval).select(
+        "doc_id", F.size(F.expr(T.tokens_expr())).alias("n_tokens")
+    )
+    z = F.lit(0).cast("long")
+    return (
+        train.join(per_doc.drop("n_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_leak_anchors", z).alias("n_leak_anchors"),
+            F.coalesce("n_spans", z).alias("n_spans"),
+            F.coalesce("leaked_tokens", z).alias("leaked_tokens"),
+            F.coalesce("max_span_tokens", z).alias("max_span_tokens"),
+        )
+        .withColumn(
+            "leak_frac",
+            F.round(F.col("leaked_tokens") / F.col("n_tokens"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Bit-exact DuckDB oracle: eval anchor set, train anchors hit-joined,
+#: the same gaps-and-islands windows, per-doc rollup with zeros.
+#: ``leak_frac`` uses the cross-engine decimal-space rounding recipe.
+DECONTAMINATE_SUBSTR_ORACLE = f"""
+WITH {_ANCHOR_CTES}, ev AS (
+  SELECT DISTINCT anchor FROM anch WHERE doc_id % 50 = 0
+), hit AS (
+  SELECT a.doc_id, a.n_tokens, a.pos
+  FROM anch a JOIN ev USING (anchor)
+  WHERE a.doc_id % 50 <> 0
+), hflag AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > {_K} THEN 1 ELSE 0 END AS newi
+  FROM hit
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), hisl AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM hflag
+), hspans AS (
+  SELECT doc_id, n_tokens, island,
+         min(pos) AS span_start, max(pos) + {_K - 1} AS span_end,
+         count(*) AS n_anchors
+  FROM hisl GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id,
+         sum(n_anchors) AS n_leak_anchors,
+         count(*) AS n_spans,
+         sum(span_end - span_start + 1) AS leaked_tokens,
+         max(span_end - span_start + 1) AS max_span_tokens
+  FROM hspans GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len({T.tokens_sql()}) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_leak_anchors, 0) AS BIGINT) AS n_leak_anchors,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.leaked_tokens, 0) AS BIGINT) AS leaked_tokens,
+       CAST(coalesce(p.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+       CAST(CAST(round(CAST(CAST(
+         coalesce(p.leaked_tokens, 0) / CAST(len({T.tokens_sql()}) AS DOUBLE)
+       AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS leak_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_substr": (dedup_exact_substr, EXACT_SUBSTR_ORACLE),
     "exact_substr_cut": (exact_substr_cut, EXACT_SUBSTR_CUT_ORACLE),
+    "decontaminate_substr": (decontaminate_substr, DECONTAMINATE_SUBSTR_ORACLE),
 }

@@ -44,6 +44,7 @@ _PRIORITY = (
     # -- round-6 new operators (front: day-one driver rows) ------------
     "dedup_exact_substr",
     "exact_substr_cut",
+    "decontaminate_substr",
     "minhash_index_compaction",
     "dyadic_quantile_rollup",
     "stream_value_quantiles_sink",
@@ -94,10 +95,13 @@ _PRIORITY = (
     "stream_session_windows",
     "stream_stream_join",
     "stream_upsert_latest",
-    # -- spares: r05 bench drifters + recent additions -----------------
+    # -- spares: r05 bench drifters -------------------------------------
+    # (pack_sequences was displaced mid-round by decontaminate_substr:
+    # it holds an r05 hash-match row and packing.py is untouched this
+    # round, so its row stays current — the displacement rule spares
+    # re-verification slots first)
     "table_profile",
     "events_jsonl_source",
-    "pack_sequences",
 )
 
 _MODULES = (

@@ -239,3 +239,58 @@ def test_registry_query_oracle_parity(spark):
     assert (got.n_spans > 0).any()  # the corpus genuinely has dups
     con = duck_connection(SF_DIR)
     compare_frames(got, con.execute(EXACT_SUBSTR_ORACLE).fetchdf())
+
+
+def _scratch_corpus(spark, rows):
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="psd_decon_")
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_decontaminate_substr_planted_leak(spark):
+    """A span planted from the eval split (doc_id % 50 == 0) into a
+    train doc is reported as a leaked region; train-train duplication
+    WITHOUT an eval occurrence is NOT flagged (this operator screens
+    against the eval set, it is not dedup); eval docs never appear in
+    the output."""
+    from psd_project_spark.operators.exact_substr import decontaminate_substr
+
+    eval_span = _words("ev", 12)
+    train_dup = _words("tt", 12)
+    rows = [
+        (0, _words("e", 5) + " " + eval_span),               # eval doc
+        (1, _words("a", 10) + " " + eval_span + " " + _words("b", 4)),
+        (2, _words("clean", 30)),
+        (3, train_dup + " " + _words("c", 9)),               # train-train
+        (4, _words("d", 9) + " " + train_dup),               # dup only
+    ]
+    got = (
+        decontaminate_substr(spark, _scratch_corpus(spark, rows))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert sorted(got.index) == [1, 2, 3, 4]  # eval doc 0 excluded
+    leak = got.loc[1]
+    assert leak.n_spans == 1
+    assert leak.leaked_tokens == 12
+    assert leak.max_span_tokens == 12
+    assert leak.n_leak_anchors == 12 - K + 1
+    for doc in (2, 3, 4):
+        assert got.loc[doc].n_spans == 0
+        assert got.loc[doc].leaked_tokens == 0
+
+
+def test_decontaminate_substr_oracle_parity(spark):
+    from psd_project_spark.operators.exact_substr import (
+        DECONTAMINATE_SUBSTR_ORACLE,
+        decontaminate_substr,
+    )
+
+    got = decontaminate_substr(spark, SF_DIR).toPandas()
+    con = duck_connection(SF_DIR)
+    compare_frames(got, con.execute(DECONTAMINATE_SUBSTR_ORACLE).fetchdf())

@@ -67,6 +67,7 @@ ADAPTIVE = [
     # with the corpus
     "dedup_exact_substr",
     "exact_substr_cut",
+    "decontaminate_substr",
     "minhash_index_compaction",
     "dyadic_quantile_rollup",
     "stream_value_quantiles_sink",

@@ -22,6 +22,7 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 R6_NEW = {
     "dedup_exact_substr",
     "exact_substr_cut",
+    "decontaminate_substr",
     "minhash_index_compaction",
     "dyadic_quantile_rollup",
     "stream_value_quantiles_sink",
