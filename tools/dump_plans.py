@@ -124,6 +124,15 @@ SHOWCASE = [
         "model size is unbounded.",
     ),
     (
+        "dedup_embedding_lsh",
+        "Embedding near-dup with the hot-group guard: the plan's "
+        "banding/verify subtree hangs off the collapsed distinct-"
+        "vector aggregate (groupBy the raw array — one data-sized "
+        "exchange), so replicated vectors never reach the band self-"
+        "join or the pandas-UDF verify; the within/cross expansion "
+        "branches are output-sized.",
+    ),
+    (
         "dedup_exact_substr",
         "ExactSubstr: the anchor table never joins itself — duplicated "
         "positions come from ONE count window keyed on the anchor "
