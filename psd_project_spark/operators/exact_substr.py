@@ -269,6 +269,32 @@ t AS (
   FROM pos
 )"""
 
+def _island_ctes(src: str, out: str) -> str:
+    """Gaps-and-islands CTE chain (the SQL mirror of :func:`_islands`)
+    over any source CTE exposing ``(doc_id, n_tokens, pos)``; ``out``
+    names the resulting maximal-span CTE. One definition serves every
+    oracle in this module — the gap constant and the
+    ``max(pos) + k - 1`` span formula exist in exactly one SQL copy."""
+    return f"""{out}_flag AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > {_K} THEN 1 ELSE 0 END AS newi
+  FROM {src}
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), {out}_isl AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM {out}_flag
+), {out} AS (
+  SELECT doc_id, n_tokens, island,
+         min(pos) AS span_start, max(pos) + {_K - 1} AS span_end,
+         count(*) AS n_anchors
+  FROM {out}_isl GROUP BY 1, 2, 3
+)"""
+
+
 #: Shared CTE chain of the report/cut oracles: anchor table,
 #: count-over-anchor window, gaps-and-islands windows down to the
 #: maximal-span table.
@@ -278,24 +304,7 @@ _SPAN_CTES = f"""{_ANCHOR_CTES}, dup AS (
            count(*) OVER (PARTITION BY anchor) AS n_occ
     FROM anch
   ) WHERE n_occ >= 2
-), flagged AS (
-  SELECT doc_id, n_tokens, pos,
-         CASE WHEN lag(pos) OVER w IS NULL
-                   OR pos - lag(pos) OVER w > {_K} THEN 1 ELSE 0 END AS newi
-  FROM dup
-  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-), isl AS (
-  SELECT doc_id, n_tokens, pos,
-         sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS island
-  FROM flagged
-), spans AS (
-  SELECT doc_id, n_tokens, island,
-         min(pos) AS span_start, max(pos) + {_K - 1} AS span_end,
-         count(*) AS n_anchors
-  FROM isl GROUP BY 1, 2, 3
-)"""
+), {_island_ctes("dup", "spans")}"""
 
 #: Bit-exact DuckDB oracle for the per-doc report. ``dup_frac`` uses
 #: the cross-engine decimal-space rounding recipe (identity on the
@@ -426,24 +435,7 @@ WITH {_ANCHOR_CTES}, ev AS (
   SELECT a.doc_id, a.n_tokens, a.pos
   FROM anch a JOIN ev USING (anchor)
   WHERE a.doc_id % 50 <> 0
-), hflag AS (
-  SELECT doc_id, n_tokens, pos,
-         CASE WHEN lag(pos) OVER w IS NULL
-                   OR pos - lag(pos) OVER w > {_K} THEN 1 ELSE 0 END AS newi
-  FROM hit
-  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-), hisl AS (
-  SELECT doc_id, n_tokens, pos,
-         sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS island
-  FROM hflag
-), hspans AS (
-  SELECT doc_id, n_tokens, island,
-         min(pos) AS span_start, max(pos) + {_K - 1} AS span_end,
-         count(*) AS n_anchors
-  FROM hisl GROUP BY 1, 2, 3
-), per_doc AS (
+), {_island_ctes("hit", "hspans")}, per_doc AS (
   SELECT doc_id,
          sum(n_anchors) AS n_leak_anchors,
          count(*) AS n_spans,

@@ -60,19 +60,27 @@ def prune_siblings_of(path: str) -> int:
     """Prune superseded fingerprint siblings of a current index dir
     whose basename is ``{prefix}{fp10}`` or ``{prefix}{fp10}_<layout>``
     (``source_fingerprint`` returns exactly 10 hex chars; the layout
-    suffix is ``_incr``, ``_cmp``, or any future variant — detected by
-    the 10-hex fingerprint preceding the last ``_``, not a hardcoded
-    list, so a new variant can't silently opt out of pruning). Called
-    from the BUILD branches only — pruning is meaningful exactly when
-    the fingerprint changed, i.e. when the completion gate fails."""
+    suffix is ``_incr``, ``_cmp``, or any future variant including
+    multi-segment ones like ``_incr_v2`` — ``_``-segments are stripped
+    right-to-left until the remaining stem ends in the 10-hex
+    fingerprint, preferring the longest such stem, so a new variant
+    can't silently opt out of pruning). Called from the BUILD branches
+    only — pruning is meaningful exactly when the fingerprint changed,
+    i.e. when the completion gate fails."""
+    def _fp_stem(s: str) -> bool:
+        return len(s) > 10 and all(
+            c in "0123456789abcdef" for c in s[-10:]
+        )
+
     base = os.path.basename(path)
     core = base
-    if "_" in base:
-        head = base.rpartition("_")[0]
-        if len(head) > 10 and all(
-            c in "0123456789abcdef" for c in head[-10:]
-        ):
-            core = head
+    if not _fp_stem(core):  # longest stem first: an un-suffixed name
+        cand = base         # already ends in its fingerprint
+        while "_" in cand:
+            cand = cand.rpartition("_")[0]
+            if _fp_stem(cand):
+                core = cand
+                break
     fp = core[-10:]
     # only act on real fingerprinted names (10 hex chars after a
     # non-empty prefix) — a test-scratch dir like "idx" must never
@@ -115,8 +123,10 @@ class single_writer:
     """``with single_writer(path):`` around any index-mutating section.
     Raises ``RuntimeError`` if another LIVE process holds the lock.
 
-    Acquisition is ATOMIC (``O_CREAT|O_EXCL`` — never a check-then-
-    create, which would let two simultaneous writers both "win"), and
+    Acquisition is ATOMIC INCLUDING CONTENT (pid written to a temp
+    file, ``os.link``'d into place — never check-then-create, and
+    never create-then-write, either of which lets a second writer
+    observe an empty or missing pid and "win" concurrently), and
     RE-ENTRANT within one process: an inner section that already holds
     the lock (e.g. ``compact_index`` called from inside a gated build)
     enters as a no-op and leaves the outer holder's lock file alone."""
@@ -129,39 +139,54 @@ class single_writer:
     def __enter__(self):
         os.makedirs(os.path.dirname(self.lock), exist_ok=True)
         self._nested = False
-        # two passes: the second retries the atomic create after a
-        # stale lock was broken; losing BOTH (live contention during
-        # the break window) fails loudly rather than proceeding
-        for _ in range(2):
-            try:
-                fd = os.open(
-                    self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                )
-            except FileExistsError:
+        # Atomic pid PUBLICATION, not just atomic creation: the pid is
+        # written to a private temp file and os.link'd into place, so
+        # the lock file can never be observed empty (an O_EXCL-create-
+        # then-write sequence has a window where a second writer reads
+        # an empty file, judges it garbled/stale, and deletes a LIVE
+        # lock). Unreadable content is therefore CONTENTION (another
+        # writer mid-flight or external interference) — loud, never
+        # silently broken; only a readable DEAD pid is stale.
+        tmp = f"{self.lock}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(os.getpid()))
+        try:
+            # two passes: the second retries the atomic link after a
+            # stale lock was broken; losing BOTH (live contention
+            # during the break window) fails loudly
+            for _ in range(2):
                 try:
-                    holder = int(open(self.lock).read().strip())
-                except (ValueError, OSError):
-                    holder = -1  # vanished or garbled — treat as stale
-                if holder == os.getpid():
-                    self._nested = True  # re-entrant: outer frame owns it
+                    os.link(tmp, self.lock)
                     return self
-                if holder > 0 and _pid_alive(holder):
-                    raise RuntimeError(
-                        f"index writer lock held by live pid {holder}: "
-                        f"{self.lock} — concurrent build/compact refused"
-                    )
-                try:
-                    os.remove(self.lock)  # stale (crashed writer)
-                except FileNotFoundError:
-                    pass
-                continue
-            with os.fdopen(fd, "w") as fh:
-                fh.write(str(os.getpid()))
-            return self
-        raise RuntimeError(
-            f"index writer lock {self.lock} contended while breaking a "
-            "stale holder — concurrent build/compact refused"
-        )
+                except FileExistsError:
+                    try:
+                        holder = int(open(self.lock).read().strip())
+                    except (ValueError, OSError):
+                        raise RuntimeError(
+                            f"index writer lock {self.lock} unreadable — "
+                            "possible concurrent writer mid-acquisition; "
+                            "build/compact refused (remove the lock "
+                            "manually if it is genuinely orphaned)"
+                        ) from None
+                    if holder == os.getpid():
+                        self._nested = True  # re-entrant: outer owns it
+                        return self
+                    if holder > 0 and _pid_alive(holder):
+                        raise RuntimeError(
+                            f"index writer lock held by live pid {holder}:"
+                            f" {self.lock} — concurrent build/compact "
+                            "refused"
+                        )
+                    try:
+                        os.remove(self.lock)  # stale (crashed writer)
+                    except FileNotFoundError:
+                        pass
+            raise RuntimeError(
+                f"index writer lock {self.lock} contended while breaking "
+                "a stale holder — concurrent build/compact refused"
+            )
+        finally:
+            os.unlink(tmp)
 
     def __exit__(self, *exc):
         if not self._nested:

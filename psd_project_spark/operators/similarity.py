@@ -738,16 +738,28 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission is output-sized (which is the semantics).
 
     No ``.cache()``: the signature column feeds ONLY the band explode
-    (computed once), and the collapsed group table that feeds the
-    three expansion joins is a transient cache released on next query
-    entry (functions/caching)."""
+    (computed once); the group-tagged frame that feeds the
+    representative and membership projections is ONE transient cache
+    released on next query entry (functions/caching)."""
     e = _embeddings(spark, sf_dir)
+    # ONE vector-keyed exchange collapses the corpus to one row per
+    # distinct vector (group id = min member, size, member id list —
+    # an O(m) array per group, bounded by the largest copy-group's id
+    # volume). The flat (gid, vec_id) membership table is its explode;
+    # the expansion below is row-level joins on gid, NEVER an array of
+    # PAIRS materialized inside one row (a 70k-copy hot group would
+    # otherwise build C(m,2) ≈ 2.4e9 structs in a single row: executor
+    # OOM and the 2^31 array cap — the very scenario the guard exists
+    # for; the gid-keyed self-join emits the same pairs with bounded
+    # row size, the `_minhash_pairs` pattern).
     groups = transient_cache(
         e.groupBy("_v").agg(
             F.min("vec_id").alias("gid"),
-            F.array_sort(F.collect_list("vec_id")).alias("_members"),
+            F.count(F.lit(1)).alias("_m"),
+            F.collect_list("vec_id").alias("_members"),
         )
     )
+    members = groups.select("gid", F.explode("_members").alias("vec_id"))
     reps = groups.select(F.col("gid").alias("vec_id"), "_v")
     rep_pairs = _pair_band_candidates(reps)
     verified = (
@@ -770,43 +782,34 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Within-group pairs: every pair of byte-identical copies, at the
     # group's self-cosine (computed by the SAME quantized kernel both
-    # engines run — ≈1.0 but never assumed). C(m,2) emission per group
-    # is the output itself, not overhead.
-    within = (
-        groups.filter(F.size("_members") >= 2)
+    # engines run — ≈1.0 but never assumed). The gid-keyed equi-self-
+    # join is output-sized, which is the semantics.
+    gcos = (
+        groups.filter(F.col("_m") >= 2)
         .withColumn("cosine", V.cosine_q(F.col("_v"), F.col("_v")))
         .filter(F.col("cosine") >= F.lit(EMB_PAIR_THRESHOLD))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(_members, (x, i) -> "
-                    "transform(slice(_members, i + 2, size(_members)), "
-                    "y -> struct(x AS vec_a, y AS vec_b))))"
-                )
-            ).alias("pr"),
-            "cosine",
-        )
-        .select("pr.vec_a", "pr.vec_b", "cosine")
+        .select("gid", "cosine")
+    )
+    within = (
+        gcos.join(members.select("gid", F.col("vec_id").alias("vec_a")),
+                  "gid")
+        .join(members.select("gid", F.col("vec_id").alias("vec_b")), "gid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "cosine")
     )
     # Cross-group pairs: expand each verified rep pair to its member
-    # grid; groups are disjoint so no pair repeats, least/greatest
-    # restores the global vec_a < vec_b orientation.
+    # grid via two row-level joins; groups are disjoint so no pair
+    # repeats, least/greatest restores the vec_a < vec_b orientation.
     cross = (
         verified.join(
-            groups.select(
-                F.col("gid").alias("ga"), F.col("_members").alias("_ma")
-            ),
+            members.select(F.col("gid").alias("ga"),
+                           F.col("vec_id").alias("a")),
             "ga",
         )
         .join(
-            groups.select(
-                F.col("gid").alias("gb"), F.col("_members").alias("_mb")
-            ),
+            members.select(F.col("gid").alias("gb"),
+                           F.col("vec_id").alias("b")),
             "gb",
-        )
-        .select(F.explode("_ma").alias("a"), "_mb", "cosine")
-        .select(
-            F.col("a"), F.explode("_mb").alias("b"), "cosine"
         )
         .select(
             F.least("a", "b").alias("vec_a"),

@@ -364,3 +364,55 @@ def test_compaction_query_crash_in_compact_forces_rebuild(
         from psd_project_spark.operators.dedup import CROSS_DEDUP_ORACLE
 
         _frames_equal(got, con.execute(CROSS_DEDUP_ORACLE).fetchdf())
+
+
+def test_prune_siblings_of_multi_segment_suffix(tmp_path):
+    """The suffix strip walks multiple '_'-segments (e.g. a future
+    '_incr_v2' layout) back to the fingerprint stem — a new variant
+    cannot silently opt out of pruning."""
+    from psd_project_spark.operators.index_compact import prune_siblings_of
+
+    keep = ["minhash_index_4x256_aaaa0000bb_incr_v2",
+            "minhash_index_4x256_aaaa0000bb"]
+    drop = ["minhash_index_4x256_ccc111ddd2_incr_v2"]
+    for d in keep + drop:
+        os.makedirs(str(tmp_path / d))
+    n = prune_siblings_of(
+        str(tmp_path / "minhash_index_4x256_aaaa0000bb_incr_v2")
+    )
+    assert n == len(drop)
+    assert sorted(os.listdir(str(tmp_path))) == sorted(keep)
+
+
+def test_prune_siblings_of_prefers_unsuffixed_stem(tmp_path):
+    """A name already ending in its 10-hex fingerprint is used as-is:
+    a fingerprint that happens to follow another hex-looking segment
+    must not be mistaken for a layout suffix (which would mis-scope
+    the prune to a shorter prefix)."""
+    from psd_project_spark.operators.index_compact import prune_siblings_of
+
+    keep = ["pfx_deadbeef01_cafebabe02",      # current: fp = cafebabe02
+            "pfx_deadbeef01_cafebabe02_incr"]
+    drop = ["pfx_deadbeef01_0123456789"]      # superseded fp, same prefix
+    for d in keep + drop:
+        os.makedirs(str(tmp_path / d))
+    n = prune_siblings_of(str(tmp_path / "pfx_deadbeef01_cafebabe02"))
+    assert n == len(drop)
+    assert sorted(os.listdir(str(tmp_path))) == sorted(keep)
+
+
+def test_single_writer_refuses_unreadable_lock(tmp_path):
+    """An empty/garbled lock file is CONTENTION (another writer
+    mid-acquisition or external interference), never silently broken:
+    with atomic pid publication our own protocol can't produce one, so
+    breaking it could delete a live writer's lock."""
+    from psd_project_spark.operators.index_compact import single_writer
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    with open(path + ".writer.pid", "w"):
+        pass  # empty — unreadable pid
+    with pytest.raises(RuntimeError, match="unreadable"):
+        with single_writer(path):
+            pass
+    assert os.path.exists(path + ".writer.pid")  # NOT broken
