@@ -76,6 +76,7 @@ QUERIES = [
     "dedup_exact_substr",
     "dyadic_quantile_rollup",
     "stream_value_quantiles_sink",
+    "decontaminate_substr",
 ]
 
 
