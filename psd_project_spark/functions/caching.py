@@ -43,3 +43,45 @@ def release_transient() -> int:
         except Exception:
             pass
     return n
+
+
+# --- session-scoped scratch directories --------------------------------------
+
+_SCRATCH: dict[str, str] = {}
+_SCRATCH_ATEXIT = False
+
+
+def scratch_dir(prefix: str) -> str:
+    """Session-scoped scratch directory (ADVICE r06 #2): registry
+    queries that need a disk store (sketch stores, streaming sink +
+    checkpoint dirs) previously ``mkdtemp``'d per INVOCATION and never
+    removed — the bench/driver loops invoke each query repeatedly, so
+    /tmp accumulated parquet stores for the whole session. One live
+    scratch dir per prefix: minting the next invocation's dir removes
+    the previous one (queries run serially per session — the same
+    property that makes next-entry :func:`release_transient` safe, and
+    the prior invocation's result was collected before the next query
+    started), and an ``atexit`` hook removes whatever is live when the
+    interpreter exits."""
+    global _SCRATCH_ATEXIT
+    import atexit
+    import shutil
+    import tempfile
+
+    old = _SCRATCH.pop(prefix, None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    path = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH[prefix] = path
+    if not _SCRATCH_ATEXIT:
+        atexit.register(_cleanup_scratch)
+        _SCRATCH_ATEXIT = True
+    return path
+
+
+def _cleanup_scratch() -> None:
+    import shutil
+
+    while _SCRATCH:
+        _, path = _SCRATCH.popitem()
+        shutil.rmtree(path, ignore_errors=True)

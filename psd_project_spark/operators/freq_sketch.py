@@ -734,15 +734,16 @@ def dyadic_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 2^(B−LMIN+1) nodes per group); the store holds only sketch rows
     (≤ state × days); the rollup reads sketches, never data — a
     90-day quantile backfill touches zero raw events. The store is a
-    fresh per-run tempdir: rebuilding it IS the query (no caching
-    semantics to get stale)."""
-    import tempfile
+    fresh per-run scratch dir (session-scoped — the previous
+    invocation's store is removed when the next one is minted):
+    rebuilding it IS the query (no caching semantics to get stale)."""
+    from psd_project_spark.functions.caching import scratch_dir
 
     events = load_table(spark, sf_dir, "events").withColumn(
         "day", F.to_date("ts")
     )
     per_day = _svq_level_counts(events, group_cols=("day", "event_type"))
-    store = tempfile.mkdtemp(prefix="psd_dqs_store_")
+    store = scratch_dir("psd_dqs_store_")
     per_day.repartition(4, "day").write.mode("overwrite").partitionBy(
         "day"
     ).parquet(store)
@@ -780,8 +781,7 @@ def stream_value_quantiles_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. This is the long-running deployment shape: per-epoch sink
     writes track CHANGED nodes (O(updates)), never the full state, and
     a reader always sees a complete atomic version."""
-    import tempfile
-
+    from psd_project_spark.functions.caching import scratch_dir
     from psd_project_spark.streaming.foreach_sink import (
         current_upsert_table,
         run_foreachbatch_upsert,
@@ -791,8 +791,8 @@ def stream_value_quantiles_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = _svq_level_counts(stream_events(spark, sf_dir)).withColumnRenamed(
         "cnt", "node_cnt"
     )
-    out_dir = tempfile.mkdtemp(prefix="psd_svq_sink_")
-    ckpt = tempfile.mkdtemp(prefix="psd_svq_ckpt_")
+    out_dir = scratch_dir("psd_svq_sink_")
+    ckpt = scratch_dir("psd_svq_ckpt_")
     run_foreachbatch_upsert(
         agg,
         out_dir,

@@ -122,13 +122,15 @@ def run_foreachbatch_upsert(
 def stream_upsert_latest(spark, sf_dir: str) -> DataFrame:
     """Run the events stream through the keyed upsert sink; the
     maintained state table must equal the batch keep-latest dedup
-    (same oracle as ``latest_event_per_user``)."""
-    import tempfile
-
+    (same oracle as ``latest_event_per_user``). Sink + checkpoint live
+    in session-scoped scratch dirs (ADVICE r06 #2): the next
+    invocation removes the previous one's, and atexit sweeps the
+    rest."""
+    from psd_project_spark.functions.caching import scratch_dir
     from psd_project_spark.streaming.jobs import stream_events
 
-    out_dir = tempfile.mkdtemp(prefix="psd_upsert_")
-    ckpt = tempfile.mkdtemp(prefix="psd_upsert_ckpt_")
+    out_dir = scratch_dir("psd_upsert_")
+    ckpt = scratch_dir("psd_upsert_ckpt_")
     src = stream_events(spark, sf_dir).select(
         "event_id", "user_id", "ts_ns", "event_type", "value"
     )
