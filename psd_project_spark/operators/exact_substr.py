@@ -419,6 +419,19 @@ def decontaminate_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(eval_anchors), "anchor")
         .select("doc_id", "n_tokens", "pos")
     )
+    train = docs.filter(~is_eval).select(
+        "doc_id", F.size(F.expr(T.tokens_expr())).alias("n_tokens")
+    )
+    return _leak_report(flagged, train)
+
+
+def _leak_report(flagged: DataFrame, train: DataFrame) -> DataFrame:
+    """Islands merge + zero-preserving per-doc leak rollup shared by
+    the one-shot screen (:func:`decontaminate_substr`) and the
+    index-probed one (:func:`substr_index_incremental`) — one
+    definition, so the two paths can only differ in HOW the
+    contaminated ``(doc_id, n_tokens, pos)`` anchor rows were found,
+    never in how they are merged or reported."""
     per_doc = _islands(flagged).groupBy("doc_id", "n_tokens").agg(
         F.sum("n_anchors").alias("n_leak_anchors"),
         F.count(F.lit(1)).alias("n_spans"),
@@ -428,9 +441,6 @@ def decontaminate_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("span_end") - F.col("span_start") + 1).alias(
             "max_span_tokens"
         ),
-    )
-    train = docs.filter(~is_eval).select(
-        "doc_id", F.size(F.expr(T.tokens_expr())).alias("n_tokens")
     )
     z = F.lit(0).cast("long")
     return (
@@ -484,8 +494,146 @@ ORDER BY doc_id
 """
 
 
+# --- substr_index_incremental (persisted anchor index + pruned probe) -------
+
+#: Hash buckets for the persisted anchor index's partition layout.
+#: Like MINHASH_INDEX_BUCKETS: a partition-pruning layer only — the
+#: exact anchor-string equi-join still decides every hit, so bucketing
+#: is invisible to semantics (and to the oracle).
+SUBSTR_INDEX_BUCKETS = 64
+
+_SUBSTR_INDEX_SCHEMA = (
+    "doc_id long, n_tokens int, pos int, anchor string, bucket int"
+)
+
+
+def _substr_index_dir(sf_dir: str) -> str:
+    import hashlib
+
+    from psd_project_spark.sources.registry import source_fingerprint
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    fp = source_fingerprint(sf_dir, "documents")
+    return (
+        f"/tmp/psd_spark_sink/{key}/substr_anchor_index_"
+        f"{EXACT_SUBSTR_K}x{SUBSTR_INDEX_BUCKETS}_{fp}"
+    )
+
+
+def _with_anchor_bucket(anchors: DataFrame) -> DataFrame:
+    return anchors.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("anchor"), F.lit(SUBSTR_INDEX_BUCKETS)).cast(
+            "int"
+        ),
+    )
+
+
+def _write_substr_index(anchors: DataFrame, path: str, mode: str) -> None:
+    """Write (or append) one corpus batch's anchor table into the
+    bucket-partitioned index layout (co-locate each bucket before the
+    partitioned write — the smallfile trap, see ann_index_export)."""
+    (
+        _with_anchor_bucket(anchors)
+        .select("doc_id", "n_tokens", "pos", "anchor", "bucket")
+        .repartition(16, "bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def substr_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of the substring decontamination screen
+    (VERDICT r06 "Next round" #1): the TRAINING corpus anchor table as
+    a PERSISTED bucket-partitioned index with the same
+    build→append→compact→probe lifecycle the MinHash/ANN indexes run
+    (``index_compact.build_base_plus_delta`` — writer lock, manifest,
+    per-bucket compaction, marker strictly last) — so screening a new
+    eval suite (or a crawl against a standing corpus) never recomputes
+    corpus anchors. Base batch: train docs with ``doc_id % 3 != 2``
+    (``overwrite``); delta batch: the rest (``append``); then
+    per-bucket compaction inside the same gated lock.
+
+    Probe: the eval split's distinct anchors (tiny — benchmarks are
+    small) are bucketed with the index's hash, the probed bucket set
+    is intersected with the ``_PARTITIONS`` manifest (ONE small-file
+    read), only those bucket dirs are scanned, and hits come from the
+    exact anchor-string equi-join against the broadcast eval set. The
+    islands merge + per-doc rollup is the shared
+    :func:`_leak_report` — and the oracle is the FULL-corpus
+    ``decontaminate_substr`` screen VERBATIM, so a hash-match proves
+    build + append + compact + pruned probe ≡ one-shot recompute.
+
+    At 100 TB: index build cost amortizes across eval suites/crawls;
+    a probe reads ≤ |distinct eval-anchor buckets| of the
+    ``SUBSTR_INDEX_BUCKETS`` partitions, so probe cost tracks the
+    PROBE batch, not the corpus. The anchor strings are stored
+    verbatim (the exact-match key itself — no collision surface)."""
+    from psd_project_spark.operators.index_compact import (
+        build_base_plus_delta,
+        compact_index,
+        list_partitions,
+    )
+
+    docs = spread_small(load_table(spark, sf_dir, "documents"), spark)
+    anchors = _anchor_positions(docs)
+    is_eval = F.col("doc_id") % 50 == 0
+    is_delta = F.col("doc_id") % 3 == 2
+    path = _substr_index_dir(sf_dir) + "_incr"
+    build_base_plus_delta(
+        path,
+        lambda: _write_substr_index(
+            anchors.filter(~is_eval & ~is_delta), path, "overwrite"
+        ),
+        lambda: _write_substr_index(
+            anchors.filter(~is_eval & is_delta), path, "append"
+        ),
+        compact_fn=lambda: compact_index(
+            spark, path, ["bucket"], _SUBSTR_INDEX_SCHEMA
+        ),
+    )
+    eval_anchors = anchors.filter(is_eval).select("anchor").distinct()
+    probe_buckets = sorted(
+        {
+            int(r["bucket"])
+            for r in _with_anchor_bucket(eval_anchors)
+            .select("bucket")
+            .distinct()
+            .collect()
+        }
+    )
+    present = list_partitions(path)
+    bucket_dirs = [
+        f"{path}/bucket={b}"
+        for b in probe_buckets
+        if f"bucket={b}" in present
+    ]
+    train = docs.filter(~is_eval).select(
+        "doc_id", F.size(F.expr(T.tokens_expr())).alias("n_tokens")
+    )
+    if not bucket_dirs:
+        empty = spark.createDataFrame(
+            [], "doc_id long, n_tokens int, pos int"
+        )
+        return _leak_report(empty, train)
+    back = (
+        spark.read.option("basePath", path)
+        .schema(_SUBSTR_INDEX_SCHEMA)
+        .parquet(*bucket_dirs)
+    )
+    flagged = back.join(F.broadcast(eval_anchors), "anchor").select(
+        "doc_id", "n_tokens", "pos"
+    )
+    return _leak_report(flagged, train)
+
+
 QUERIES = {
     "dedup_exact_substr": (dedup_exact_substr, EXACT_SUBSTR_ORACLE),
     "exact_substr_cut": (exact_substr_cut, EXACT_SUBSTR_CUT_ORACLE),
     "decontaminate_substr": (decontaminate_substr, DECONTAMINATE_SUBSTR_ORACLE),
+    "substr_index_incremental": (
+        substr_index_incremental,
+        DECONTAMINATE_SUBSTR_ORACLE,
+    ),
 }

@@ -1125,6 +1125,41 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_ann_index(spark, e, path)
 
 
+def ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN index LIFECYCLE as one driver-verified query
+    (VERDICT r06 "Next round" #5 — the ANN twin of
+    ``minhash_index_compaction``): build the base vector batch
+    (``overwrite``), append a delta batch, run
+    :func:`index_compact.compact_ann_index` (per-bucket rewrite via
+    dynamic partition overwrite), then answer the same probe set. The
+    oracle is the full unpartitioned band join (``ann_index_export``
+    oracle, verbatim), so a hash-match proves **build + append +
+    compact + probe ≡ from-scratch rebuild** at the driver —
+    previously only the MinHash lifecycle had this end-to-end row
+    (the ANN compaction rested on tests/test_round5_ops.py alone).
+
+    Durability: the shared ``build_base_plus_delta`` protocol with
+    compaction INSIDE the gated lock and the ``_DELTA_APPENDED``
+    marker strictly last — a crash anywhere in
+    build/append/compact leaves a directory that fails the gate and
+    rebuilds."""
+    from psd_project_spark.operators.index_compact import (
+        build_base_plus_delta,
+        compact_ann_index,
+    )
+
+    e = _embeddings(spark, sf_dir)
+    path = _ann_index_dir(sf_dir) + "_cmp"
+    is_delta = F.col("vec_id") % 3 == 2
+    build_base_plus_delta(
+        path,
+        lambda: _write_ann_index(e.filter(~is_delta), path, "overwrite"),
+        lambda: _write_ann_index(e.filter(is_delta), path, "append"),
+        compact_fn=lambda: compact_ann_index(spark, path),
+    )
+    return _probe_ann_index(spark, e, path)
+
+
 ANN_INDEX_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
@@ -1158,6 +1193,7 @@ QUERIES = {
     "knn_cosine": (knn_cosine, KNN_ORACLE),
     "ann_index_export": (ann_index_export, ANN_INDEX_ORACLE),
     "ann_index_incremental": (ann_index_incremental, ANN_INDEX_ORACLE),
+    "ann_index_compaction": (ann_index_compaction, ANN_INDEX_ORACLE),
     "ann_lsh_cosine": (ann_lsh_cosine, ANN_ORACLE),
     "ivf_ann_cosine": (ivf_ann_cosine, IVF_ORACLE),
     "embedding_centroids": (embedding_centroids, CENTROIDS_ORACLE),

@@ -294,3 +294,97 @@ def test_decontaminate_substr_oracle_parity(spark):
     got = decontaminate_substr(spark, SF_DIR).toPandas()
     con = duck_connection(SF_DIR)
     compare_frames(got, con.execute(DECONTAMINATE_SUBSTR_ORACLE).fetchdf())
+
+
+# --- substr_index_incremental (persisted anchor index) -----------------------
+
+def test_substr_index_matches_one_shot_screen(spark):
+    """build + append + compact + pruned probe ≡ the one-shot
+    full-corpus screen — the whole point of persisting the anchor
+    table (same-oracle contract as minhash_index_incremental)."""
+    import shutil
+
+    from psd_project_spark.operators.exact_substr import (
+        _substr_index_dir,
+        decontaminate_substr,
+        substr_index_incremental,
+    )
+
+    shutil.rmtree(_substr_index_dir(SF_DIR) + "_incr", ignore_errors=True)
+    got = substr_index_incremental(spark, SF_DIR).toPandas()
+    want = decontaminate_substr(spark, SF_DIR).toPandas()
+    compare_frames(got, want)
+    assert (got.n_spans > 0).any()  # the screen genuinely fires
+
+
+def test_substr_index_reuses_gated_build(spark):
+    """Second invocation must reuse the marker-gated index (no
+    rebuild) and still produce identical results; compaction left
+    every bucket single-file."""
+    import os
+
+    from psd_project_spark.operators.exact_substr import (
+        _substr_index_dir,
+        substr_index_incremental,
+    )
+    from psd_project_spark.operators.index_compact import (
+        multi_file_buckets,
+    )
+
+    path = _substr_index_dir(SF_DIR) + "_incr"
+    assert os.path.exists(os.path.join(path, "_DELTA_APPENDED"))
+    assert multi_file_buckets(path) == []  # compaction ran
+    before = {
+        b: sorted(os.listdir(os.path.join(path, b)))
+        for b in os.listdir(path)
+        if b.startswith("bucket=")
+    }
+    again = substr_index_incremental(spark, SF_DIR).toPandas()
+    after = {
+        b: sorted(os.listdir(os.path.join(path, b)))
+        for b in os.listdir(path)
+        if b.startswith("bucket=")
+    }
+    assert before == after  # reused byte-identical, not rebuilt
+    con = duck_connection(SF_DIR)
+    from psd_project_spark.operators.exact_substr import (
+        DECONTAMINATE_SUBSTR_ORACLE,
+    )
+
+    compare_frames(again, con.execute(DECONTAMINATE_SUBSTR_ORACLE).fetchdf())
+
+
+def test_substr_index_crash_between_batches_rebuilds(spark):
+    """A crash between base and delta leaves a dir that fails the
+    marker gate — the next run rebuilds instead of serving a
+    base-only index (the build_base_plus_delta contract applied to
+    the anchor index)."""
+    import os
+    import shutil
+
+    from psd_project_spark.operators.exact_substr import (
+        DECONTAMINATE_SUBSTR_ORACLE,
+        _substr_index_dir,
+        _write_substr_index,
+        _anchor_positions,
+    )
+    from psd_project_spark.operators import exact_substr as xs
+    from psd_project_spark.sources.registry import load_table
+
+    path = _substr_index_dir(SF_DIR) + "_incr"
+    shutil.rmtree(path, ignore_errors=True)
+    # simulate: base batch committed, then crash (no delta, no marker)
+    docs = load_table(spark, SF_DIR, "documents")
+    anchors = _anchor_positions(docs)
+    from pyspark.sql import functions as SF
+
+    is_eval = SF.col("doc_id") % 50 == 0
+    is_delta = SF.col("doc_id") % 3 == 2
+    _write_substr_index(
+        anchors.filter(~is_eval & ~is_delta), path, "overwrite"
+    )
+    assert not os.path.exists(os.path.join(path, "_DELTA_APPENDED"))
+    got = xs.substr_index_incremental(spark, SF_DIR).toPandas()
+    assert os.path.exists(os.path.join(path, "_DELTA_APPENDED"))
+    con = duck_connection(SF_DIR)
+    compare_frames(got, con.execute(DECONTAMINATE_SUBSTR_ORACLE).fetchdf())

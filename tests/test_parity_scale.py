@@ -71,6 +71,13 @@ ADAPTIVE = [
     "minhash_index_compaction",
     "dyadic_quantile_rollup",
     "stream_value_quantiles_sink",
+    # round 7: anchor-index bucket/file layout and probe-bucket volume
+    # grow with the corpus; the classifier trains on
+    # distribution-dependent features
+    "substr_index_incremental",
+    "ann_index_compaction",
+    "quality_classifier_train",
+    "quality_classifier_score",
 ]
 
 

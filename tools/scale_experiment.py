@@ -77,6 +77,14 @@ QUERIES = [
     "dyadic_quantile_rollup",
     "stream_value_quantiles_sink",
     "decontaminate_substr",
+    # round-7: the persisted anchor index (build+append+compact+probe
+    # lifecycle at 10x corpus — and under exact replication every
+    # probe anchor hits, the adversarial probe maximum), the ANN
+    # compaction lifecycle, and the classifier (5 agg passes + a
+    # scoring projection over 10x features)
+    "substr_index_incremental",
+    "ann_index_compaction",
+    "quality_classifier_score",
 ]
 
 
