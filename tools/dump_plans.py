@@ -134,12 +134,34 @@ SHOWCASE = [
     ),
     (
         "dedup_exact_substr",
-        "ExactSubstr: the anchor table never joins itself — duplicated "
-        "positions come from ONE count window keyed on the anchor "
-        "string (a hot boilerplate anchor costs a wide count, never a "
-        "quadratic pair join), then the islands stage windows on "
-        "doc_id over the collapsed duplicated rows only; both "
-        "exchanges are data-sized at most, all expressions codegen.",
+        "ExactSubstr with the round-7 hot-anchor guard: the anchor "
+        "table never joins itself — the duplicated-anchor set is a "
+        "map-side-combinable groupBy(anchor).count() (partial "
+        "aggregation: the count exchange moves one row per (anchor, "
+        "map task), never the data) equi-joined back, which AQE "
+        "skew-join can split per hot key (a window partition could "
+        "not be); the islands stage windows on doc_id over the "
+        "collapsed duplicated rows only; all expressions codegen.",
+    ),
+    (
+        "substr_index_incremental",
+        "The persisted anchor index probe: the scan subtree reads "
+        "ONLY the manifest-intersected bucket=N partition dirs of the "
+        "bucket-partitioned anchor index (probe cost tracks the eval "
+        "batch, not the corpus), the tiny distinct eval-anchor set "
+        "broadcasts into the hit join, and the islands/rollup stages "
+        "run on contaminated rows only — identical shape to "
+        "decontaminate_substr from the join down (shared "
+        "_leak_report), which is why the same oracle hash-matches.",
+    ),
+    (
+        "quality_classifier_score",
+        "Classifier apply: ONE stateless projection over the cached "
+        "feature frame — z/p are pure codegen arithmetic with the "
+        "learned weights inlined as literals (O(d) driver model "
+        "state, the k-means codebook discipline); no shuffle, no "
+        "Python, no join. Training iterations (not shown) are each "
+        "one map-side-combined aggregate over the same frame.",
     ),
     (
         "pack_sequences",
