@@ -246,20 +246,26 @@ def exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB a cached token corpus would spill executor storage while
     re-scans stay embarrassingly parallel (the repo-wide
     measure-before-merging-scans rule)."""
-    k = EXACT_SUBSTR_K
     docs = spread_small(load_table(spark, sf_dir, "documents"), spark)
+    return _apply_cut(docs, _dup_islands(_anchor_positions(docs)))
+
+
+def _apply_cut(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Shared apply stage: remove every ``(span_start, span_end)``
+    token range from ``docs`` and reassemble the survivors — used by
+    the corpus-internal cut (:func:`exact_substr_cut`) and the
+    eval-leakage cut (:func:`decontaminate_cut`), so the two paths can
+    only differ in WHICH spans they computed, never in how a cut is
+    applied. Span explode → anti-join on ``(doc_id, pos)`` →
+    order-pinned sorted-collect reassembly; docs cut to nothing keep
+    an empty string (never dropped — downstream curation decides)."""
     toks = docs.select(
         "doc_id",
         F.posexplode(F.expr(T.tokens_expr())).alias("pos0", "tok"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    covered = (
-        _dup_islands(_anchor_positions(docs))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr("sequence(span_start, span_end)")
-            ).alias("pos"),
-        )
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.expr("sequence(span_start, span_end)")).alias("pos"),
     )
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
@@ -369,14 +375,17 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY doc_id
 """
 
-#: Bit-exact DuckDB oracle for the cut: covered positions from the
-#: span table, anti-join against token positions, order-pinned
-#: reassembly (string_agg ORDER BY pos ≡ Spark's sorted collect).
-EXACT_SUBSTR_CUT_ORACLE = f"""
-WITH {_SPAN_CTES}, covered AS (
+def _cut_sql(spans_cte: str, doc_where: str = "") -> str:
+    """SQL mirror of :func:`_apply_cut` over any maximal-span CTE
+    exposing ``(doc_id, span_start, span_end)`` — covered positions,
+    anti-join against token positions, order-pinned reassembly
+    (``string_agg ORDER BY pos`` ≡ Spark's sorted collect). One
+    definition serves the corpus-internal and eval-leakage cut
+    oracles; ``doc_where`` restricts the emitted corpus."""
+    return f""", covered AS (
   SELECT DISTINCT doc_id,
          unnest(generate_series(span_start, span_end)) AS pos
-  FROM spans
+  FROM {spans_cte}
 ), toks AS (
   SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
   FROM t
@@ -396,8 +405,13 @@ SELECT d.doc_id,
        CAST(len({T.tokens_sql()}) - coalesce(r.n_tokens_kept, 0) AS BIGINT)
          AS n_tokens_cut
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+{doc_where}
 ORDER BY doc_id
 """
+
+
+#: Bit-exact DuckDB oracle for the corpus-internal cut.
+EXACT_SUBSTR_CUT_ORACLE = f"WITH {_SPAN_CTES}{_cut_sql('spans')}"
 
 
 def decontaminate_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,23 +487,30 @@ def _leak_report(flagged: DataFrame, train: DataFrame) -> DataFrame:
     )
 
 
-#: Bit-exact DuckDB oracle: eval anchor set, train anchors hit-joined,
-#: the same gaps-and-islands windows, per-doc rollup with zeros.
-#: ``leak_frac`` uses the cross-engine decimal-space rounding recipe.
-DECONTAMINATE_SUBSTR_ORACLE = f"""
-WITH {_ANCHOR_CTES}, ev AS (
+#: Shared CTE chain of the decontamination oracles: anchor table,
+#: distinct eval-anchor set, hit-joined train positions, and the
+#: gaps-and-islands maximal leak spans.
+_LEAK_CTES = f"""{_ANCHOR_CTES}, ev AS (
   SELECT DISTINCT anchor FROM anch WHERE doc_id % 50 = 0
 ), hit AS (
   SELECT a.doc_id, a.n_tokens, a.pos
   FROM anch a JOIN ev USING (anchor)
   WHERE a.doc_id % 50 <> 0
-), {_island_ctes("hit", "hspans")}, per_doc AS (
+), {_island_ctes("hit", "hspans")}"""
+
+def _leak_rollup_sql(spans_cte: str, doc_where: str) -> str:
+    """SQL mirror of :func:`_leak_report` over any maximal-span CTE —
+    per-doc rollup with zeros, ``leak_frac`` via the cross-engine
+    decimal-space rounding recipe. One definition serves the
+    decontamination screen and the streaming crawl screen (they differ
+    only in which split is screened against which anchor set)."""
+    return f""", per_doc AS (
   SELECT doc_id,
          sum(n_anchors) AS n_leak_anchors,
          count(*) AS n_spans,
          sum(span_end - span_start + 1) AS leaked_tokens,
          max(span_end - span_start + 1) AS max_span_tokens
-  FROM hspans GROUP BY 1
+  FROM {spans_cte} GROUP BY 1
 )
 SELECT d.doc_id,
        CAST(len({T.tokens_sql()}) AS BIGINT) AS n_tokens,
@@ -501,9 +522,55 @@ SELECT d.doc_id,
          coalesce(p.leaked_tokens, 0) / CAST(len({T.tokens_sql()}) AS DOUBLE)
        AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS leak_frac
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
-WHERE d.doc_id % 50 <> 0
+{doc_where}
 ORDER BY doc_id
 """
+
+
+#: Bit-exact DuckDB oracle: eval anchor set, train anchors hit-joined,
+#: the same gaps-and-islands windows, per-doc rollup with zeros.
+DECONTAMINATE_SUBSTR_ORACLE = (
+    f"WITH {_LEAK_CTES}"
+    f"{_leak_rollup_sql('hspans', 'WHERE d.doc_id % 50 <> 0')}"
+)
+
+
+def decontaminate_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the decontamination screen: emit the training corpus with
+    every eval-leaked span (the maximal regions
+    :func:`decontaminate_substr` reports) removed — the GPT-3/PaLM
+    "remove the overlapping spans, keep the rest of the document"
+    remediation step (Brown et al. 2020 appendix C — public
+    knowledge), as opposed to dropping whole contaminated documents.
+    One row per TRAINING doc: surviving text plus before/after token
+    counts, so the removed mass is auditable against the screen's
+    ``leaked_tokens``.
+
+    Plan shape: the span side is :func:`decontaminate_substr`'s —
+    broadcast eval-anchor join, islands on contaminated rows only (the
+    corpus crosses ZERO exchanges before the collapsed islands stage);
+    the apply side is the shared :func:`_apply_cut` anti-join +
+    reassembly. At 100 TB both halves keep their screen/cut scale
+    stories unchanged — this operator is exactly their composition,
+    with no machinery of its own."""
+    docs = spread_small(load_table(spark, sf_dir, "documents"), spark)
+    anchors = _anchor_positions(docs)
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_anchors = anchors.filter(is_eval).select("anchor").distinct()
+    flagged = (
+        anchors.filter(~is_eval)
+        .join(F.broadcast(eval_anchors), "anchor")
+        .select("doc_id", "n_tokens", "pos")
+    )
+    return _apply_cut(docs.filter(~is_eval), _islands(flagged))
+
+
+#: Bit-exact DuckDB oracle: the decontamination leak spans composed
+#: with the shared cut chain, restricted to the training split.
+DECONTAMINATE_CUT_ORACLE = (
+    f"WITH {_LEAK_CTES}"
+    f"{_cut_sql('hspans', 'WHERE d.doc_id % 50 <> 0')}"
+)
 
 
 # --- substr_index_incremental (persisted anchor index + pruned probe) -------
@@ -555,6 +622,39 @@ def _write_substr_index(anchors: DataFrame, path: str, mode: str) -> None:
     )
 
 
+def _ensure_substr_index(
+    spark: SparkSession, sf_dir: str, anchors: DataFrame
+) -> str:
+    """Build (or reuse) the standing-corpus anchor index for
+    ``sf_dir``: TRAIN (non-eval) anchors, base batch ``doc_id % 3 !=
+    2`` + delta batch appended, then per-bucket compaction — all under
+    the shared ``build_base_plus_delta`` lifecycle protocol (writer
+    lock, manifest, marker strictly last). Shared by the batch probe
+    (:func:`substr_index_incremental`) and the streaming crawl screen
+    (:func:`stream_crawl_screen`); returns the index path."""
+    from psd_project_spark.operators.index_compact import (
+        build_base_plus_delta,
+        compact_index,
+    )
+
+    is_eval = F.col("doc_id") % 50 == 0
+    is_delta = F.col("doc_id") % 3 == 2
+    path = _substr_index_dir(sf_dir) + "_incr"
+    build_base_plus_delta(
+        path,
+        lambda: _write_substr_index(
+            anchors.filter(~is_eval & ~is_delta), path, "overwrite"
+        ),
+        lambda: _write_substr_index(
+            anchors.filter(~is_eval & is_delta), path, "append"
+        ),
+        compact_fn=lambda: compact_index(
+            spark, path, ["bucket"], _SUBSTR_INDEX_SCHEMA
+        ),
+    )
+    return path
+
+
 def substr_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production shape of the substring decontamination screen
     (VERDICT r06 "Next round" #1): the TRAINING corpus anchor table as
@@ -582,29 +682,12 @@ def substr_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``SUBSTR_INDEX_BUCKETS`` partitions, so probe cost tracks the
     PROBE batch, not the corpus. The anchor strings are stored
     verbatim (the exact-match key itself — no collision surface)."""
-    from psd_project_spark.operators.index_compact import (
-        build_base_plus_delta,
-        compact_index,
-        list_partitions,
-    )
+    from psd_project_spark.operators.index_compact import list_partitions
 
     docs = spread_small(load_table(spark, sf_dir, "documents"), spark)
     anchors = _anchor_positions(docs)
     is_eval = F.col("doc_id") % 50 == 0
-    is_delta = F.col("doc_id") % 3 == 2
-    path = _substr_index_dir(sf_dir) + "_incr"
-    build_base_plus_delta(
-        path,
-        lambda: _write_substr_index(
-            anchors.filter(~is_eval & ~is_delta), path, "overwrite"
-        ),
-        lambda: _write_substr_index(
-            anchors.filter(~is_eval & is_delta), path, "append"
-        ),
-        compact_fn=lambda: compact_index(
-            spark, path, ["bucket"], _SUBSTR_INDEX_SCHEMA
-        ),
-    )
+    path = _ensure_substr_index(spark, sf_dir, anchors)
     eval_anchors = anchors.filter(is_eval).select("anchor").distinct()
     probe_buckets = sorted(
         {
@@ -640,12 +723,140 @@ def substr_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _leak_report(flagged, train)
 
 
+# --- stream_crawl_screen (streaming probe of the persisted index) -----------
+
+
+def stream_crawl_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-crawl screening as a STREAM against the persisted
+    standing-corpus anchor index: eval-split documents (the "arriving
+    crawl") come in as a file stream, and every micro-batch probes the
+    index for verbatim k-gram overlap, emitting a per-arriving-doc
+    span report — the mirror of :func:`decontaminate_substr` (there:
+    which TRAIN docs leak the eval set; here: which ARRIVING docs
+    duplicate the corpus — the "is this crawl content novel?" gate an
+    ingest pipeline runs before accepting data).
+
+    Per micro-batch (``foreachBatch``): the batch's anchors are
+    computed batch-locally (docs are rows, never split across
+    batches, so per-doc islands are complete within a batch); the
+    batch's distinct anchor BUCKETS (≤ ``SUBSTR_INDEX_BUCKETS``,
+    collected driver-side) intersect the ``_PARTITIONS`` manifest and
+    only those index dirs are read; hits come back as a
+    distinct-anchor set ≤ the batch's own anchor set, so BOTH joins
+    broadcast — the index scan gets a broadcast-hash probe and the
+    corpus crosses zero exchanges, the ``decontaminate_substr``
+    discipline applied per epoch. Epoch outputs land in the idempotent
+    ``batch_id=N`` append-sink layout (a replayed epoch overwrites its
+    own directory — the ``run_foreachbatch_append`` contract).
+
+    Because each arriving doc lives in exactly one epoch and the
+    report is per-doc, the UNION of epoch outputs must equal the
+    one-shot batch mirror screen — the oracle proves build + manifest
+    + per-epoch pruned probes + epoch-sink reassembly end-to-end. At
+    100 TB: the index amortizes across the crawl's lifetime; per-epoch
+    cost tracks the EPOCH's doc volume, never the corpus."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.operators.index_compact import list_partitions
+    from psd_project_spark.streaming.foreach_sink import _run
+    from psd_project_spark.streaming.jobs import _stream_dir
+
+    docs = spread_small(load_table(spark, sf_dir, "documents"), spark)
+    path = _ensure_substr_index(spark, sf_dir, _anchor_positions(docs))
+    present = list_partitions(path)
+
+    d = _stream_dir(sf_dir, "documents")
+    schema = spark.read.parquet(d).schema
+    is_eval = F.col("doc_id") % 50 == 0
+    arriving = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .filter(is_eval)
+        .select("doc_id", "text")
+    )
+    out = scratch_dir("crawl_screen_out")
+    ckpt = scratch_dir("crawl_screen_ckpt")
+    _run(arriving, _screen_batch_fn(path, present, out), ckpt,
+         state_partitions=None)
+    return (
+        spark.read.parquet(out)
+        .drop("batch_id")
+        .orderBy("doc_id")
+    )
+
+
+def _screen_batch_fn(path: str, present: set, out: str):
+    """The per-epoch probe as a ``foreachBatch`` callable (factored so
+    tests can drive a multi-file stream through the identical code the
+    registry query runs)."""
+
+    def screen_batch(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        anchors_b = _anchor_positions(batch)
+        roster = batch.select(
+            "doc_id", F.size(F.expr(T.tokens_expr())).alias("n_tokens")
+        )
+        probe = sorted(
+            {
+                int(r["bucket"])
+                for r in _with_anchor_bucket(
+                    anchors_b.select("anchor").distinct()
+                )
+                .select("bucket")
+                .distinct()
+                .collect()
+            }
+        )
+        dirs = [
+            f"{path}/bucket={b}" for b in probe if f"bucket={b}" in present
+        ]
+        if dirs:
+            batch_set = anchors_b.select("anchor").distinct()
+            hits = (
+                ss.read.option("basePath", path)
+                .schema(_SUBSTR_INDEX_SCHEMA)
+                .parquet(*dirs)
+                .join(F.broadcast(batch_set), "anchor")
+                .select("anchor")
+                .distinct()
+            )
+            flagged = anchors_b.join(F.broadcast(hits), "anchor").select(
+                "doc_id", "n_tokens", "pos"
+            )
+        else:
+            flagged = ss.createDataFrame(
+                [], "doc_id long, n_tokens int, pos int"
+            )
+        _leak_report(flagged, roster).write.mode("overwrite").parquet(
+            f"{out}/batch_id={batch_id}"
+        )
+
+    return screen_batch
+
+
+#: Bit-exact DuckDB oracle — the one-shot MIRROR screen: arriving
+#: (eval) docs' anchors hit-joined against the distinct TRAIN anchor
+#: set, islands, per-doc rollup. A hash-match proves the streaming
+#: path (index build + manifest-pruned per-epoch probes + idempotent
+#: epoch sink) computed exactly this.
+STREAM_CRAWL_SCREEN_ORACLE = f"""WITH {_ANCHOR_CTES}, tr AS (
+  SELECT DISTINCT anchor FROM anch WHERE doc_id % 50 <> 0
+), chit AS (
+  SELECT a.doc_id, a.n_tokens, a.pos
+  FROM anch a JOIN tr USING (anchor)
+  WHERE a.doc_id % 50 = 0
+), {_island_ctes("chit", "cspans")}{_leak_rollup_sql(
+    "cspans", "WHERE d.doc_id % 50 = 0"
+)}"""
+
+
 QUERIES = {
     "dedup_exact_substr": (dedup_exact_substr, EXACT_SUBSTR_ORACLE),
     "exact_substr_cut": (exact_substr_cut, EXACT_SUBSTR_CUT_ORACLE),
     "decontaminate_substr": (decontaminate_substr, DECONTAMINATE_SUBSTR_ORACLE),
+    "decontaminate_cut": (decontaminate_cut, DECONTAMINATE_CUT_ORACLE),
     "substr_index_incremental": (
         substr_index_incremental,
         DECONTAMINATE_SUBSTR_ORACLE,
     ),
+    "stream_crawl_screen": (stream_crawl_screen, STREAM_CRAWL_SCREEN_ORACLE),
 }

@@ -33,8 +33,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # bench drifters the r06 judge ordered closed (table_profile,
 # dedup_ngram_jaccard; events_jsonl_source rides along), the
 # classifier's feature dependency chain (quality_features, doc_stats),
-# and three text-tier rows (pack_sequences — displaced in r6 — plus
-# dsir_weights, bpe_encode_stats). Outside the window: queries in
+# and pack_sequences (displaced in r6). The mid-round additions
+# decontaminate_cut + stream_crawl_screen took the dsir_weights /
+# bpe_encode_stats spare slots (both pure re-verifications of files
+# untouched since their green rows). Outside the window: queries in
 # files untouched since their last green row. NO queue: every
 # registry query holds or re-earns a current-bytes driver row
 # (tests/test_registry_order.py).
@@ -44,6 +46,8 @@ _PRIORITY = (
     "ann_index_compaction",
     "quality_classifier_train",
     "quality_classifier_score",
+    "decontaminate_cut",
+    "stream_crawl_screen",
     # -- operators/exact_substr.py (module changed in r7) --------------
     "dedup_exact_substr",
     "exact_substr_cut",
@@ -97,8 +101,6 @@ _PRIORITY = (
     "quality_features",
     "doc_stats",
     "pack_sequences",
-    "dsir_weights",
-    "bpe_encode_stats",
 )
 
 _MODULES = (

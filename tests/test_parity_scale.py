@@ -78,6 +78,10 @@ ADAPTIVE = [
     "ann_index_compaction",
     "quality_classifier_train",
     "quality_classifier_score",
+    # round 7 mid-round: the cut's covered-position volume and the
+    # crawl screen's epoch/probe structure grow with the corpus
+    "decontaminate_cut",
+    "stream_crawl_screen",
 ]
 
 

@@ -27,6 +27,8 @@ R7_NEW = {
     "ann_index_compaction",
     "quality_classifier_train",
     "quality_classifier_score",
+    "decontaminate_cut",
+    "stream_crawl_screen",
 }
 
 #: Operator modules whose source functionally changed in round 7 —
