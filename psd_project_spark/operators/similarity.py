@@ -949,6 +949,15 @@ def ann_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs first, dedupes across bands, THEN fetches vectors (the
     `_minhash_pairs` shape)."""
     e = _embeddings(spark, sf_dir)
+    path = _ensure_ann_index(sf_dir, e)
+    return _probe_ann_index(spark, e, path)
+
+
+def _ensure_ann_index(sf_dir: str, e: DataFrame) -> str:
+    """Build (or reuse) the one-shot full-corpus ANN index for
+    ``sf_dir`` under the writer lock; shared by the batch probe
+    (:func:`ann_index_export`) and the streaming search
+    (:func:`stream_ann_search`). Returns the index path."""
     path = _ann_index_dir(sf_dir)
     import os
 
@@ -963,7 +972,7 @@ def ann_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         with single_writer(path):
             _write_ann_index(e, path, "overwrite")
             write_partition_manifest(path)
-    return _probe_ann_index(spark, e, path)
+    return path
 
 
 def _write_ann_index(vecs: DataFrame, path: str, mode: str) -> None:
@@ -1004,9 +1013,6 @@ def _probe_ann_index(
     """Answer the model-state probe set against a persisted ANN index:
     literal-partition-pruned bucket read → band-key join → cosine
     top-k. Shared by the one-shot and incremental builders."""
-    import os
-    from functools import reduce
-
     # The probe set is model state (N_QUERIES rows): its band keys are
     # computed once driver-side so the read-back filter is LITERAL
     # equality on the partition columns — prunable at file listing,
@@ -1016,6 +1022,18 @@ def _probe_ann_index(
         .select("vec_id", "_v", _pair_sig_udf(F.col("_v")).alias("sig"))
         .collect()
     )
+    return _probe_with_sigs(spark, e, path, qsig)
+
+
+def _probe_with_sigs(
+    spark: SparkSession, e: DataFrame, path: str, qsig: list
+) -> DataFrame:
+    """The probe body over an already-collected ``(vec_id, _v, sig)``
+    query set — factored so the streaming search can probe per
+    micro-batch with the batch's own queries through the identical
+    pruning/join/top-k code."""
+    from functools import reduce
+
     probes = [
         (
             int(r["vec_id"]),
@@ -1160,6 +1178,69 @@ def ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_ann_index(spark, e, path)
 
 
+def stream_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online vector search as a STREAM over the persisted ANN index:
+    query vectors arrive as a file stream and every micro-batch
+    answers its own queries with a literal-partition-pruned probe —
+    the "ANN serving" shape (a recommendation/RAG ingest loop
+    querying a standing vector index), the embedding twin of
+    :func:`~psd_project_spark.operators.exact_substr.stream_crawl_screen`.
+
+    Per micro-batch (``foreachBatch``): the batch's signatures are
+    computed batch-locally and collected (the batch IS the query set —
+    bounded per epoch by construction), its band keys name the only
+    bucket directories read (manifest-intersected — probe cost tracks
+    the EPOCH's query count, never the index), and candidates run the
+    shared :func:`_probe_with_sigs` dedup → vector-fetch → cosine
+    top-k. Epoch outputs land in the idempotent ``batch_id=N`` sink
+    layout. A query's candidates all arise in its own epoch, so the
+    union of epochs must equal the one-shot probe — the oracle is the
+    full unpartitioned band join (``ANN_INDEX_ORACLE`` verbatim), so
+    the hash match proves index build + manifest pruning + per-epoch
+    probes + epoch-sink reassembly end-to-end."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.streaming.foreach_sink import _run
+    from psd_project_spark.streaming.jobs import _stream_dir
+
+    e = _embeddings(spark, sf_dir)
+    path = _ensure_ann_index(sf_dir, e)
+    d = _stream_dir(sf_dir, "embeddings")
+    schema = spark.read.parquet(d).schema
+    arriving = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.expr(V.to_double_expr()).alias("_v"))
+    )
+    out = scratch_dir("ann_search_out")
+    ckpt = scratch_dir("ann_search_ckpt")
+    _run(arriving, _search_batch_fn(e, path, out), ckpt,
+         state_partitions=None)
+    return (
+        spark.read.parquet(out)
+        .drop("batch_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _search_batch_fn(e: DataFrame, path: str, out: str):
+    """The per-epoch ANN probe as a ``foreachBatch`` callable
+    (factored so tests can drive a multi-file query stream through the
+    identical code the registry query runs)."""
+
+    def search_batch(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        qsig = (
+            batch.select(
+                "vec_id", "_v", _pair_sig_udf(F.col("_v")).alias("sig")
+            ).collect()
+        )
+        res = _probe_with_sigs(ss, e, path, qsig)
+        res.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    return search_batch
+
+
 ANN_INDEX_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
@@ -1194,6 +1275,7 @@ QUERIES = {
     "ann_index_export": (ann_index_export, ANN_INDEX_ORACLE),
     "ann_index_incremental": (ann_index_incremental, ANN_INDEX_ORACLE),
     "ann_index_compaction": (ann_index_compaction, ANN_INDEX_ORACLE),
+    "stream_ann_search": (stream_ann_search, ANN_INDEX_ORACLE),
     "ann_lsh_cosine": (ann_lsh_cosine, ANN_ORACLE),
     "ivf_ann_cosine": (ivf_ann_cosine, IVF_ORACLE),
     "embedding_centroids": (embedding_centroids, CENTROIDS_ORACLE),

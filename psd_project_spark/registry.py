@@ -34,9 +34,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # dedup_ngram_jaccard; events_jsonl_source rides along), the
 # classifier's feature dependency chain (quality_features, doc_stats),
 # and pack_sequences (displaced in r6). The mid-round additions
-# decontaminate_cut + stream_crawl_screen took the dsir_weights /
-# bpe_encode_stats spare slots (both pure re-verifications of files
-# untouched since their green rows). Outside the window: queries in
+# decontaminate_cut + stream_crawl_screen + stream_ann_search took the
+# dsir_weights / bpe_encode_stats / measures_window_np spare slots
+# (all pure re-verifications of files untouched since their r06-or-
+# earlier green rows). Outside the window: queries in
 # files untouched since their last green row. NO queue: every
 # registry query holds or re-earns a current-bytes driver row
 # (tests/test_registry_order.py).
@@ -48,6 +49,7 @@ _PRIORITY = (
     "quality_classifier_score",
     "decontaminate_cut",
     "stream_crawl_screen",
+    "stream_ann_search",
     # -- operators/exact_substr.py (module changed in r7) --------------
     "dedup_exact_substr",
     "exact_substr_cut",
@@ -82,7 +84,6 @@ _PRIORITY = (
     "alert_counts",
     "value_histogram",
     "portfolio_projection",
-    "measures_window_np",
     "psd_samples_source",
     "alert_log_roundtrip",
     # -- spares: streaming battery (shares jobs.py/foreach_sink paths) -

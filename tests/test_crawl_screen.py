@@ -1,6 +1,7 @@
-"""Round-7 additions to the ExactSubstr family: the decontamination
-CUT (apply stage) and the streaming crawl screen (per-epoch probe of
-the persisted anchor index). Oracle parity plus the properties the
+"""Round-7 mid-round additions: the decontamination CUT (apply
+stage), the streaming crawl screen (per-epoch probe of the persisted
+anchor index), and the streaming ANN search (per-epoch probe of the
+persisted vector index). Oracle parity plus the properties the
 oracles can't see: cut/screen mass consistency, multi-epoch union
 equivalence, and epoch replay idempotency.
 """
@@ -228,3 +229,73 @@ def test_screen_batch_replay_idempotent(spark, tmp_path):
     fn(batch, 0)  # replay
     got = spark.read.parquet(out)
     assert got.count() == 1
+
+
+# --- stream_ann_search -------------------------------------------------------
+
+
+def test_stream_ann_search_oracle_parity(spark):
+    from psd_project_spark.operators.similarity import (
+        ANN_INDEX_ORACLE,
+        stream_ann_search,
+    )
+
+    got = stream_ann_search(spark, SF_DIR).toPandas()
+    want = duck_connection(SF_DIR).execute(ANN_INDEX_ORACLE).fetchdf()
+    compare_frames(got, want)
+
+
+def test_stream_ann_search_multi_epoch(spark, tmp_path):
+    """Queries split across three files → three epochs through the
+    IDENTICAL foreachBatch callable; the union of epoch outputs equals
+    the one-shot batch probe of the same index."""
+    from psd_project_spark.operators.similarity import (
+        N_QUERIES,
+        _embeddings,
+        _ensure_ann_index,
+        _probe_ann_index,
+        _search_batch_fn,
+    )
+    from psd_project_spark.streaming.foreach_sink import _run
+
+    e = _embeddings(spark, SF_DIR)
+    path = _ensure_ann_index(SF_DIR, e)
+
+    src = str(tmp_path / "queries")
+    qrows = e.filter(f"vec_id < {N_QUERIES}").select("vec_id", "_v").collect()
+    assert len(qrows) == N_QUERIES
+    for i, r in enumerate(qrows[:3]):
+        chunk = [
+            (int(x["vec_id"]), list(map(float, x["_v"])))
+            for x in ([r] if i < 2 else qrows[2:])
+        ]
+        spark.createDataFrame(
+            chunk, "vec_id long, _v array<double>"
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+    out = str(tmp_path / "ann_out")
+    ckpt = str(tmp_path / "ckpt")
+    arriving = (
+        spark.readStream.schema("vec_id long, _v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    _run(arriving, _search_batch_fn(e, path, out), ckpt,
+         state_partitions=None)
+    got = (
+        spark.read.parquet(out)
+        .drop("batch_id")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (
+        len(spark.read.parquet(out).select("batch_id").distinct().collect())
+        == 3
+    )
+    want = (
+        _probe_ann_index(spark, e, path)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -79,9 +79,10 @@ ADAPTIVE = [
     "quality_classifier_train",
     "quality_classifier_score",
     # round 7 mid-round: the cut's covered-position volume and the
-    # crawl screen's epoch/probe structure grow with the corpus
+    # streaming probes' epoch/bucket structure grow with the corpus
     "decontaminate_cut",
     "stream_crawl_screen",
+    "stream_ann_search",
 ]
 
 

@@ -29,6 +29,7 @@ R7_NEW = {
     "quality_classifier_score",
     "decontaminate_cut",
     "stream_crawl_screen",
+    "stream_ann_search",
 }
 
 #: Operator modules whose source functionally changed in round 7 —

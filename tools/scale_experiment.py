@@ -83,6 +83,11 @@ QUERIES = [
     # compaction lifecycle, and the classifier (5 agg passes + a
     # scoring projection over 10x features)
     "substr_index_incremental",
+    # round-7 mid-round: the decontamination APPLY stage (covered-
+    # position volume grows with leak mass) and the streaming crawl
+    # screen (per-epoch pruned index probes at 10x corpus)
+    "decontaminate_cut",
+    "stream_crawl_screen",
     "ann_index_compaction",
     "quality_classifier_score",
 ]
