@@ -81,9 +81,13 @@ LR = 4.0
 
 
 def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, x1..x9, y) — doubles already bit-exact vs the
-    ``quality_features`` oracle, so the training inputs are identical
-    on both engines. Label: the heuristic curation rule."""
+    """(doc_id, x1..x9, y, n_tokens) — doubles already bit-exact vs
+    the ``quality_features`` oracle, so the training inputs are
+    identical on both engines. Label: the heuristic curation rule.
+    ``n_tokens`` rides along (integer, untouched by the feature
+    scaling) for consumers that weight decisions by token mass
+    (:func:`domain_mixture_weights`); the training aggregation never
+    reads it."""
     from psd_project_spark.operators.text_analysis import MIN_QUALITY
     from psd_project_spark.operators.text_curation import quality_features
 
@@ -97,7 +101,7 @@ def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("y")
     )
-    return qf.select("doc_id", *cols, y)
+    return qf.select("doc_id", *cols, y, "n_tokens")
 
 
 def _z_col(w: list[float], b: float) -> Column:
@@ -218,7 +222,8 @@ def _feat_cte() -> str:
   SELECT doc_id,
          {cols},
          CASE WHEN quality_score >= CAST({MIN_QUALITY} AS DOUBLE)
-              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+         n_tokens
   FROM qf
 )"""
 
@@ -293,7 +298,237 @@ ORDER BY doc_id
 """
 
 
+# --- stream_quality_score (online scoring over the offline store) ------------
+
+#: Hash buckets for the feature store's partition layout. A pruning
+#: layer only (the doc_id equi-join decides every hit), like
+#: SUBSTR_INDEX_BUCKETS.
+FEATURE_STORE_BUCKETS = 32
+
+_STORE_SCHEMA = (
+    "doc_id long, "
+    + ", ".join(f"{name} double" for name, _ in FEATURES)
+    + ", y double, n_tokens int, bucket int"
+)
+
+
+def stream_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring at INGEST time — the online half of the
+    offline/online split every production quality filter runs: the
+    expensive corpus-dependent featurization (``quality_features``:
+    corpus-frequency LM, cross-document boilerplate model) is computed
+    ONCE batch-side and persisted as a doc-keyed FEATURE STORE; the
+    classifier trains once batch-side (same deterministic schedule as
+    ``quality_classifier_train``, weights frozen as O(d) literals);
+    then arriving documents stream through and every micro-batch scores
+    its own docs with one pruned store lookup + the frozen linear head.
+
+    Per micro-batch (``foreachBatch``): the batch's doc_ids are hashed
+    to store buckets, the probed bucket set intersects the
+    ``_PARTITIONS`` manifest (ONE small-file read), only those
+    partition dirs are scanned, and the batch side broadcasts into the
+    lookup join — the ``stream_crawl_screen`` pruning discipline with a
+    feature store in place of the anchor index. Scoring is the same
+    stateless literal-weight projection as
+    ``quality_classifier_score``. Epoch outputs land in the idempotent
+    ``batch_id=N`` sink layout.
+
+    Every arriving doc lives in exactly one epoch and holds one store
+    row, so the union of epoch outputs must equal the one-shot batch
+    score — the oracle is ``quality_classifier_score``'s VERBATIM,
+    proving store write + manifest + per-epoch pruned lookups + frozen
+    weights + epoch-sink reassembly ≡ batch train-and-score. At
+    100 TB: featurization cost amortizes across the ingest stream's
+    lifetime; per-epoch cost tracks the EPOCH's doc count (its bucket
+    subset of the store), never the corpus."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.operators.index_compact import (
+        list_partitions,
+        write_partition_manifest,
+    )
+    from psd_project_spark.streaming.foreach_sink import _run
+    from psd_project_spark.streaming.jobs import _stream_dir
+
+    feat = transient_cache(_feature_frame(spark, sf_dir))
+    w, b, _report = _train(feat)
+    store = scratch_dir("psd_qcls_store_")
+    (
+        feat.withColumn(
+            "bucket",
+            F.pmod(
+                F.xxhash64("doc_id"), F.lit(FEATURE_STORE_BUCKETS)
+            ).cast("int"),
+        )
+        .repartition(8, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(store)
+    )
+    write_partition_manifest(store)
+    present = list_partitions(store)
+
+    d = _stream_dir(sf_dir, "documents")
+    schema = spark.read.parquet(d).schema
+    arriving = spark.readStream.schema(schema).parquet(d).select("doc_id")
+    out = scratch_dir("psd_qcls_out_")
+    ckpt = scratch_dir("psd_qcls_ckpt_")
+    _run(arriving, _score_store_batch_fn(store, present, w, b, out), ckpt,
+         state_partitions=None)
+    return (
+        spark.read.parquet(out)
+        .drop("batch_id")
+        .orderBy("doc_id")
+    )
+
+
+def _score_store_batch_fn(
+    store: str, present: set, w: list[float], b: float, out: str
+):
+    """The per-epoch store lookup + frozen-head scoring as a
+    ``foreachBatch`` callable (factored so tests can drive a
+    multi-file doc stream through the identical code the registry
+    query runs)."""
+
+    def score_batch(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        ids = batch.select("doc_id").distinct().withColumn(
+            "bucket",
+            F.pmod(
+                F.xxhash64("doc_id"), F.lit(FEATURE_STORE_BUCKETS)
+            ).cast("int"),
+        )
+        probe = sorted(
+            {int(r["bucket"]) for r in ids.select("bucket").distinct().collect()}
+        )
+        dirs = [
+            f"{store}/bucket={k}" for k in probe if f"bucket={k}" in present
+        ]
+        if dirs:
+            hit = (
+                ss.read.option("basePath", store)
+                .schema(_STORE_SCHEMA)
+                .parquet(*dirs)
+                .join(F.broadcast(ids.select("doc_id")), "doc_id")
+            )
+            z = _z_col(w, b)
+            one = F.lit(1.0)
+            p = F.lit(0.5) * (one + z / (one + F.abs(z)))
+            res = hit.select(
+                "doc_id",
+                F.col("y").cast("int").alias("label"),
+                F.round(p, 6).alias("score"),
+                (z >= F.lit(0.0)).cast("int").alias("keep"),
+            )
+        else:
+            res = ss.createDataFrame(
+                [], "doc_id long, label int, score double, keep int"
+            )
+        res.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    return score_batch
+
+
+# --- domain_mixture_weights (classifier-driven sampling mixture) -------------
+
+
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn the learned quality filter into a per-SOURCE sampling
+    mixture — the domain-weighting step between curation and training
+    (the quality-classified pipelines sample domains proportionally to
+    their post-filter token mass; e.g. The Pile's per-set weights,
+    Gao et al. 2020, and GPT-3's quality-weighted mix, Brown et al.
+    2020 §2.2 — public knowledge): train the classifier (same frozen
+    schedule), score every doc, and roll up per document source the
+    doc counts, the keep rate, the SURVIVING token mass, and the
+    normalized mixture weight ``kept_tokens / Σ kept_tokens`` a
+    sampler would draw each domain with.
+
+    Plan shape: one stateless scoring projection (literal weights)
+    joined to the (doc_id, source) roster, one map-side-combinable
+    groupBy(source), and a 1-row total broadcast-crossed back — the
+    corpus crosses exactly one exchange, on the handful of source
+    keys. At 100 TB the per-source rollup is the same partial-agg
+    shuffle every groupBy runs; no new machinery."""
+    from psd_project_spark.sources.registry import load_table
+
+    feat = transient_cache(_feature_frame(spark, sf_dir))
+    w, b, _report = _train(feat)
+    keep = _z_col(w, b) >= F.lit(0.0)
+    roster = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    per_src = (
+        feat.select("doc_id", "n_tokens", keep.alias("keep"))
+        .join(roster, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("kept_docs"),
+            F.sum(
+                F.when(F.col("keep"), F.col("n_tokens")).otherwise(0).cast(
+                    "long"
+                )
+            ).alias("kept_tokens"),
+        )
+    )
+    total = per_src.agg(
+        F.sum("kept_tokens").alias("_total_tokens")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "kept_docs",
+            F.round(
+                F.col("kept_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("keep_rate"),
+            "kept_tokens",
+            F.round(
+                F.col("kept_tokens").cast("double")
+                / F.col("_total_tokens").cast("double"),
+                6,
+            ).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mixture_oracle() -> str:
+    return f"""WITH {_feat_cte()},
+{_train_ctes()},
+scored AS (
+  SELECT f.doc_id, f.n_tokens,
+         CASE WHEN {_z_sql()} >= CAST(0.0 AS DOUBLE)
+              THEN 1 ELSE 0 END AS keep
+  FROM feat f CROSS JOIN w{ITERS} w
+),
+per_src AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(s.keep) AS BIGINT) AS kept_docs,
+         CAST(sum(CASE WHEN s.keep = 1 THEN s.n_tokens ELSE 0 END)
+              AS BIGINT) AS kept_tokens
+  FROM scored s JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+tot AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS total_tokens FROM per_src)
+SELECT source, n_docs, kept_docs,
+       {_round6_sql("CAST(kept_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+         AS keep_rate,
+       kept_tokens,
+       {_round6_sql("CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)")}
+         AS mix_weight
+FROM per_src CROSS JOIN tot
+ORDER BY source
+"""
+
+
 QUERIES = {
     "quality_classifier_train": (quality_classifier_train, _train_oracle()),
     "quality_classifier_score": (quality_classifier_score, _score_oracle()),
+    "stream_quality_score": (stream_quality_score, _score_oracle()),
+    "domain_mixture_weights": (domain_mixture_weights, _mixture_oracle()),
 }

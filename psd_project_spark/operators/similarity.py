@@ -631,27 +631,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialize the new codebook on the driver (O(K·d) model
         # state): the next iteration's kernel captures it as closure
         # state, so no lineage ever chains across iterations.
-        cent_rows = (
-            assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
-            .repartition(loop_parts, "cid", "pos")
-            .groupBy("cid", "pos")
-            .agg(
-                (
-                    F.sum(F.col("val").cast("decimal(27,15)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("cval")
-            )
-            .repartition(loop_parts, "cid")
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                    lambda st: st.cval,
-                ).alias("_vc")
-            )
-            .collect()
-        )
-        cb = {r["cid"]: r["_vc"] for r in cent_rows}
+        cb = _centroid_update(assigned, loop_parts)
         cids = sorted(cb)
         codebook = np.array([cb[c] for c in cids], dtype=np.float64)
         assigned.unpersist()
@@ -659,6 +639,128 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         report, "iteration int, inertia double, n_active_clusters int"
     )
+
+
+def _centroid_update(assigned: DataFrame, loop_parts: int = 4) -> dict:
+    """Lloyd's update step: posexplode → per-(cluster, dim) decimal
+    mean → rebuild arrays, collected as the O(K·d) driver-side
+    codebook. Shared by the convergence report
+    (:func:`kmeans_embeddings`) and the balanced sampler
+    (:func:`cluster_balanced_sample`), so the two can only differ in
+    what they DO with the final model, never in how it is trained."""
+    cent_rows = (
+        assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
+        .repartition(loop_parts, "cid", "pos")
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(27,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cval")
+        )
+        .repartition(loop_parts, "cid")
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda st: st.cval,
+            ).alias("_vc")
+        )
+        .collect()
+    )
+    return {r["cid"]: r["_vc"] for r in cent_rows}
+
+
+# --- cluster_balanced_sample (diversity-preserving subset selection) ---------
+
+#: Per-cluster quota and the salt fan-out of the exact two-phase
+#: top-quota selection (see the straggler note in the docstring).
+CB_PER_CLUSTER = 16
+CB_SALTS = 16
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-BALANCED deterministic subset selection: train the
+    k-means codebook (the :func:`kmeans_embeddings` schedule, shared
+    op-for-op), assign every vector to its final cluster, and keep a
+    fixed per-cluster quota chosen by content-hash order — the
+    semantic-diversity sampling step of embedding-based curation
+    (cluster-then-sample-per-cluster: SemDeDup's cluster partitioning,
+    Abbas et al. 2023, and prototype-based subset selection,
+    Sorscher et al. 2022 "Beyond neural scaling laws" — public
+    knowledge): a uniform draw over-samples dense regions; an equal
+    per-cluster quota preserves coverage of the embedding space's
+    modes. Selection is by md5(vec_id) rank — deterministic,
+    rerun-stable, skew-free (the ``train_val_split`` content-hash
+    discipline), with ``vec_id`` as the total-order tie-break.
+
+    Straggler guard: "smallest quota per cluster" is NOT computed as
+    one rank window per cluster — K is small, so a per-cluster window
+    routes n/K rows into one task (the hot-anchor failure mode). The
+    selection runs as an exact two-phase top-quota: a salted local
+    rank (``(cid, salt)`` partitions — parallelism K×``CB_SALTS``)
+    keeps each salt's quota, and the global rank re-ranks only the
+    ≤ K×``CB_SALTS``×quota survivors. min-of-union = min-of-local-mins
+    makes the composition exact, the ``salted_event_stats`` /
+    ``_minhash_pairs`` two-phase discipline applied to ranking.
+
+    Output: one row per selected vector (cluster, pick order, vec_id,
+    label, cluster population). The oracle unrolls the identical Lloyd
+    rounds (shared CTE chain with ``KMEANS_ORACLE``) and ranks with
+    one global window — proving the two-phase selection ≡ the
+    straightforward per-cluster rank."""
+    import numpy as np
+
+    # transient cache: feeds the seed collect, the per-round kernels,
+    # and the final label join; released on next query entry.
+    e = transient_cache(_embeddings(spark, sf_dir))
+    ev = e.select("vec_id", "_v")
+    cb = {
+        r["vec_id"]: r["_v"]
+        for r in ev.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    }
+    cids = sorted(cb)
+    codebook = np.array([cb[c] for c in cids], dtype=np.float64)
+    schema = "vec_id long, _v array<double>, cid long, d2 double"
+    for _ in range(1, KMEANS_ITERS):
+        assigned = ev.mapInPandas(
+            V.make_kmeans_assign_kernel(codebook, cids), schema=schema
+        ).cache()
+        cb = _centroid_update(assigned)
+        cids = sorted(cb)
+        codebook = np.array([cb[c] for c in cids], dtype=np.float64)
+        assigned.unpersist()
+    final = ev.mapInPandas(
+        V.make_kmeans_assign_kernel(codebook, cids), schema=schema
+    ).select("vec_id", "cid")
+
+    hk = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    sized = final.withColumn("hk", hk)
+    sizes = sized.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_in_cluster")
+    )
+    w_local = Window.partitionBy("cid", "salt").orderBy("hk", "vec_id")
+    survivors = (
+        sized.withColumn("salt", F.pmod(F.col("hk"), F.lit(CB_SALTS)))
+        .withColumn("_rk", F.row_number().over(w_local))
+        .filter(F.col("_rk") <= CB_PER_CLUSTER)
+        .drop("_rk", "salt")
+    )
+    w_global = Window.partitionBy("cid").orderBy("hk", "vec_id")
+    picked = (
+        survivors.withColumn("pick_rank", F.row_number().over(w_global))
+        .filter(F.col("pick_rank") <= CB_PER_CLUSTER)
+        .drop("hk")
+    )
+    return (
+        picked.join(e.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(sizes), "cid")
+        .select("cid", "pick_rank", "vec_id", "label", "n_in_cluster")
+        .orderBy("cid", "pick_rank")
+    )
+
 
 # --- dedup_embedding_lsh (all-pairs near-dup via banded LSH) -----------------
 
@@ -842,11 +944,13 @@ ORDER BY cosine DESC, vec_a, vec_b
 """
 
 
-def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
-                       dim: int = 64) -> str:
-    """DuckDB mirror of :func:`kmeans_embeddings`: the 3 Lloyd rounds
-    unrolled as CTEs. Exactness argument, mirroring the Spark side
-    op-for-op:
+def _kmeans_cte_list(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
+                     dim: int = 64) -> list[str]:
+    """The unrolled Lloyd rounds as a CTE list ending with the FINAL
+    assignment ``a{iters}`` — shared by the convergence-report oracle
+    (``KMEANS_ORACLE``) and the balanced-sample oracle, mirroring the
+    Spark-side sharing of the training loop. Exactness argument,
+    op-for-op vs the Spark side:
 
     - d2 is the same left fold — Spark ``aggregate(zip_with(...), 0.0,
       acc+x)`` == DuckDB ``list_reduce(list_prepend(0.0, terms))`` —
@@ -855,7 +959,6 @@ def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
     - argmin tie-break is ``ORDER BY d2, cid`` in both.
     - centroid update is an order-independent DECIMAL(27,15) sum cast
       to double, divided by a bigint count — identical on both sides.
-    - inertia: decimal sum of d2, cast double, round 6 — both sides.
     """
     # one shared distance/assignment template per iteration
     def assign(src_e: str, src_c: str, n: int) -> str:
@@ -890,11 +993,22 @@ def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
         "FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {k})",
     ]
-    reports = []
     for it in range(1, iters + 1):
         ctes.append(assign("e", f"c{it - 1}", it))
         if it < iters:
             ctes.append(update(it))
+    return ctes
+
+
+def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
+                       dim: int = 64) -> str:
+    """DuckDB mirror of :func:`kmeans_embeddings`: the shared CTE
+    chain (:func:`_kmeans_cte_list`) + the per-iteration
+    inertia/active-cluster report (decimal sum of d2, cast double,
+    round 6 — both engines)."""
+    ctes = _kmeans_cte_list(k, iters, dim)
+    reports = []
+    for it in range(1, iters + 1):
         reports.append(
             f"SELECT CAST({it} AS INT) AS iteration, "
             f"(SELECT CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(d2 AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) "
@@ -909,6 +1023,35 @@ def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
 
 
 KMEANS_ORACLE = _kmeans_oracle_sql()
+
+
+def _cluster_sample_oracle(iters: int = KMEANS_ITERS) -> str:
+    """Bit-exact mirror of :func:`cluster_balanced_sample`: the shared
+    Lloyd CTE chain's final assignment, ranked per cluster by the
+    md5(vec_id)-prefix bigint (the ``train_val_split`` content-hash
+    recipe) with ``vec_id`` tie-break — ONE global window here, so a
+    hash-match additionally proves the Spark side's salted two-phase
+    selection ≡ the straightforward per-cluster rank."""
+    ctes = ",\n".join(_kmeans_cte_list())
+    return f"""WITH {ctes},
+sized AS (
+  SELECT vec_id, cid,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+  FROM a{iters}
+),
+ranked AS (
+  SELECT cid, vec_id, hk,
+         row_number() OVER (PARTITION BY cid ORDER BY hk, vec_id)
+           AS pick_rank,
+         count(*) OVER (PARTITION BY cid) AS n_in_cluster
+  FROM sized
+)
+SELECT r.cid, CAST(r.pick_rank AS INT) AS pick_rank, r.vec_id, em.label,
+       CAST(r.n_in_cluster AS BIGINT) AS n_in_cluster
+FROM ranked r JOIN embeddings em USING (vec_id)
+WHERE r.pick_rank <= {CB_PER_CLUSTER}
+ORDER BY r.cid, r.pick_rank
+"""
 
 # --- ann_index_export (bucket-partitioned ANN index + pruned probe) ----------
 
@@ -1280,6 +1423,7 @@ QUERIES = {
     "ivf_ann_cosine": (ivf_ann_cosine, IVF_ORACLE),
     "embedding_centroids": (embedding_centroids, CENTROIDS_ORACLE),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_ORACLE),
+    "cluster_balanced_sample": (cluster_balanced_sample, _cluster_sample_oracle()),
     "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMB_LSH_ORACLE),
     "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_ORACLE),
 }

@@ -31,22 +31,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # affects). Spares re-verify the reference risk surface, the
 # streaming battery (same foreach_sink dependency), the two-round
 # bench drifters the r06 judge ordered closed (table_profile,
-# dedup_ngram_jaccard; events_jsonl_source rides along), the
-# classifier's feature dependency chain (quality_features, doc_stats),
-# and pack_sequences (displaced in r6). The mid-round additions
-# decontaminate_cut + stream_crawl_screen + stream_ann_search took the
-# dsir_weights / bpe_encode_stats / measures_window_np spare slots
-# (all pure re-verifications of files untouched since their r06-or-
-# earlier green rows). Outside the window: queries in
-# files untouched since their last green row. NO queue: every
-# registry query holds or re-earns a current-bytes driver row
-# (tests/test_registry_order.py).
+# dedup_ngram_jaccard), and the classifier's feature dependency
+# (quality_features). The mid-round additions decontaminate_cut +
+# stream_crawl_screen + stream_ann_search took the dsir_weights /
+# bpe_encode_stats / measures_window_np spare slots, and the late-round
+# curation tier (stream_quality_score + domain_mixture_weights in the
+# r7-touched quality_classifier.py, cluster_balanced_sample in the
+# r7-touched similarity.py) took the doc_stats / pack_sequences /
+# events_jsonl_source spare slots (all pure re-verifications of files
+# untouched since their r06-or-earlier green rows). Outside the
+# window: queries in files untouched since their last green row. NO
+# queue: every registry query holds or re-earns a current-bytes driver
+# row (tests/test_registry_order.py).
 _PRIORITY = (
     # -- round-7 new operators (front: day-one driver rows) ------------
     "substr_index_incremental",
     "ann_index_compaction",
     "quality_classifier_train",
     "quality_classifier_score",
+    "stream_quality_score",
+    "domain_mixture_weights",
+    "cluster_balanced_sample",
     "decontaminate_cut",
     "stream_crawl_screen",
     "stream_ann_search",
@@ -97,11 +102,8 @@ _PRIORITY = (
     # -- spares: the r06 judge's two-round drifters (close or reset) ---
     "table_profile",
     "dedup_ngram_jaccard",
-    "events_jsonl_source",
-    # -- spares: classifier feature chain + text tier ------------------
+    # -- spare: the classifier's feature dependency --------------------
     "quality_features",
-    "doc_stats",
-    "pack_sequences",
 )
 
 _MODULES = (

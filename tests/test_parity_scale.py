@@ -83,6 +83,14 @@ ADAPTIVE = [
     "decontaminate_cut",
     "stream_crawl_screen",
     "stream_ann_search",
+    # round 7 late-round curation tier: the feature store's bucket
+    # population and the per-epoch lookup volume grow with the corpus;
+    # the mixture weights aggregate distribution-dependent keep
+    # decisions; the sampler's cluster populations (and the salted
+    # two-phase survivor volume) grow with n
+    "stream_quality_score",
+    "domain_mixture_weights",
+    "cluster_balanced_sample",
 ]
 
 

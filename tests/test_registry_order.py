@@ -27,6 +27,9 @@ R7_NEW = {
     "ann_index_compaction",
     "quality_classifier_train",
     "quality_classifier_score",
+    "stream_quality_score",
+    "domain_mixture_weights",
+    "cluster_balanced_sample",
     "decontaminate_cut",
     "stream_crawl_screen",
     "stream_ann_search",
@@ -56,8 +59,8 @@ R7_DEP_AFFECTED = {
 #: drifters re-earn rows (close-or-reset order), and the classifier's
 #: feature chain re-verifies before the new operators build on it.
 SPARE = {"measures_agg", "alerts_batch", "table_profile",
-         "dedup_ngram_jaccard", "events_jsonl_source",
-         "stream_upsert_latest", "quality_features", "doc_stats"}
+         "dedup_ngram_jaccard",
+         "stream_upsert_latest", "quality_features"}
 
 
 def _driver_checked_rounds() -> set[str]:
