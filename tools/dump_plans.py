@@ -164,6 +164,23 @@ SHOWCASE = [
         "one map-side-combined aggregate over the same frame.",
     ),
     (
+        "domain_mixture_weights",
+        "Classifier-driven domain mixing: the corpus crosses exactly "
+        "ONE exchange (the groupBy(source) partial-agg shuffle on a "
+        "handful of keys); the keep decision is literal-weight "
+        "codegen arithmetic riding the feature scan, and the 1-row "
+        "kept-token total re-enters via BroadcastNestedLoopJoin, "
+        "never a second data-sized shuffle.",
+    ),
+    (
+        "cluster_balanced_sample",
+        "Cluster-balanced selection after the shared Lloyd rounds: "
+        "the salted local rank windows on (cid, salt) — K×16 "
+        "partitions, so no per-cluster window swallows n/K rows — "
+        "then the global re-rank runs on the ≤K×16×quota survivors "
+        "only; label/size joins broadcast (bounded sides).",
+    ),
+    (
         "pack_sequences",
         "Training-sequence packing: ONE hash exchange on the shard "
         "key feeds a per-shard window cumsum (no global sort — "

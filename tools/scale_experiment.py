@@ -90,6 +90,13 @@ QUERIES = [
     "stream_crawl_screen",
     "ann_index_compaction",
     "quality_classifier_score",
+    # round-7 late-round curation tier: the feature store + per-epoch
+    # pruned lookups at 10x corpus, the per-source mixture rollup over
+    # 10x keep decisions, and the cluster-balanced sampler's salted
+    # two-phase selection over 10x cluster populations
+    "stream_quality_score",
+    "domain_mixture_weights",
+    "cluster_balanced_sample",
 ]
 
 
