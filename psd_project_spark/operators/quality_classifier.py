@@ -444,11 +444,13 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampler would draw each domain with.
 
     Plan shape: one stateless scoring projection (literal weights)
-    joined to the (doc_id, source) roster, one map-side-combinable
-    groupBy(source), and a 1-row total broadcast-crossed back — the
-    corpus crosses exactly one exchange, on the handful of source
-    keys. At 100 TB the per-source rollup is the same partial-agg
-    shuffle every groupBy runs; no new machinery."""
+    riding the feature scan, an equi-join to the (doc_id, source)
+    roster (broadcast at this SF; one co-partitioned doc_id shuffle
+    per side at scale — the unavoidable cost of keeping the feature
+    frame's verified schema source-free), one map-side-combinable
+    groupBy(source) whose exchange carries ~|sources| partial rows,
+    and a 1-row total broadcast-crossed back. At 100 TB nothing after
+    the roster join is data-sized; no new machinery."""
     from psd_project_spark.sources.registry import load_table
 
     feat = transient_cache(_feature_frame(spark, sf_dir))

@@ -165,12 +165,13 @@ SHOWCASE = [
     ),
     (
         "domain_mixture_weights",
-        "Classifier-driven domain mixing: the corpus crosses exactly "
-        "ONE exchange (the groupBy(source) partial-agg shuffle on a "
-        "handful of keys); the keep decision is literal-weight "
-        "codegen arithmetic riding the feature scan, and the 1-row "
-        "kept-token total re-enters via BroadcastNestedLoopJoin, "
-        "never a second data-sized shuffle.",
+        "Classifier-driven domain mixing: the keep decision is "
+        "literal-weight codegen arithmetic riding the feature scan; "
+        "the roster join is a broadcast here (co-partitioned doc_id "
+        "shuffle at scale), after which the groupBy(source) exchange "
+        "carries ~|sources| partial rows and the 1-row kept-token "
+        "total re-enters via BroadcastNestedLoopJoin — nothing after "
+        "the roster join is data-sized.",
     ),
     (
         "cluster_balanced_sample",
