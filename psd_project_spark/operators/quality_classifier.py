@@ -528,9 +528,204 @@ ORDER BY source
 """
 
 
+# --- mixture_resample (temperature-flattened token-budget draw) --------------
+
+#: Salt fan-out of the exact two-phase mass-quota selection (see the
+#: straggler note in :func:`mixture_resample`).
+MIX_SALTS = 16
+
+
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the training mix: draw an actual document subset
+    whose per-source token masses follow a temperature-flattened
+    version of the post-filter distribution — the sampling step that
+    turns :func:`domain_mixture_weights` into a training set. The
+    flattening is α=0.5 exponentiation of each source's kept token
+    mass (``sqrt`` — the multilingual-sampling temperature recipe of
+    Lample & Conneau 2019 §3.1 / mT5, Xue et al. 2021 — public
+    knowledge): proportional sampling lets one head domain dominate;
+    α<1 re-allocates budget toward tail domains. The global budget is
+    half the surviving token mass; each source's share is
+    ``sqrt(kt_s) / Σ sqrt(kt_t)``, and its documents are taken in
+    md5(doc_id) content-hash order (deterministic, rerun-stable, the
+    ``train_val_split`` discipline) until the source's token budget is
+    exhausted — a PREFIX BY CUMULATIVE MASS, not by row count.
+
+    Exactness of the float plumbing: ``sqrt`` is IEEE-754
+    exactly-rounded, so both engines flatten identically; the
+    ~|sources| flattened masses sum in DECIMAL(27,15)
+    (order-independent), and budget = ``floor(share · ⌊total/2⌋)`` is
+    the same double multiply + floor on both engines.
+
+    Straggler guard — the mass-quota twin of
+    ``cluster_balanced_sample``'s rank quota, but rank tricks don't
+    transfer: a salted local TOP-K is exact for ranks, while a salted
+    local mass-prefix is NOT (another salt's early heavy doc can push
+    a locally-cheap doc past the budget). The exact two-phase form:
+
+    1. local pass on ``(source, salt)`` — cumulative mass in hash
+       order; rows with local cum ≤ budget are SURVIVORS (local cum
+       is a lower bound on true cum, so non-survivors are provably
+       out);
+    2. per source, the earliest locally-excluded key (a tiny min
+       aggregate) is a CUT: order monotonicity makes every doc at or
+       past it provably out, and — because every excluded doc sits at
+       or past the cut — survivors BEFORE the cut have survivor-cumsum
+       ≡ true cumsum;
+    3. the global window re-ranks only the pre-cut survivors, whose
+       volume is budget-proportional per salt (each salt's survivor
+       prefix carries ≤ budget mass), never corpus-sized.
+
+    The oracle computes the straightforward single global window, so
+    the hash match PROVES the two-phase composition exact (the
+    ``cluster_balanced_sample`` discipline for mass quotas)."""
+    from pyspark.sql import Window
+
+    from psd_project_spark.sources.registry import load_table
+
+    feat = transient_cache(_feature_frame(spark, sf_dir))
+    w, b, _report = _train(feat)
+    keep = _z_col(w, b) >= F.lit(0.0)
+    roster = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    kept = (
+        feat.filter(keep)
+        .join(roster, "doc_id")
+        .select("doc_id", "source", "n_tokens")
+    )
+    per_src = kept.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("kept_tokens")
+    )
+    flat = per_src.withColumn(
+        "flat_mass", F.sqrt(F.col("kept_tokens").cast("double"))
+    )
+    tot = flat.agg(
+        F.sum(F.col("flat_mass").cast("decimal(27,15)"))
+        .cast("double")
+        .alias("_flat_tot"),
+        F.expr("sum(kept_tokens) DIV 2").alias("_budget_total"),
+    )
+    budgets = flat.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "kept_tokens",
+        F.floor(
+            (F.col("flat_mass") / F.col("_flat_tot"))
+            * F.col("_budget_total").cast("double")
+        ).alias("budget_tokens"),
+    )
+
+    hk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    sized = kept.join(
+        F.broadcast(budgets.select("source", "budget_tokens")), "source"
+    ).withColumn("hk", hk)
+    return (
+        _budget_prefix(sized)
+        .select(
+            "source", "doc_id", "n_tokens", "cum_tokens", "budget_tokens"
+        )
+        .orderBy("source", "cum_tokens", "doc_id")
+    )
+
+
+def _budget_prefix(sized: DataFrame) -> DataFrame:
+    """The exact two-phase mass-prefix selection over
+    (source, doc_id, n_tokens, budget_tokens, hk) — factored so tests
+    can drive a deliberately skewed synthetic corpus through the
+    identical code the registry query runs (steps 1-3 of the
+    :func:`mixture_resample` docstring)."""
+    from pyspark.sql import Window
+
+    w_local = (
+        Window.partitionBy("source", "salt")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sized.withColumn(
+        "salt", F.pmod(F.col("hk"), F.lit(MIX_SALTS))
+    ).withColumn("_lcum", F.sum("n_tokens").over(w_local))
+    survivors = local.filter(F.col("_lcum") <= F.col("budget_tokens"))
+    cuts = (
+        local.filter(F.col("_lcum") > F.col("budget_tokens"))
+        .groupBy("source")
+        .agg(F.min(F.struct("hk", "doc_id")).alias("_cut"))
+    )
+    pre_cut = (
+        survivors.join(F.broadcast(cuts), "source", "left")
+        .filter(
+            F.col("_cut").isNull()
+            | (F.struct("hk", "doc_id") < F.col("_cut"))
+        )
+        .drop("_cut", "_lcum", "salt")
+    )
+    w_global = (
+        Window.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return pre_cut.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w_global).cast("long")
+    ).filter(F.col("cum_tokens") <= F.col("budget_tokens"))
+
+
+def _mixture_resample_oracle() -> str:
+    """Single-global-window mirror: flatten, budget, ONE cumulative
+    window per source — no salts, no cut. A hash match therefore
+    proves the Spark side's two-phase selection ≡ the direct form."""
+    return f"""WITH {_feat_cte()},
+{_train_ctes()},
+kept AS (
+  SELECT f.doc_id, d.source, f.n_tokens
+  FROM feat f CROSS JOIN w{ITERS} w JOIN documents d USING (doc_id)
+  WHERE {_z_sql()} >= CAST(0.0 AS DOUBLE)
+),
+per_src AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY source
+),
+flat AS (
+  SELECT source, kept_tokens,
+         sqrt(CAST(kept_tokens AS DOUBLE)) AS flat_mass
+  FROM per_src
+),
+tot AS (
+  SELECT {_dsum_sql("flat_mass")} AS flat_tot,
+         CAST(sum(kept_tokens) // 2 AS BIGINT) AS budget_total
+  FROM flat
+),
+budgets AS (
+  SELECT source,
+         CAST(floor((flat_mass / flat_tot)
+                    * CAST(budget_total AS DOUBLE)) AS BIGINT)
+           AS budget_tokens
+  FROM flat CROSS JOIN tot
+),
+sized AS (
+  SELECT k.doc_id, k.source, k.n_tokens, b.budget_tokens,
+         ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS hk
+  FROM kept k JOIN budgets b USING (source)
+),
+ranked AS (
+  SELECT *, sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY hk, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM sized
+)
+SELECT source, doc_id, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens, budget_tokens
+FROM ranked
+WHERE cum_tokens <= budget_tokens
+ORDER BY source, cum_tokens, doc_id
+"""
+
+
 QUERIES = {
     "quality_classifier_train": (quality_classifier_train, _train_oracle()),
     "quality_classifier_score": (quality_classifier_score, _score_oracle()),
     "stream_quality_score": (stream_quality_score, _score_oracle()),
     "domain_mixture_weights": (domain_mixture_weights, _mixture_oracle()),
+    "mixture_resample": (mixture_resample, _mixture_resample_oracle()),
 }

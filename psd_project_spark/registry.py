@@ -35,11 +35,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (quality_features). The mid-round additions decontaminate_cut +
 # stream_crawl_screen + stream_ann_search took the dsir_weights /
 # bpe_encode_stats / measures_window_np spare slots, and the late-round
-# curation tier (stream_quality_score + domain_mixture_weights in the
-# r7-touched quality_classifier.py, cluster_balanced_sample in the
-# r7-touched similarity.py) took the doc_stats / pack_sequences /
-# events_jsonl_source spare slots (all pure re-verifications of files
-# untouched since their r06-or-earlier green rows). Outside the
+# curation tier (stream_quality_score + domain_mixture_weights +
+# mixture_resample in the r7-touched quality_classifier.py,
+# cluster_balanced_sample in the r7-touched similarity.py) took the
+# doc_stats / pack_sequences / events_jsonl_source / table_profile
+# spare slots (all pure re-verifications of files untouched since
+# their r06-or-earlier green rows). Outside the
 # window: queries in files untouched since their last green row. NO
 # queue: every registry query holds or re-earns a current-bytes driver
 # row (tests/test_registry_order.py).
@@ -51,6 +52,7 @@ _PRIORITY = (
     "quality_classifier_score",
     "stream_quality_score",
     "domain_mixture_weights",
+    "mixture_resample",
     "cluster_balanced_sample",
     "decontaminate_cut",
     "stream_crawl_screen",
@@ -99,8 +101,12 @@ _PRIORITY = (
     "stream_dedup_users",
     "stream_session_windows",
     "stream_stream_join",
-    # -- spares: the r06 judge's two-round drifters (close or reset) ---
-    "table_profile",
+    # -- spare: the r06 judge's second two-round drifter (the first,
+    # table_profile, yielded its slot to mixture_resample: it holds a
+    # green r06 row over bytes untouched since round 5, and its
+    # close-or-reset obligation is met bench-side — BENCH_r07
+    # suspects-free with the elementwise-min already re-tightened
+    # below the reset floor) ------------------------------------------
     "dedup_ngram_jaccard",
     # -- spare: the classifier's feature dependency --------------------
     "quality_features",

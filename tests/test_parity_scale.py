@@ -91,6 +91,9 @@ ADAPTIVE = [
     "stream_quality_score",
     "domain_mixture_weights",
     "cluster_balanced_sample",
+    # the budget draw: budgets, survivor volumes, and the selected
+    # prefix all scale with the corpus's kept token mass
+    "mixture_resample",
 ]
 
 

@@ -29,6 +29,7 @@ R7_NEW = {
     "quality_classifier_score",
     "stream_quality_score",
     "domain_mixture_weights",
+    "mixture_resample",
     "cluster_balanced_sample",
     "decontaminate_cut",
     "stream_crawl_screen",
@@ -58,7 +59,7 @@ R7_DEP_AFFECTED = {
 #: Spare-slot re-verification: the r06 judge's two-round bench
 #: drifters re-earn rows (close-or-reset order), and the classifier's
 #: feature chain re-verifies before the new operators build on it.
-SPARE = {"measures_agg", "alerts_batch", "table_profile",
+SPARE = {"measures_agg", "alerts_batch",
          "dedup_ngram_jaccard",
          "stream_upsert_latest", "quality_features"}
 

