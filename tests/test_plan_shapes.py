@@ -166,6 +166,9 @@ def test_no_accidental_cartesian_in_batch_plans(spark):
         "source_mix_rebalance",
         # 1-row normalizer frame broadcast onto the bigram model
         "dsir_weights",
+        # 1-row kept-token total / flattened-mass total broadcast onto
+        # the ~|sources|-row per-source rollup (r7 curation tier)
+        "domain_mixture_weights", "mixture_resample",
     }
     # Queries that execute work at plan-construction time (streaming
     # runs, iterative fixpoints, staged side-effect sinks) — their

@@ -182,6 +182,15 @@ SHOWCASE = [
         "only; label/size joins broadcast (bounded sides).",
     ),
     (
+        "mixture_resample",
+        "Token-budget mixture draw: budgets come from a ~|sources|-row "
+        "aggregate broadcast back; the selection's first Window "
+        "partitions on (source, salt) — 16× the parallelism of a "
+        "per-source window — and the second (global) Window runs "
+        "after the survivor filter + broadcast cut join, i.e. on "
+        "budget-proportional row counts, never the corpus.",
+    ),
+    (
         "pack_sequences",
         "Training-sequence packing: ONE hash exchange on the shard "
         "key feeds a per-shard window cumsum (no global sort — "

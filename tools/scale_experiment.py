@@ -97,6 +97,10 @@ QUERIES = [
     "stream_quality_score",
     "domain_mixture_weights",
     "cluster_balanced_sample",
+    # the token-budget draw: budgets and survivor volumes scale with
+    # kept mass; the replicated corpus also doubles every source's
+    # budget, so the selection itself grows 10x
+    "mixture_resample",
 ]
 
 
