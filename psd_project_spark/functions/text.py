@@ -102,6 +102,21 @@ def feature_hash32(feature: str) -> int:
     return int(hashlib.md5(feature.encode()).hexdigest()[:8], 16)
 
 
+def content_hash_col(id_col):
+    """Spark Column: the repo's content-hash recipe — md5 of the id's
+    string form, first 8 hex chars as a bigint (DuckDB twin:
+    ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8))::BIGINT``).
+    Centralized because the Spark expression and the oracle SQL must
+    stay a bit-exact pair; inline copies still exist in sampling.py /
+    governance.py (pre-dating this helper — migrate them whenever
+    those modules next rotate through the driver window)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
 def hints_sql(features: str) -> str:
     """DuckDB: features → 32-bit ints (identical to feature_hash32)."""
     return (

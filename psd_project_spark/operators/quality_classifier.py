@@ -305,10 +305,12 @@ ORDER BY doc_id
 #: SUBSTR_INDEX_BUCKETS.
 FEATURE_STORE_BUCKETS = 32
 
+#: The persisted column is INT64 (``doc_stats`` longs ``n_tokens``);
+#: declaring int here would crash any consumer that projects it.
 _STORE_SCHEMA = (
     "doc_id long, "
     + ", ".join(f"{name} double" for name, _ in FEATURES)
-    + ", y double, n_tokens int, bucket int"
+    + ", y double, n_tokens long, bucket int"
 )
 
 
@@ -579,8 +581,7 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the straightforward single global window, so
     the hash match PROVES the two-phase composition exact (the
     ``cluster_balanced_sample`` discipline for mass quotas)."""
-    from pyspark.sql import Window
-
+    from psd_project_spark.functions.text import content_hash_col
     from psd_project_spark.sources.registry import load_table
 
     feat = transient_cache(_feature_frame(spark, sf_dir))
@@ -615,12 +616,9 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("budget_tokens"),
     )
 
-    hk = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
     sized = kept.join(
         F.broadcast(budgets.select("source", "budget_tokens")), "source"
-    ).withColumn("hk", hk)
+    ).withColumn("hk", content_hash_col("doc_id"))
     return (
         _budget_prefix(sized)
         .select(

@@ -595,59 +595,87 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_quality.py pins monotone non-increasing inertia and
     the oracle (``_kmeans_oracle_sql``: the 3 Lloyd rounds unrolled as
     CTEs, same fold order / decimal means) pins exact values."""
-    import numpy as np
-
     e = _embeddings(spark, sf_dir).select("vec_id", "_v").cache()
-    # Seed codebook straight to the driver (O(K·d) model state). The
-    # assign step is a mapInPandas argmin kernel with the codebook as
-    # closure state — replaces the earlier crossJoin(broadcast) +
-    # row_number form whose N×K HOF fold ran interpreted per element
-    # (violating the "HOF lambdas only on n≈30 arrays" budget); the
-    # kernel reproduces the fold's d2 bit-exactly (vectors.py).
-    cb = {
-        r["vec_id"]: r["_v"]
-        for r in e.filter(F.col("vec_id") < K_CLUSTERS).collect()
-    }
-    cids = sorted(cb)
-    codebook = np.array([cb[c] for c in cids], dtype=np.float64)
-    # Loop shuffles move (cluster, dim) aggregates — 512 groups — so
-    # per-iteration task overhead dominates at default partitioning:
-    # the explicit keyed repartition pins the centroid-update shuffle
-    # to a handful of tasks (and the groupBys reuse its partitioning)
-    # WITHOUT mutating session-global shuffle conf — safe under
-    # concurrent queries on one session.
-    loop_parts = 4
-    report = []
-    for it in range(1, KMEANS_ITERS + 1):
-        assigned = e.mapInPandas(
-            V.make_kmeans_assign_kernel(codebook, cids),
-            schema="vec_id long, _v array<double>, cid long, d2 double",
-        ).cache()
-        stats = assigned.agg(
-            F.round(F.sum(F.col("d2").cast("decimal(27,15)")).cast("double"), 6),
-            F.countDistinct("cid"),
-        ).collect()[0]
-        report.append((it, float(stats[0]), int(stats[1])))
-        # Materialize the new codebook on the driver (O(K·d) model
-        # state): the next iteration's kernel captures it as closure
-        # state, so no lineage ever chains across iterations.
-        cb = _centroid_update(assigned, loop_parts)
-        cids = sorted(cb)
-        codebook = np.array([cb[c] for c in cids], dtype=np.float64)
-        assigned.unpersist()
+    _codebook, _cids, report = _train_codebook(e, collect_stats=True)
     e.unpersist()
     return spark.createDataFrame(
         report, "iteration int, inertia double, n_active_clusters int"
     )
 
 
+def _train_codebook(
+    ev: DataFrame, loop_parts: int = 4, collect_stats: bool = False
+):
+    """The shared Lloyd training loop: seed codebook from the K lowest
+    vec_ids (collected straight to the driver — O(K·d) model state),
+    then per iteration one mapInPandas argmin assign kernel (codebook
+    as closure state — no join, no window; replaces the earlier
+    crossJoin(broadcast) + row_number form whose N×K HOF fold ran
+    interpreted per element) and, BETWEEN iterations only, one
+    :func:`_centroid_update` (the final iteration's update would train
+    a codebook nothing consumes). ``collect_stats`` additionally
+    collects the per-iteration (inertia, active-cluster) report —
+    only then does the assignment frame serve two actions, so only
+    then is it cached. Returns ``(codebook, cids, report)`` — the
+    model that produced (or will reproduce) the FINAL assignment.
+
+    Shared by :func:`kmeans_embeddings` and
+    :func:`cluster_balanced_sample`, so the two can only differ in
+    what they DO with the final model, never in how it is trained.
+
+    Loop shuffles move (cluster, dim) aggregates — 512 groups — so
+    per-iteration task overhead dominates at default partitioning:
+    ``loop_parts`` pins the centroid-update shuffle to a handful of
+    tasks (the groupBys reuse its partitioning) WITHOUT mutating
+    session-global shuffle conf — safe under concurrent queries on
+    one session."""
+    import numpy as np
+
+    cb = {
+        r["vec_id"]: r["_v"]
+        for r in ev.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    }
+    cids = sorted(cb)
+    codebook = np.array([cb[c] for c in cids], dtype=np.float64)
+    report = []
+    for it in range(1, KMEANS_ITERS + 1):
+        last = it == KMEANS_ITERS
+        if last and not collect_stats:
+            break  # the caller runs the final assignment itself
+        assigned = ev.mapInPandas(
+            V.make_kmeans_assign_kernel(codebook, cids),
+            schema="vec_id long, _v array<double>, cid long, d2 double",
+        )
+        two_actions = collect_stats and not last
+        if two_actions:
+            assigned = assigned.cache()
+        if collect_stats:
+            stats = assigned.agg(
+                F.round(
+                    F.sum(F.col("d2").cast("decimal(27,15)")).cast(
+                        "double"
+                    ),
+                    6,
+                ),
+                F.countDistinct("cid"),
+            ).collect()[0]
+            report.append((it, float(stats[0]), int(stats[1])))
+        if not last:
+            # Materialize the new codebook on the driver: the next
+            # iteration's kernel captures it as closure state, so no
+            # lineage ever chains across iterations.
+            cb = _centroid_update(assigned, loop_parts)
+            cids = sorted(cb)
+            codebook = np.array([cb[c] for c in cids], dtype=np.float64)
+        if two_actions:
+            assigned.unpersist()
+    return codebook, cids, report
+
+
 def _centroid_update(assigned: DataFrame, loop_parts: int = 4) -> dict:
     """Lloyd's update step: posexplode → per-(cluster, dim) decimal
     mean → rebuild arrays, collected as the O(K·d) driver-side
-    codebook. Shared by the convergence report
-    (:func:`kmeans_embeddings`) and the balanced sampler
-    (:func:`cluster_balanced_sample`), so the two can only differ in
-    what they DO with the final model, never in how it is trained."""
+    codebook (consumed by the shared :func:`_train_codebook` loop)."""
     cent_rows = (
         assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
         .repartition(loop_parts, "cid", "pos")
@@ -709,35 +737,19 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds (shared CTE chain with ``KMEANS_ORACLE``) and ranks with
     one global window — proving the two-phase selection ≡ the
     straightforward per-cluster rank."""
-    import numpy as np
+    from psd_project_spark.functions.text import content_hash_col
 
     # transient cache: feeds the seed collect, the per-round kernels,
     # and the final label join; released on next query entry.
     e = transient_cache(_embeddings(spark, sf_dir))
     ev = e.select("vec_id", "_v")
-    cb = {
-        r["vec_id"]: r["_v"]
-        for r in ev.filter(F.col("vec_id") < K_CLUSTERS).collect()
-    }
-    cids = sorted(cb)
-    codebook = np.array([cb[c] for c in cids], dtype=np.float64)
-    schema = "vec_id long, _v array<double>, cid long, d2 double"
-    for _ in range(1, KMEANS_ITERS):
-        assigned = ev.mapInPandas(
-            V.make_kmeans_assign_kernel(codebook, cids), schema=schema
-        ).cache()
-        cb = _centroid_update(assigned)
-        cids = sorted(cb)
-        codebook = np.array([cb[c] for c in cids], dtype=np.float64)
-        assigned.unpersist()
+    codebook, cids, _ = _train_codebook(ev)
     final = ev.mapInPandas(
-        V.make_kmeans_assign_kernel(codebook, cids), schema=schema
+        V.make_kmeans_assign_kernel(codebook, cids),
+        schema="vec_id long, _v array<double>, cid long, d2 double",
     ).select("vec_id", "cid")
 
-    hk = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    sized = final.withColumn("hk", hk)
+    sized = final.withColumn("hk", content_hash_col("vec_id"))
     sizes = sized.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_in_cluster")
     )

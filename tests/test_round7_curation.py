@@ -32,7 +32,7 @@ def _mini_store(spark, tmp_path, rows):
     schema = (
         "doc_id long, "
         + ", ".join(f"{n} double" for n, _ in FEATURES)
-        + ", y double, n_tokens int"
+        + ", y double, n_tokens long"  # the real store longs n_tokens
     )
     feat = spark.createDataFrame(rows, schema)
     store = str(tmp_path / "qstore")
