@@ -314,12 +314,123 @@ _STORE_SCHEMA = (
 )
 
 
+def _qstore_dir(sf_dir: str) -> str:
+    import hashlib
+
+    from psd_project_spark.sources.registry import source_fingerprint
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    fp = source_fingerprint(sf_dir, "documents")
+    return (
+        f"/tmp/psd_spark_sink/{key}/quality_feature_store_"
+        f"{FEATURE_STORE_BUCKETS}_{fp}"
+    )
+
+
+def _write_store_batch(feat: DataFrame, path: str, mode: str) -> None:
+    """Write (or append) one corpus batch's feature rows into the
+    bucket-partitioned store layout (co-locate each bucket before the
+    partitioned write — the smallfile trap, see ann_index_export)."""
+    (
+        feat.withColumn(
+            "bucket",
+            F.pmod(
+                F.xxhash64("doc_id"), F.lit(FEATURE_STORE_BUCKETS)
+            ).cast("int"),
+        )
+        .repartition(8, "bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def _ensure_feature_store(
+    spark: SparkSession, sf_dir: str, feat: DataFrame
+) -> str:
+    """Build (or reuse) the PERSISTED doc-keyed feature store for
+    ``sf_dir`` under the shared incremental-index lifecycle
+    (``build_base_plus_delta``: writer lock, base ``overwrite`` +
+    delta ``append``, partition manifest, per-bucket compaction,
+    completion marker strictly last — the MinHash/ANN/anchor index
+    protocol applied to a feature store). Base batch:
+    ``doc_id % 3 != 2``; delta: the rest — together the whole corpus,
+    since every arriving doc must find its row. Keyed by the source
+    fingerprint, so a changed corpus prunes-and-rebuilds while reruns
+    hit the marker gate and skip the build entirely. Shared by
+    :func:`stream_quality_score` and
+    :func:`quality_store_incremental`."""
+    from psd_project_spark.operators.index_compact import (
+        build_base_plus_delta,
+        compact_index,
+    )
+
+    is_delta = F.col("doc_id") % 3 == 2
+    path = _qstore_dir(sf_dir) + "_incr"
+    build_base_plus_delta(
+        path,
+        lambda: _write_store_batch(feat.filter(~is_delta), path, "overwrite"),
+        lambda: _write_store_batch(feat.filter(is_delta), path, "append"),
+        compact_fn=lambda: compact_index(
+            spark, path, ["bucket"], _STORE_SCHEMA
+        ),
+    )
+    return path
+
+
+def _lookup_scores(
+    ids: DataFrame, store: str, present: set, w: list[float], b: float
+) -> DataFrame:
+    """One pruned store lookup + the frozen linear head: the batch's
+    doc_ids hash to store buckets, the probed set intersects the
+    ``_PARTITIONS`` manifest (already read into ``present`` — ONE
+    small-file read per store), only those partition dirs are
+    scanned, and the id set broadcasts into the lookup join. Shared
+    verbatim by the streaming ``foreachBatch`` callable and the batch
+    incremental-lifecycle probe."""
+    ss = ids.sparkSession
+    ids = ids.select("doc_id").distinct().withColumn(
+        "bucket",
+        F.pmod(
+            F.xxhash64("doc_id"), F.lit(FEATURE_STORE_BUCKETS)
+        ).cast("int"),
+    )
+    probe = sorted(
+        {int(r["bucket"]) for r in ids.select("bucket").distinct().collect()}
+    )
+    dirs = [
+        f"{store}/bucket={k}" for k in probe if f"bucket={k}" in present
+    ]
+    if not dirs:
+        return ss.createDataFrame(
+            [], "doc_id long, label int, score double, keep int"
+        )
+    hit = (
+        ss.read.option("basePath", store)
+        .schema(_STORE_SCHEMA)
+        .parquet(*dirs)
+        .join(F.broadcast(ids.select("doc_id")), "doc_id")
+    )
+    z = _z_col(w, b)
+    one = F.lit(1.0)
+    p = F.lit(0.5) * (one + z / (one + F.abs(z)))
+    return hit.select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        F.round(p, 6).alias("score"),
+        (z >= F.lit(0.0)).cast("int").alias("keep"),
+    )
+
+
 def stream_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring at INGEST time — the online half of the
     offline/online split every production quality filter runs: the
     expensive corpus-dependent featurization (``quality_features``:
     corpus-frequency LM, cross-document boilerplate model) is computed
-    ONCE batch-side and persisted as a doc-keyed FEATURE STORE; the
+    ONCE batch-side and persisted as a doc-keyed FEATURE STORE (the
+    fingerprint-keyed incremental store of
+    :func:`_ensure_feature_store` — reruns hit the completion-marker
+    gate and skip the build); the
     classifier trains once batch-side (same deterministic schedule as
     ``quality_classifier_train``, weights frozen as O(d) literals);
     then arriving documents stream through and every micro-batch scores
@@ -344,29 +455,13 @@ def stream_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifetime; per-epoch cost tracks the EPOCH's doc count (its bucket
     subset of the store), never the corpus."""
     from psd_project_spark.functions.caching import scratch_dir
-    from psd_project_spark.operators.index_compact import (
-        list_partitions,
-        write_partition_manifest,
-    )
+    from psd_project_spark.operators.index_compact import list_partitions
     from psd_project_spark.streaming.foreach_sink import _run
     from psd_project_spark.streaming.jobs import _stream_dir
 
     feat = transient_cache(_feature_frame(spark, sf_dir))
     w, b, _report = _train(feat)
-    store = scratch_dir("psd_qcls_store_")
-    (
-        feat.withColumn(
-            "bucket",
-            F.pmod(
-                F.xxhash64("doc_id"), F.lit(FEATURE_STORE_BUCKETS)
-            ).cast("int"),
-        )
-        .repartition(8, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(store)
-    )
-    write_partition_manifest(store)
+    store = _ensure_feature_store(spark, sf_dir, feat)
     present = list_partitions(store)
 
     d = _stream_dir(sf_dir, "documents")
@@ -392,42 +487,61 @@ def _score_store_batch_fn(
     query runs)."""
 
     def score_batch(batch: DataFrame, batch_id: int) -> None:
-        ss = batch.sparkSession
-        ids = batch.select("doc_id").distinct().withColumn(
-            "bucket",
-            F.pmod(
-                F.xxhash64("doc_id"), F.lit(FEATURE_STORE_BUCKETS)
-            ).cast("int"),
-        )
-        probe = sorted(
-            {int(r["bucket"]) for r in ids.select("bucket").distinct().collect()}
-        )
-        dirs = [
-            f"{store}/bucket={k}" for k in probe if f"bucket={k}" in present
-        ]
-        if dirs:
-            hit = (
-                ss.read.option("basePath", store)
-                .schema(_STORE_SCHEMA)
-                .parquet(*dirs)
-                .join(F.broadcast(ids.select("doc_id")), "doc_id")
-            )
-            z = _z_col(w, b)
-            one = F.lit(1.0)
-            p = F.lit(0.5) * (one + z / (one + F.abs(z)))
-            res = hit.select(
-                "doc_id",
-                F.col("y").cast("int").alias("label"),
-                F.round(p, 6).alias("score"),
-                (z >= F.lit(0.0)).cast("int").alias("keep"),
-            )
-        else:
-            res = ss.createDataFrame(
-                [], "doc_id long, label int, score double, keep int"
-            )
-        res.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+        _lookup_scores(batch, store, present, w, b).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/batch_id={batch_id}")
 
     return score_batch
+
+
+def quality_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature store's LIFECYCLE driver row — the feature-store
+    twin of ``substr_index_incremental``/``ann_index_compaction``:
+    build the persisted doc-keyed store as base (``doc_id % 3 != 2``,
+    overwrite) + delta (append) + per-bucket compaction under the
+    shared ``build_base_plus_delta`` protocol, then score an arriving
+    eval batch (``doc_id % 50 == 0`` — a new crawl shard asking "what
+    would the quality filter keep?") through the manifest-pruned
+    lookup + frozen linear head. The oracle is the batch
+    train-and-score restricted to the same eval set, so a hash match
+    proves base build + delta append + compaction + pruned probe +
+    frozen-weight scoring ≡ one-shot featurize-and-score. At 100 TB
+    the store build amortizes across ingest shards (rerun hits the
+    completion-marker gate and skips it); a probe reads ≤ |batch
+    bucket| partitions of the store, and the eval set broadcasts."""
+    from psd_project_spark.operators.index_compact import list_partitions
+    from psd_project_spark.sources.registry import load_table
+
+    feat = transient_cache(_feature_frame(spark, sf_dir))
+    w, b, _report = _train(feat)
+    store = _ensure_feature_store(spark, sf_dir, feat)
+    present = list_partitions(store)
+    arriving = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 50 == 0)
+    )
+    return _lookup_scores(arriving, store, present, w, b).orderBy("doc_id")
+
+
+def _score_eval_oracle() -> str:
+    """The batch score oracle restricted to the arriving eval set —
+    shared CTE chain with ``_score_oracle`` (only the WHERE differs),
+    mirroring the Spark-side sharing of the scoring projection."""
+    return f"""WITH {_feat_cte()},
+{_train_ctes()},
+scored AS (
+  SELECT f.doc_id, f.y, {_z_sql()} AS z
+  FROM feat f CROSS JOIN w{ITERS} w
+  WHERE f.doc_id % 50 = 0
+)
+SELECT doc_id,
+       CAST(y AS INT) AS label,
+       {_round6_sql("CAST(0.5 AS DOUBLE)*(CAST(1.0 AS DOUBLE) + z/(CAST(1.0 AS DOUBLE)+abs(z)))")} AS score,
+       CASE WHEN z >= CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END AS keep
+FROM scored
+ORDER BY doc_id
+"""
 
 
 # --- domain_mixture_weights (classifier-driven sampling mixture) -------------
@@ -724,6 +838,10 @@ QUERIES = {
     "quality_classifier_train": (quality_classifier_train, _train_oracle()),
     "quality_classifier_score": (quality_classifier_score, _score_oracle()),
     "stream_quality_score": (stream_quality_score, _score_oracle()),
+    "quality_store_incremental": (
+        quality_store_incremental,
+        _score_eval_oracle(),
+    ),
     "domain_mixture_weights": (domain_mixture_weights, _mixture_oracle()),
     "mixture_resample": (mixture_resample, _mixture_resample_oracle()),
 }

@@ -51,6 +51,7 @@ _PRIORITY = (
     "quality_classifier_train",
     "quality_classifier_score",
     "stream_quality_score",
+    "quality_store_incremental",
     "domain_mixture_weights",
     "mixture_resample",
     "cluster_balanced_sample",
@@ -89,7 +90,8 @@ _PRIORITY = (
     "measures_window",
     "alerts_batch",
     "alert_counts",
-    "value_histogram",
+    # (value_histogram yielded its slot to quality_store_incremental:
+    # risk.py is untouched since round 5 and it holds a green r06 row)
     "portfolio_projection",
     "psd_samples_source",
     "alert_log_roundtrip",

@@ -94,6 +94,9 @@ ADAPTIVE = [
     # the budget draw: budgets, survivor volumes, and the selected
     # prefix all scale with the corpus's kept token mass
     "mixture_resample",
+    # the store lifecycle: base/delta/compaction volumes and the
+    # probed bucket population grow with the corpus
+    "quality_store_incremental",
 ]
 
 

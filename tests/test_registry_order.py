@@ -28,6 +28,7 @@ R7_NEW = {
     "quality_classifier_train",
     "quality_classifier_score",
     "stream_quality_score",
+    "quality_store_incremental",
     "domain_mixture_weights",
     "mixture_resample",
     "cluster_balanced_sample",

@@ -150,6 +150,42 @@ def test_stream_score_unknown_doc_yields_no_row(spark, tmp_path):
     assert list(got["doc_id"]) == [1]
 
 
+# --- quality_store_incremental -----------------------------------------------
+
+
+def test_feature_store_marker_gates_rebuild(spark):
+    """A second _ensure_feature_store over the same corpus hits the
+    completion-marker gate: no file in the store changes (the
+    amortize-across-shards claim), and the store covers every doc
+    exactly once across base+delta."""
+    import os
+
+    from psd_project_spark.operators.quality_classifier import (
+        _ensure_feature_store,
+        _feature_frame,
+    )
+
+    feat = _feature_frame(spark, SF_DIR)
+    path = _ensure_feature_store(spark, SF_DIR, feat)
+    assert os.path.exists(os.path.join(path, "_DELTA_APPENDED"))
+
+    def listing(p):
+        out = {}
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                out[fp] = os.path.getmtime(fp)
+        return out
+
+    before = listing(path)
+    assert _ensure_feature_store(spark, SF_DIR, feat) == path
+    assert listing(path) == before
+    n_docs = feat.count()
+    stored = spark.read.parquet(path)
+    assert stored.count() == n_docs
+    assert stored.select("doc_id").distinct().count() == n_docs
+
+
 # --- domain_mixture_weights --------------------------------------------------
 
 
