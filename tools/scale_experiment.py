@@ -101,6 +101,9 @@ QUERIES = [
     # kept mass; the replicated corpus also doubles every source's
     # budget, so the selection itself grows 10x
     "mixture_resample",
+    # the feature-store lifecycle: base/delta/compaction are
+    # data-sized (once), the probe reads manifest-pruned buckets
+    "quality_store_incremental",
 ]
 
 
