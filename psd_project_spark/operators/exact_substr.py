@@ -757,7 +757,7 @@ def stream_crawl_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost tracks the EPOCH's doc volume, never the corpus."""
     from psd_project_spark.functions.caching import scratch_dir
     from psd_project_spark.operators.index_compact import list_partitions
-    from psd_project_spark.streaming.foreach_sink import _run
+    from psd_project_spark.streaming.foreach_sink import run_stream
     from psd_project_spark.streaming.jobs import _stream_dir
 
     docs = spread_small(load_table(spark, sf_dir, "documents"), spark)
@@ -775,8 +775,8 @@ def stream_crawl_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scratch_dir("crawl_screen_out")
     ckpt = scratch_dir("crawl_screen_ckpt")
-    _run(arriving, _screen_batch_fn(path, present, out), ckpt,
-         state_partitions=None)
+    run_stream(arriving, _screen_batch_fn(path, present, out), ckpt,
+               state_partitions=None)
     return (
         spark.read.parquet(out)
         .drop("batch_id")
@@ -826,9 +826,9 @@ def _screen_batch_fn(path: str, present: set, out: str):
             flagged = ss.createDataFrame(
                 [], "doc_id long, n_tokens int, pos int"
             )
-        _leak_report(flagged, roster).write.mode("overwrite").parquet(
-            f"{out}/batch_id={batch_id}"
-        )
+        from psd_project_spark.streaming.foreach_sink import write_epoch
+
+        write_epoch(_leak_report(flagged, roster), out, batch_id)
 
     return screen_batch
 

@@ -456,7 +456,7 @@ def stream_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset of the store), never the corpus."""
     from psd_project_spark.functions.caching import scratch_dir
     from psd_project_spark.operators.index_compact import list_partitions
-    from psd_project_spark.streaming.foreach_sink import _run
+    from psd_project_spark.streaming.foreach_sink import run_stream
     from psd_project_spark.streaming.jobs import _stream_dir
 
     feat = transient_cache(_feature_frame(spark, sf_dir))
@@ -469,8 +469,8 @@ def stream_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving = spark.readStream.schema(schema).parquet(d).select("doc_id")
     out = scratch_dir("psd_qcls_out_")
     ckpt = scratch_dir("psd_qcls_ckpt_")
-    _run(arriving, _score_store_batch_fn(store, present, w, b, out), ckpt,
-         state_partitions=None)
+    run_stream(arriving, _score_store_batch_fn(store, present, w, b, out),
+               ckpt, state_partitions=None)
     return (
         spark.read.parquet(out)
         .drop("batch_id")
@@ -487,9 +487,9 @@ def _score_store_batch_fn(
     query runs)."""
 
     def score_batch(batch: DataFrame, batch_id: int) -> None:
-        _lookup_scores(batch, store, present, w, b).write.mode(
-            "overwrite"
-        ).parquet(f"{out}/batch_id={batch_id}")
+        from psd_project_spark.streaming.foreach_sink import write_epoch
+
+        write_epoch(_lookup_scores(batch, store, present, w, b), out, batch_id)
 
     return score_batch
 

@@ -1354,7 +1354,7 @@ def stream_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash match proves index build + manifest pruning + per-epoch
     probes + epoch-sink reassembly end-to-end."""
     from psd_project_spark.functions.caching import scratch_dir
-    from psd_project_spark.streaming.foreach_sink import _run
+    from psd_project_spark.streaming.foreach_sink import run_stream
     from psd_project_spark.streaming.jobs import _stream_dir
 
     e = _embeddings(spark, sf_dir)
@@ -1369,8 +1369,8 @@ def stream_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scratch_dir("ann_search_out")
     ckpt = scratch_dir("ann_search_ckpt")
-    _run(arriving, _search_batch_fn(e, path, out), ckpt,
-         state_partitions=None)
+    run_stream(arriving, _search_batch_fn(e, path, out), ckpt,
+               state_partitions=None)
     return (
         spark.read.parquet(out)
         .drop("batch_id")
@@ -1390,8 +1390,9 @@ def _search_batch_fn(e: DataFrame, path: str, out: str):
                 "vec_id", "_v", _pair_sig_udf(F.col("_v")).alias("sig")
             ).collect()
         )
-        res = _probe_with_sigs(ss, e, path, qsig)
-        res.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+        from psd_project_spark.streaming.foreach_sink import write_epoch
+
+        write_epoch(_probe_with_sigs(ss, e, path, qsig), out, batch_id)
 
     return search_batch
 

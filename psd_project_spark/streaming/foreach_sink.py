@@ -35,7 +35,14 @@ from pyspark.sql import functions as F
 from psd_project_spark.streaming.jobs import STATE_PARTITIONS
 
 
-def _run(result: DataFrame, batch_fn, ckpt: str, state_partitions) -> None:
+def run_stream(
+    result: DataFrame, batch_fn, ckpt: str, state_partitions
+) -> None:
+    """Run a foreachBatch callable over ``result`` to completion
+    (``availableNow`` trigger) with the state-partition override
+    scoped to the run — the PUBLIC runner for custom epoch callables
+    (the streaming crawl screen / ANN search / quality scorer), so
+    every foreachBatch query shares one start/await/restore path."""
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
@@ -53,6 +60,19 @@ def _run(result: DataFrame, batch_fn, ckpt: str, state_partitions) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+#: Backward-compatible internal alias (pre-dates the public name).
+_run = run_stream
+
+
+def write_epoch(df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """The idempotent epoch-sink LAYOUT in one place: each micro-batch
+    owns ``batch_id=N`` and a replayed epoch overwrites its own
+    directory instead of duplicating rows — every custom epoch
+    callable must write through this so the replay contract cannot
+    drift between copies."""
+    df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+
 def run_foreachbatch_append(
     result: DataFrame,
     out_dir: str,
@@ -63,9 +83,9 @@ def run_foreachbatch_append(
     ``spark.read.parquet(out_dir)`` (batch_id becomes a column)."""
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        write_epoch(df, out_dir, batch_id)
 
-    _run(result, write_batch, ckpt, state_partitions)
+    run_stream(result, write_batch, ckpt, state_partitions)
 
 
 def current_upsert_table(spark, out_dir: str) -> DataFrame:
