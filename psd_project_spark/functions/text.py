@@ -107,9 +107,10 @@ def content_hash_col(id_col):
     string form, first 8 hex chars as a bigint (DuckDB twin:
     ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8))::BIGINT``).
     Centralized because the Spark expression and the oracle SQL must
-    stay a bit-exact pair; inline copies still exist in sampling.py /
-    governance.py (pre-dating this helper — migrate them whenever
-    those modules next rotate through the driver window)."""
+    stay a bit-exact pair; every in-repo consumer of the 8-hex-conv
+    recipe goes through this helper (sampling.py / governance.py
+    migrated in round 8 — ``source_mix_rebalance`` is NOT a consumer:
+    it orders by the FULL md5 hex string, a different recipe)."""
     from pyspark.sql import functions as F
 
     return F.conv(

@@ -88,13 +88,10 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
+    from psd_project_spark.functions.text import content_hash_col
+
     vmax = e.agg(F.max("value").alias("vmax"))
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
-        ).cast("double")
-        / F.lit(4294967296.0)
-    )
+    u = content_hash_col("event_id").cast("double") / F.lit(4294967296.0)
     out = (
         e.crossJoin(F.broadcast(vmax))
         .withColumn("_keep", (u < F.col("value") / F.col("vmax")).cast("int"))

@@ -321,9 +321,19 @@ def _qstore_dir(sf_dir: str) -> str:
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     fp = source_fingerprint(sf_dir, "documents")
+    # Recipe fingerprint (ADVICE r07 #1): the store caches FEATURE
+    # ROWS, so its identity is (source data × feature definition), not
+    # source data alone — without this, editing FEATURES/_STORE_SCHEMA
+    # would serve a stale store through the marker gate and the
+    # explicit-schema read would silently null-fill renamed columns.
+    # The source fingerprint stays LAST in the dir name (the
+    # prune_siblings_of parse contract).
+    rh = hashlib.md5(
+        (_STORE_SCHEMA + "|" + repr(FEATURES)).encode()
+    ).hexdigest()[:8]
     return (
         f"/tmp/psd_spark_sink/{key}/quality_feature_store_"
-        f"{FEATURE_STORE_BUCKETS}_{fp}"
+        f"{FEATURE_STORE_BUCKETS}_{rh}_{fp}"
     )
 
 
@@ -389,11 +399,19 @@ def _lookup_scores(
     verbatim by the streaming ``foreachBatch`` callable and the batch
     incremental-lifecycle probe."""
     ss = ids.sparkSession
-    ids = ids.select("doc_id").distinct().withColumn(
-        "bucket",
-        F.pmod(
-            F.xxhash64("doc_id"), F.lit(FEATURE_STORE_BUCKETS)
-        ).cast("int"),
+    # transient_cache (ADVICE r07 #2): the ids frame feeds BOTH the
+    # distinct-bucket collect and the broadcast join side — without
+    # the cache each micro-batch source is evaluated twice. Released
+    # at the next registry query's entry (the per-query scratch-cache
+    # contract); doc_ids themselves never land on the driver (only the
+    # ≤ FEATURE_STORE_BUCKETS bucket ids do).
+    ids = transient_cache(
+        ids.select("doc_id").distinct().withColumn(
+            "bucket",
+            F.pmod(
+                F.xxhash64("doc_id"), F.lit(FEATURE_STORE_BUCKETS)
+            ).cast("int"),
+        )
     )
     probe = sorted(
         {int(r["bucket"]) for r in ids.select("bucket").distinct().collect()}
@@ -604,11 +622,19 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("keep_rate"),
             "kept_tokens",
-            F.round(
-                F.col("kept_tokens").cast("double")
-                / F.col("_total_tokens").cast("double"),
-                6,
-            ).alias("mix_weight"),
+            # all-cut guard (ADVICE r07 #3): a corpus where the
+            # classifier keeps nothing has zero surviving mass —
+            # defined zero weights, never a divide-by-zero
+            F.when(
+                F.col("_total_tokens") > 0,
+                F.round(
+                    F.col("kept_tokens").cast("double")
+                    / F.col("_total_tokens").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mix_weight"),
         )
         .orderBy("source")
     )
@@ -637,7 +663,9 @@ SELECT source, n_docs, kept_docs,
        {_round6_sql("CAST(kept_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
          AS keep_rate,
        kept_tokens,
-       {_round6_sql("CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)")}
+       CASE WHEN total_tokens > 0
+            THEN {_round6_sql("CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)")}
+            ELSE CAST(0.0 AS DOUBLE) END
          AS mix_weight
 FROM per_src CROSS JOIN tot
 ORDER BY source
@@ -721,13 +749,23 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_flat_tot"),
         F.expr("sum(kept_tokens) DIV 2").alias("_budget_total"),
     )
+    # all-cut guard (ADVICE r07 #3): an all-zero surviving mass (every
+    # kept doc empty, or nothing kept at all — then `kept` is already
+    # empty and so is the result) yields defined zero budgets, never a
+    # divide-by-zero.
     budgets = flat.crossJoin(F.broadcast(tot)).select(
         "source",
         "kept_tokens",
-        F.floor(
-            (F.col("flat_mass") / F.col("_flat_tot"))
-            * F.col("_budget_total").cast("double")
-        ).alias("budget_tokens"),
+        F.when(
+            F.col("_flat_tot") > 0,
+            F.floor(
+                (F.col("flat_mass") / F.col("_flat_tot"))
+                * F.col("_budget_total").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("budget_tokens"),
     )
 
     sized = kept.join(
@@ -809,8 +847,10 @@ tot AS (
 ),
 budgets AS (
   SELECT source,
-         CAST(floor((flat_mass / flat_tot)
-                    * CAST(budget_total AS DOUBLE)) AS BIGINT)
+         CASE WHEN flat_tot > 0
+              THEN CAST(floor((flat_mass / flat_tot)
+                         * CAST(budget_total AS DOUBLE)) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END
            AS budget_tokens
   FROM flat CROSS JOIN tot
 ),

@@ -34,11 +34,10 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(split, lang) doc counts. Engine-portable (md5 is identical
     everywhere — the DuckDB oracle reproduces the exact assignment),
     rerun-stable, and skew-free regardless of doc_id distribution."""
+    from psd_project_spark.functions.text import content_hash_col
+
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"),
-        F.lit(10),
-    )
+    bucket = F.pmod(content_hash_col("text"), F.lit(10))
     split = F.when(bucket == VAL_BUCKET, "val").otherwise("train")
     return (
         d.select(split.alias("split"), "lang")
@@ -129,11 +128,10 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash rule is a pure function of content: same doc → same verdict
     everywhere, and the oracle reproduces it exactly. Reports
     per-language kept/total/rate."""
+    from psd_project_spark.functions.text import content_hash_col
+
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"),
-        F.lit(100),
-    )
+    bucket = F.pmod(content_hash_col("text"), F.lit(100))
     rate = F.lit(_DEFAULT_RATE)
     for lang, r in STRATA_RATES:
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)

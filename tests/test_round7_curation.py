@@ -11,6 +11,7 @@ salted two-phase selection's exactness on a skewed synthetic corpus.
 import pandas as pd
 from pyspark.sql import functions as F
 
+from psd_project_spark.functions.text import content_hash_col
 from tests.conftest import SF_DIR
 
 
@@ -284,12 +285,7 @@ def test_budget_prefix_two_phase_equals_global(spark):
     rows += [(2000 + i, "cold", 5, 10_000) for i in range(40)]
     sized = spark.createDataFrame(
         rows, "doc_id long, source string, n_tokens int, budget_tokens long"
-    ).withColumn(
-        "hk",
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long"),
-    )
+    ).withColumn("hk", content_hash_col("doc_id"))
     got = (
         _budget_prefix(sized)
         .select("source", "doc_id", "cum_tokens")
@@ -365,10 +361,7 @@ def test_two_phase_selection_equals_global_rank(spark):
 
     rows = [(i, 0) for i in range(400)] + [(1000 + i, 1) for i in range(5)]
     final = spark.createDataFrame(rows, "vec_id long, cid long")
-    hk = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    sized = final.withColumn("hk", hk)
+    sized = final.withColumn("hk", content_hash_col("vec_id"))
 
     w_local = Window.partitionBy("cid", "salt").orderBy("hk", "vec_id")
     survivors = (
