@@ -678,6 +678,11 @@ ORDER BY source
 #: straggler note in :func:`mixture_resample`).
 MIX_SALTS = 16
 
+#: Chunk fan-out of the final exact prefix sum (functions/prefix.py):
+#: the per-source running total is computed over 64 hash-prefix
+#: chunks in parallel, never as one task per source.
+MIX_CHUNKS = 64
+
 
 def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATERIALIZE the training mix: draw an actual document subset
@@ -716,13 +721,21 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
        past it provably out, and — because every excluded doc sits at
        or past the cut — survivors BEFORE the cut have survivor-cumsum
        ≡ true cumsum;
-    3. the global window re-ranks only the pre-cut survivors, whose
-       volume is budget-proportional per salt (each salt's survivor
-       prefix carries ≤ budget mass), never corpus-sized.
+    3. the exact running total over the pre-cut survivors is a
+       TWO-LEVEL PREFIX SUM (``functions/prefix.chunked_cumsum``,
+       VERDICT r07 #1), never one window task per source: survivors
+       split into ``MIX_CHUNKS`` hash-prefix chunks (``hk DIV
+       (2^32/64)`` — deterministic, order-consistent, uniform), each
+       chunk cumsums locally in parallel, and the tiny per-chunk
+       totals broadcast back as exclusive offsets. Integer token sums
+       make the composition bit-identical to the single window — at
+       any default parameterization, including the budget = ½·mass
+       case where the salt cut never trips and the survivors are
+       ~the whole kept corpus.
 
     The oracle computes the straightforward single global window, so
-    the hash match PROVES the two-phase composition exact (the
-    ``cluster_balanced_sample`` discipline for mass quotas)."""
+    the hash match PROVES the chunked two-phase composition exact
+    (the ``cluster_balanced_sample`` discipline for mass quotas)."""
     from psd_project_spark.functions.text import content_hash_col
     from psd_project_spark.sources.registry import load_table
 
@@ -810,13 +823,18 @@ def _budget_prefix(sized: DataFrame) -> DataFrame:
         )
         .drop("_cut", "_lcum", "salt")
     )
-    w_global = (
-        Window.partitionBy("source")
-        .orderBy("hk", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from psd_project_spark.functions.prefix import (
+        chunked_cumsum,
+        hash_chunk_col,
     )
-    return pre_cut.withColumn(
-        "cum_tokens", F.sum("n_tokens").over(w_global).cast("long")
+
+    return chunked_cumsum(
+        pre_cut,
+        ["source"],
+        ["hk", "doc_id"],
+        hash_chunk_col("hk", MIX_CHUNKS),
+        F.col("n_tokens"),
+        "cum_tokens",
     ).filter(F.col("cum_tokens") <= F.col("budget_tokens"))
 
 

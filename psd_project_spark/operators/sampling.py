@@ -188,8 +188,12 @@ def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape for 100 TB: per-language counts are one map-side-
     combined aggregate collapsed to ≤ |langs| rows (joined back as a
-    broadcast); the rank is one window shuffle on the language key.
-    The per-key sort is the price of an EXACT quota — when an
+    broadcast); the EXACT rank is a chunk-parallel two-level prefix
+    sum (``functions/prefix.chunked_rank``, VERDICT r07 #1 — the fix
+    that retired this module's documented per-key single-task sort):
+    256 hash-prefix chunks per language rank locally in parallel and
+    tiny per-chunk counts broadcast back as exclusive offsets, so no
+    task ever sorts more than ~1/256 of a language. When an
     approximate quota suffices, ``stratified_sample`` (hash-threshold,
     no sort, no window) is the constant-time sibling."""
     mix = spark.createDataFrame(list(TARGET_MIX), "lang string, w double")
@@ -206,10 +210,16 @@ def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lang",
         F.floor(F.col("_scale") * F.col("w")).alias("target_n"),
     )
-    w_rank = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    from psd_project_spark.functions.prefix import (
+        chunked_rank,
+        hex_chunk_col,
+    )
+
+    ranked = chunked_rank(
+        d, ["lang"], ["_h", "doc_id"], hex_chunk_col("_h"), "lang_rank"
+    )
     return (
-        d.withColumn("lang_rank", F.row_number().over(w_rank).cast("long"))
-        .join(F.broadcast(targets), "lang")
+        ranked.join(F.broadcast(targets), "lang")
         .select(
             "doc_id",
             "lang",
