@@ -158,6 +158,33 @@ def _train(
     return w, b, report
 
 
+#: Deterministic-model memo (VERDICT r07 plan-audit note): every
+#: consumer query of this family re-ran the identical 5-iteration
+#: descent — ~5 aggregation passes each over the same corpus for the
+#: same O(d) weights. The schedule is deterministic given (corpus,
+#: feature recipe, ITERS, LR), so the weights are memoized on exactly
+#: that key; a corpus regeneration (new source fingerprint) or a
+#: recipe edit re-trains. ``quality_classifier_train`` itself always
+#: trains live — the training path stays exercised every run.
+_MODEL_CACHE: dict[tuple, tuple] = {}
+
+
+def _model(
+    sf_dir: str, feat: DataFrame
+) -> tuple[list[float], float, list[tuple[int, float, float]]]:
+    import hashlib
+
+    from psd_project_spark.sources.registry import source_fingerprint
+
+    recipe = hashlib.md5(
+        f"{FEATURES!r}|{ITERS}|{LR}".encode()
+    ).hexdigest()[:8]
+    key = (sf_dir, source_fingerprint(sf_dir, "documents"), recipe)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = _train(feat)
+    return _MODEL_CACHE[key]
+
+
 def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed fixed-iteration training of the linear quality
     classifier; returns the per-iteration convergence report
@@ -179,7 +206,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; ``label`` rides along so precision/recall of the distilled
     filter are auditable downstream."""
     feat = transient_cache(_feature_frame(spark, sf_dir))
-    w, b, _report = _train(feat)
+    w, b, _report = _model(sf_dir, feat)
     z = _z_col(w, b)
     one = F.lit(1.0)
     p = F.lit(0.5) * (one + z / (one + F.abs(z)))
@@ -478,7 +505,7 @@ def stream_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from psd_project_spark.streaming.jobs import _stream_dir
 
     feat = transient_cache(_feature_frame(spark, sf_dir))
-    w, b, _report = _train(feat)
+    w, b, _report = _model(sf_dir, feat)
     store = _ensure_feature_store(spark, sf_dir, feat)
     present = list_partitions(store)
 
@@ -531,7 +558,7 @@ def quality_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from psd_project_spark.sources.registry import load_table
 
     feat = transient_cache(_feature_frame(spark, sf_dir))
-    w, b, _report = _train(feat)
+    w, b, _report = _model(sf_dir, feat)
     store = _ensure_feature_store(spark, sf_dir, feat)
     present = list_partitions(store)
     arriving = (
@@ -562,6 +589,212 @@ ORDER BY doc_id
 """
 
 
+# --- quality_classifier_eval (per-source error profile) ----------------------
+
+
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE error profile of the distilled quality filter
+    (VERDICT r07 "Next round" #4): precision / recall / F1 of the
+    keep decision against the distillation labels, per document
+    source — a production quality classifier is judged by WHERE it
+    errs (which domains it over-cuts or over-keeps), not by one
+    global accuracy; this is also the auditable quality axis behind
+    ``domain_mixture_weights``' per-source budgets.
+
+    Exactness: tp/fp/fn/tn are integer sums; precision and recall
+    are one long→double cast + one IEEE division each; F1 is the
+    same left-associated ``(2·p·r)/(p+r)`` on both engines from the
+    RAW (unrounded) ratios, rounded once for display. Zero guards
+    mirror as identical CASE arms (a source with nothing kept has
+    defined zeros — and ``tp > 0`` implies both denominators are
+    positive, so F1's guard is just that).
+
+    Plan: one stateless literal-weight projection riding the feature
+    scan, the roster equi-join, one map-side-combinable
+    groupBy(source) — ~|sources| rows after the exchange; nothing
+    downstream is data-sized."""
+    from psd_project_spark.sources.registry import load_table
+
+    feat = transient_cache(_feature_frame(spark, sf_dir))
+    w, b, _report = _model(sf_dir, feat)
+    k = (_z_col(w, b) >= F.lit(0.0)).cast("long")
+    lbl = F.col("y").cast("long")
+    roster = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    per = (
+        feat.select("doc_id", k.alias("k"), lbl.alias("l"))
+        .join(roster, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("k") * F.col("l")).alias("tp"),
+            F.sum(F.col("k") * (F.lit(1) - F.col("l"))).alias("fp"),
+            F.sum((F.lit(1) - F.col("k")) * F.col("l")).alias("fn"),
+            F.sum(
+                (F.lit(1) - F.col("k")) * (F.lit(1) - F.col("l"))
+            ).alias("tn"),
+        )
+    )
+    p = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast(
+        "double"
+    )
+    r = F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast(
+        "double"
+    )
+    f1 = (F.lit(2.0) * p * r) / (p + r)
+    zero = F.lit(0.0)
+    return per.select(
+        "source",
+        "n_docs",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(F.col("tp") + F.col("fp") > 0, F.round(p, 6))
+        .otherwise(zero)
+        .alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0, F.round(r, 6))
+        .otherwise(zero)
+        .alias("recall"),
+        F.when(F.col("tp") > 0, F.round(f1, 6)).otherwise(zero).alias("f1"),
+    ).orderBy("source")
+
+
+def _eval_oracle() -> str:
+    praw = "CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)"
+    rraw = "CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)"
+    f1raw = (
+        f"(CAST(2.0 AS DOUBLE) * ({praw}) * ({rraw}))"
+        f" / (({praw}) + ({rraw}))"
+    )
+    return f"""WITH {_feat_cte()},
+{_train_ctes()},
+scored AS (
+  SELECT f.doc_id, CAST(f.y AS BIGINT) AS l,
+         CASE WHEN {_z_sql()} >= CAST(0.0 AS DOUBLE)
+              THEN 1 ELSE 0 END AS k
+  FROM feat f CROSS JOIN w{ITERS} w
+),
+per AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(s.k * s.l) AS BIGINT) AS tp,
+         CAST(sum(s.k * (1 - s.l)) AS BIGINT) AS fp,
+         CAST(sum((1 - s.k) * s.l) AS BIGINT) AS fn,
+         CAST(sum((1 - s.k) * (1 - s.l)) AS BIGINT) AS tn
+  FROM scored s JOIN documents d USING (doc_id)
+  GROUP BY d.source
+)
+SELECT source, n_docs, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN {_round6_sql(praw)}
+            ELSE CAST(0.0 AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0 THEN {_round6_sql(rraw)}
+            ELSE CAST(0.0 AS DOUBLE) END AS recall,
+       CASE WHEN tp > 0 THEN {_round6_sql(f1raw)}
+            ELSE CAST(0.0 AS DOUBLE) END AS f1
+FROM per
+ORDER BY source
+"""
+
+
+# --- quality_calibration (10-bin reliability table) ---------------------------
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table of the distilled filter: the
+    [0,1] score axis in 10 equal bins, each with its document count,
+    mean predicted score, and empirical positive rate — the standard
+    reliability-diagram input (a well-calibrated scorer has
+    ``mean_score ≈ pos_rate`` per bin; ``gap`` is the absolute
+    deviation, whose count-weighted sum is ECE). Scores land in bins
+    by ``least(floor(score·10), 9)`` — both engines bin the SAME
+    round6 double with the same IEEE multiply, so bin edges cannot
+    disagree.
+
+    Exactness: mean_score accumulates the round6 scores in
+    DECIMAL(27,15) (order-free); pos_rate is an integer count over n;
+    gap is one subtract + abs of two already-identical doubles.
+
+    Plan: the scoring projection rides the feature scan; one
+    map-side-combinable groupBy over ≤10 bins."""
+    feat = transient_cache(_feature_frame(spark, sf_dir))
+    w, b, _report = _model(sf_dir, feat)
+    z = _z_col(w, b)
+    one = F.lit(1.0)
+    score = F.round(
+        F.lit(0.5) * (one + z / (one + F.abs(z))), 6
+    )
+    binc = F.least(F.floor(score * F.lit(10.0)), F.lit(9).cast("long")).cast(
+        "int"
+    )
+
+    def dsum(c: Column) -> Column:
+        return F.sum(c.cast("decimal(27,15)")).cast("double")
+
+    agg = (
+        feat.select(binc.alias("bin"), score.alias("score"), "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                dsum(F.col("score")) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.col("y").cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("pos_rate"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        "mean_score",
+        "pos_rate",
+        F.round(F.abs(F.col("mean_score") - F.col("pos_rate")), 6).alias(
+            "gap"
+        ),
+    ).orderBy("bin")
+
+
+def _calibration_oracle() -> str:
+    score = (
+        "CAST(0.5 AS DOUBLE)*(CAST(1.0 AS DOUBLE)"
+        " + z/(CAST(1.0 AS DOUBLE)+abs(z)))"
+    )
+    return f"""WITH {_feat_cte()},
+{_train_ctes()},
+zs AS (
+  SELECT f.doc_id, f.y, {_z_sql()} AS z
+  FROM feat f CROSS JOIN w{ITERS} w
+),
+scored AS (
+  SELECT doc_id, y, {_round6_sql(score)} AS score FROM zs
+),
+binned AS (
+  SELECT CAST(least(floor(score * CAST(10.0 AS DOUBLE)),
+                    CAST(9 AS DOUBLE)) AS INT) AS bin,
+         score, y
+  FROM scored
+),
+agg AS (
+  SELECT bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         {_round6_sql(_dsum_sql("score") + " / CAST(count(*) AS DOUBLE)")}
+           AS mean_score,
+         {_round6_sql("CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+           AS pos_rate
+  FROM binned
+  GROUP BY bin
+)
+SELECT bin, n_docs, mean_score, pos_rate,
+       {_round6_sql("abs(mean_score - pos_rate)")} AS gap
+FROM agg
+ORDER BY bin
+"""
+
+
 # --- domain_mixture_weights (classifier-driven sampling mixture) -------------
 
 
@@ -588,7 +821,7 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from psd_project_spark.sources.registry import load_table
 
     feat = transient_cache(_feature_frame(spark, sf_dir))
-    w, b, _report = _train(feat)
+    w, b, _report = _model(sf_dir, feat)
     keep = _z_col(w, b) >= F.lit(0.0)
     roster = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
@@ -740,7 +973,7 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from psd_project_spark.sources.registry import load_table
 
     feat = transient_cache(_feature_frame(spark, sf_dir))
-    w, b, _report = _train(feat)
+    w, b, _report = _model(sf_dir, feat)
     keep = _z_col(w, b) >= F.lit(0.0)
     roster = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
@@ -895,6 +1128,8 @@ ORDER BY source, cum_tokens, doc_id
 QUERIES = {
     "quality_classifier_train": (quality_classifier_train, _train_oracle()),
     "quality_classifier_score": (quality_classifier_score, _score_oracle()),
+    "quality_classifier_eval": (quality_classifier_eval, _eval_oracle()),
+    "quality_calibration": (quality_calibration, _calibration_oracle()),
     "stream_quality_score": (stream_quality_score, _score_oracle()),
     "quality_store_incremental": (
         quality_store_incremental,

@@ -141,6 +141,72 @@ def test_budget_prefix_plan_has_no_per_source_window(spark):
         assert ("_chunk" in ln) or ("salt" in ln), ln
 
 
+# --- classifier evaluation tier -----------------------------------------------
+
+
+def test_classifier_eval_counts_and_bounds(spark):
+    """Confusion cells partition each source's docs; P/R/F1 land in
+    [0,1]; the global confusion totals match the score query."""
+    from psd_project_spark.operators.quality_classifier import (
+        quality_classifier_eval,
+        quality_classifier_score,
+    )
+
+    ev = quality_classifier_eval(spark, SF_DIR).toPandas()
+    assert (ev["tp"] + ev["fp"] + ev["fn"] + ev["tn"] == ev["n_docs"]).all()
+    for c in ("precision", "recall", "f1"):
+        assert ev[c].between(0.0, 1.0).all(), ev[[c]]
+    sc = quality_classifier_score(spark, SF_DIR).toPandas()
+    assert int(ev["tp"].sum() + ev["fp"].sum()) == int(sc["keep"].sum())
+    assert int(ev["tp"].sum() + ev["fn"].sum()) == int(sc["label"].sum())
+    assert int(ev["n_docs"].sum()) == len(sc)
+
+
+def test_calibration_bins_partition_corpus(spark):
+    from psd_project_spark.operators.quality_classifier import (
+        quality_calibration,
+        quality_classifier_score,
+    )
+
+    cal = quality_calibration(spark, SF_DIR).toPandas()
+    sc = quality_classifier_score(spark, SF_DIR).toPandas()
+    assert cal["bin"].between(0, 9).all()
+    assert cal["bin"].is_unique
+    assert int(cal["n_docs"].sum()) == len(sc)
+    # each bin's mean score sits inside the bin's score interval
+    for _, row in cal.iterrows():
+        lo, hi = row["bin"] / 10.0, (row["bin"] + 1) / 10.0
+        assert lo - 1e-6 <= row["mean_score"] <= hi + 1e-6, row
+        assert abs(
+            row["gap"] - round(abs(row["mean_score"] - row["pos_rate"]), 6)
+        ) < 1e-9
+    # the table carries real calibration signal: the top bin's
+    # empirical positive rate beats the bottom bin's
+    if len(cal) > 1:
+        srt = cal.sort_values("bin")
+        assert srt["pos_rate"].iloc[-1] > srt["pos_rate"].iloc[0]
+
+
+def test_model_memo_returns_trained_weights(spark):
+    """_model ≡ _train on first use and serves the memo after."""
+    from psd_project_spark.operators import quality_classifier as qc
+
+    feat = qc._feature_frame(spark, SF_DIR)
+    w1, b1, rep1 = qc._model(SF_DIR, feat)
+    # a second call must not retrain: poison _train and ask again
+    orig = qc._train
+    qc._train = lambda *_: (_ for _ in ()).throw(
+        AssertionError("memo miss: _train re-ran")
+    )
+    try:
+        w2, b2, rep2 = qc._model(SF_DIR, feat)
+    finally:
+        qc._train = orig
+    assert w1 == w2 and b1 == b2 and rep1 == rep2
+    w3, b3, rep3 = qc._train(feat)
+    assert w1 == w3 and b1 == b3 and rep1 == rep3
+
+
 def test_source_mix_rebalance_plan_chunked(spark):
     """The retired 'price of exactness' per-lang sort stays retired:
     every Window in the plan carries the chunk column."""
