@@ -1378,13 +1378,36 @@ def stream_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _search_batch_fn(e: DataFrame, path: str, out: str):
+#: Per-epoch driver-state cap for the streaming probes (VERDICT r07
+#: "What's wrong" #2): each micro-batch's query vectors become
+#: driver-side probe state via ``collect()`` — correct for the
+#: request-stream shape (epochs are query-sized), but nothing in
+#: Structured Streaming bounds an epoch; a backlogged restart can
+#: deliver an arbitrarily large batch. The cap turns that into a loud,
+#: actionable error (raise ``maxFilesPerTrigger`` granularity or the
+#: cap) instead of a driver OOM. Checked with ``limit(cap+1).count()``
+#: so the guard itself never scans more than cap+1 rows.
+MAX_EPOCH_QUERIES = 65_536
+
+
+def _search_batch_fn(
+    e: DataFrame, path: str, out: str, max_epoch_rows: int = MAX_EPOCH_QUERIES
+):
     """The per-epoch ANN probe as a ``foreachBatch`` callable
-    (factored so tests can drive a multi-file query stream through the
-    identical code the registry query runs)."""
+    (factored so tests can drive a multi-file query stream — or an
+    oversized epoch — through the identical code the registry query
+    runs)."""
 
     def search_batch(batch: DataFrame, batch_id: int) -> None:
         ss = batch.sparkSession
+        n = batch.limit(max_epoch_rows + 1).count()
+        if n > max_epoch_rows:
+            raise RuntimeError(
+                f"stream_ann_search epoch {batch_id} carries >"
+                f" {max_epoch_rows} query vectors — refusing to collect"
+                " epoch-sized probe state onto the driver; lower the"
+                " trigger's file/row cap or raise MAX_EPOCH_QUERIES"
+            )
         qsig = (
             batch.select(
                 "vec_id", "_v", _pair_sig_udf(F.col("_v")).alias("sig")
