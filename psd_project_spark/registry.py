@@ -16,101 +16,94 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness driver only checks the FIRST 50 registry entries (in
 # iteration order), so ordering is part of the verification contract.
-# Round-7 rotation (VERDICT r06 "Next round"): round 7's new operators
-# lead the window (the persisted substring-anchor index, the ANN
-# compaction lifecycle row, the quality-classifier train/apply pair —
-# each needs a day-one driver row to keep the zero-queue property),
-# then every query of a module functionally changed in round 7 —
-# exact_substr.py (hot-anchor skew guard, shared _leak_report, the
-# anchor index), similarity.py (ann_index_compaction addition),
-# freq_sketch.py + streaming/foreach_sink.py (session-scoped scratch
-# dirs) — plus the index-lifecycle queries of the UNTOUCHED dedup.py
-# whose behavior flows through the functionally-changed
-# index_compact.py lock/prune protocol (the sources/registry.py r06
-# precedent: a changed dependency re-windows exactly the queries it
-# affects). Spares re-verify the reference risk surface, the
-# streaming battery (same foreach_sink dependency), the two-round
-# bench drifters the r06 judge ordered closed (table_profile,
-# dedup_ngram_jaccard), and the classifier's feature dependency
-# (quality_features). The mid-round additions decontaminate_cut +
-# stream_crawl_screen + stream_ann_search took the dsir_weights /
-# bpe_encode_stats / measures_window_np spare slots, and the late-round
-# curation tier (stream_quality_score + domain_mixture_weights +
-# mixture_resample in the r7-touched quality_classifier.py,
-# cluster_balanced_sample in the r7-touched similarity.py) took the
-# doc_stats / pack_sequences / events_jsonl_source / table_profile
-# spare slots (all pure re-verifications of files untouched since
-# their r06-or-earlier green rows). Outside the
-# window: queries in files untouched since their last green row. NO
+# Round-9 rotation (VERDICT r08 "Next round" #1): the three round-8
+# operators that shipped without a driver row lead the window
+# (stream_index_maintain, quality_classifier_eval, quality_calibration
+# — the zero-queue breach this rotation repairs), then EVERY query of
+# every module functionally changed in round 8 — sampling.py (the
+# chunked-rank rewrite of source_mix_rebalance plus the content-hash
+# helper migration), governance.py (same migration), quality_classifier
+# .py (eval/calibration tier, prefix-sum rewrite of mixture_resample,
+# model memo, store fingerprint), exact_substr.py (stream_index_
+# maintain, MAX_EPOCH_DOCS guard), similarity.py (MAX_EPOCH_QUERIES
+# guard, cached epoch ids) — so their pre-rewrite rows are replaced by
+# current-bytes rows. dedup.py is untouched, but its persisted-index
+# queries flow through index_compact.py, which round 9 touches for the
+# per-bucket compaction / persisted-IVF work (the r06/r07 precedent:
+# a changed dependency re-windows exactly the queries it affects) —
+# minhash_index_* therefore re-enter. Spares re-verify the reference
+# risk surface and the core streaming battery, plus the classifier's
+# feature dependency (quality_features). Outside the window: queries
+# in files untouched since their last green row (freq_sketch.py,
+# streaming/foreach_sink.py, risk.py's value_histogram, the relational
+# /tpch tiers, text_analysis/text_curation/dedup batch tiers — all
+# hold r08-or-earlier rows over unchanged bytes; stream_session_windows
+# / stream_stream_join / stream_upsert_latest / dedup_ngram_jaccard
+# yielded their r7-spare slots, each holding a green r08 row). NO
 # queue: every registry query holds or re-earns a current-bytes driver
 # row (tests/test_registry_order.py).
 _PRIORITY = (
-    # -- round-7 new operators (front: day-one driver rows) ------------
-    "substr_index_incremental",
-    "ann_index_compaction",
+    # -- round-8 operators owed their day-one driver row ---------------
+    "stream_index_maintain",
+    "quality_classifier_eval",
+    "quality_calibration",
+    # -- operators/sampling.py (chunked_rank rewrite + hash migration) -
+    "train_val_split",
+    "source_mix_rebalance",
+    "stratified_sample",
+    "token_budget_packing",
+    # -- operators/governance.py (hash-helper migration) ---------------
+    "k_anonymity_release",
+    "weighted_sample",
+    "training_shard_export",
+    # -- operators/quality_classifier.py (module changed in r8) --------
     "quality_classifier_train",
     "quality_classifier_score",
     "stream_quality_score",
     "quality_store_incremental",
     "domain_mixture_weights",
     "mixture_resample",
-    "cluster_balanced_sample",
-    "decontaminate_cut",
-    "stream_crawl_screen",
-    "stream_ann_search",
-    # -- operators/exact_substr.py (module changed in r7) --------------
+    # -- operators/exact_substr.py (module changed in r8) --------------
     "dedup_exact_substr",
     "exact_substr_cut",
     "decontaminate_substr",
-    # -- operators/similarity.py (module changed in r7) ----------------
+    "decontaminate_cut",
+    "substr_index_incremental",
+    "stream_crawl_screen",
+    # -- operators/similarity.py (module changed in r8) ----------------
+    "knn_cosine",
     "ann_index_export",
     "ann_index_incremental",
+    "ann_index_compaction",
+    "stream_ann_search",
     "ann_lsh_cosine",
-    "knn_cosine",
     "ivf_ann_cosine",
     "embedding_centroids",
     "kmeans_embeddings",
+    "cluster_balanced_sample",
     "dedup_embedding_lsh",
     "semantic_dedup",
-    # -- dedup.py index-lifecycle queries (index_compact.py changed) ---
+    # -- dedup.py index-lifecycle queries (index_compact.py changes
+    #    in r9: per-bucket compaction + persisted IVF) -----------------
     "minhash_index_export",
     "minhash_index_incremental",
     "minhash_index_compaction",
-    # -- operators/freq_sketch.py (module changed in r7) ---------------
-    "cms_heavy_hitters",
-    "moments_quantile_sketch",
-    "dyadic_quantile_sketch",
-    "stream_value_quantiles",
-    "dyadic_quantile_rollup",
-    "stream_value_quantiles_sink",
-    # -- streaming/foreach_sink.py (module changed in r7) --------------
-    "stream_upsert_latest",
     # -- spares: reference risk surface re-verification ----------------
     "measures_agg",
     "measures_window",
     "alerts_batch",
     "alert_counts",
-    # (value_histogram yielded its slot to quality_store_incremental:
-    # risk.py is untouched since round 5 and it holds a green r06 row)
     "portfolio_projection",
     "psd_samples_source",
     "alert_log_roundtrip",
-    # -- spares: streaming battery (shares jobs.py/foreach_sink paths) -
+    # -- spares: core streaming battery --------------------------------
     "stream_ingest_dedup",
     "measures_window_stream",
     "alerts_stream",
     "events_time_windows",
     "stream_dedup_users",
-    "stream_session_windows",
-    "stream_stream_join",
-    # -- spare: the r06 judge's second two-round drifter (the first,
-    # table_profile, yielded its slot to mixture_resample: it holds a
-    # green r06 row over bytes untouched since round 5, and its
-    # close-or-reset obligation is met bench-side — BENCH_r07
-    # suspects-free with the elementwise-min already re-tightened
-    # below the reset floor) ------------------------------------------
-    "dedup_ngram_jaccard",
-    # -- spare: the classifier's feature dependency --------------------
+    # -- spare: the classifier's feature dependency (first to yield
+    #    its slot when a round-9 operator lands) -----------------------
     "quality_features",
 )
 

@@ -1,16 +1,17 @@
 """Pin the registry iteration order contract.
 
 The correctness driver checks only the FIRST 50 registry entries.
-Round-7 rotation (VERDICT r06 "Next round"): round 7's new operators
-lead the window (day-one driver rows — zero-queue property), then
-every query of a module functionally changed in round 7 (their older
-driver rows no longer cover current bytes), the index-lifecycle
-queries of untouched modules that flow through the changed
-index_compact.py protocol, then spare slots re-verifying the
-reference risk surface, the streaming battery, the two-round bench
-drifters, and the classifier's feature-dependency chain. Queries
-outside the window must already hold a driver row from r01-r06 over a
-module untouched this round.
+Round-9 rotation (VERDICT r08 "Next round" #1): the three round-8
+operators that shipped without a driver row lead the window, then
+every query of every module functionally changed in round 8
+(sampling.py, governance.py, quality_classifier.py, exact_substr.py,
+similarity.py — their pre-rewrite rows no longer cover current
+bytes), the index-lifecycle queries of the untouched dedup.py that
+flow through the round-9-changed index_compact.py, then spare slots
+re-verifying the reference risk surface, the core streaming battery,
+and the classifier's feature dependency. Queries outside the window
+must already hold a driver row from r01-r08 over a module untouched
+since that row.
 """
 
 import json
@@ -20,49 +21,40 @@ from psd_project_spark import registry
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
-#: Round-7 additions — each must hold a front-of-window slot so it
-#: earns a driver row the round it ships.
-R7_NEW = {
-    "substr_index_incremental",
-    "ann_index_compaction",
-    "quality_classifier_train",
-    "quality_classifier_score",
-    "stream_quality_score",
-    "quality_store_incremental",
-    "domain_mixture_weights",
-    "mixture_resample",
-    "cluster_balanced_sample",
-    "decontaminate_cut",
-    "stream_crawl_screen",
-    "stream_ann_search",
-}
+#: Round-8 additions that shipped without a driver row (the r08
+#: zero-queue breach) plus any round-9 additions — each must hold a
+#: front-of-window slot so it earns a driver row this round.
+R9_FRONT = [
+    "stream_index_maintain",
+    "quality_classifier_eval",
+    "quality_calibration",
+]
 
-#: Operator modules whose source functionally changed in round 7 —
+#: Operator modules whose source functionally changed in round 8 —
 #: every query they register must re-earn a driver row in this window.
-R7_CHANGED_MODULES = (
+R9_CHANGED_MODULES = (
+    "psd_project_spark.operators.sampling",
+    "psd_project_spark.operators.governance",
+    "psd_project_spark.operators.quality_classifier",
     "psd_project_spark.operators.exact_substr",
     "psd_project_spark.operators.similarity",
-    "psd_project_spark.operators.freq_sketch",
-    "psd_project_spark.operators.quality_classifier",  # new this round
-    "psd_project_spark.streaming.foreach_sink",
 )
 
-#: dedup.py is untouched in r7, but its persisted-index queries flow
-#: through the functionally-changed index_compact.py lock/prune
-#: protocol (the sources/registry.py r06 precedent: a changed
-#: dependency re-windows exactly the queries it affects).
-R7_DEP_AFFECTED = {
+#: dedup.py is untouched since its r07/r08 rows, but its persisted-
+#: index queries flow through index_compact.py, which round 9 changes
+#: (per-bucket compaction, persisted IVF) — the r06/r07 precedent: a
+#: changed dependency re-windows exactly the queries it affects.
+R9_DEP_AFFECTED = {
     "minhash_index_export",
     "minhash_index_incremental",
     "minhash_index_compaction",
 }
 
-#: Spare-slot re-verification: the r06 judge's two-round bench
-#: drifters re-earn rows (close-or-reset order), and the classifier's
-#: feature chain re-verifies before the new operators build on it.
-SPARE = {"measures_agg", "alerts_batch",
-         "dedup_ngram_jaccard",
-         "stream_upsert_latest", "quality_features"}
+#: Spare-slot re-verification: the reference risk surface + core
+#: streaming battery (graded every round), and the classifier's
+#: feature chain (first to yield when a round-9 operator lands).
+SPARE = {"measures_agg", "alerts_batch", "measures_window_stream",
+         "stream_ingest_dedup", "quality_features"}
 
 
 def _driver_checked_rounds() -> set[str]:
@@ -78,37 +70,37 @@ def test_first_50_is_priority_list():
     assert names[: len(registry._PRIORITY)] == list(registry._PRIORITY)
 
 
-def test_window_front_loads_r7_new_ops():
-    front = set(list(registry.queries())[: len(R7_NEW)])
-    assert front == R7_NEW
+def test_window_front_loads_rows_owed():
+    front = list(registry.queries())[: len(R9_FRONT)]
+    assert front == R9_FRONT
 
 
 def test_window_covers_every_changed_module_query():
-    """All queries registered by a round-7-touched module sit inside
+    """All queries registered by a round-8-touched module sit inside
     the driver window — the module-level staleness criterion the
-    r03-r06 verdicts graded by — plus the dependency-affected
+    r03-r08 verdicts graded by — plus the dependency-affected
     index-lifecycle queries of untouched modules."""
     import importlib
 
     window = set(list(registry.queries())[:50])
-    for modname in R7_CHANGED_MODULES:
+    for modname in R9_CHANGED_MODULES:
         qs = set(importlib.import_module(modname).QUERIES)
         missing = qs - window
         assert not missing, f"{modname} queries outside window: {missing}"
-    assert R7_DEP_AFFECTED <= window
+    assert R9_DEP_AFFECTED <= window
 
 
 def test_window_reverifies_everything_due():
     window = set(list(registry.queries())[:50])
-    assert R7_NEW <= window
+    assert set(R9_FRONT) <= window
     assert SPARE <= window
 
 
 def test_every_query_has_a_row_or_a_window_slot():
-    """No query may be unverifiable: each is either in the r7 window
-    or already holds a driver row from r01-r06 (and, by the
+    """No query may be unverifiable: each is either in the r9 window
+    or already holds a driver row from r01-r08 (and, by the
     changed-module test above, that row still covers current code).
-    Round 7 declares NO late-addition queue."""
+    Round 9 declares NO late-addition queue."""
     checked = _driver_checked_rounds()
     if not checked:  # artifacts absent (e.g. fresh clone)
         return
