@@ -275,12 +275,21 @@ class single_writer:
 def _walk_partitions(path: str, min_files: int = 1) -> list[str]:
     """ONE recursive walk collecting relative partition dirs holding at
     least ``min_files`` parquet part files (1 = all partitions, 2 = the
-    compaction-eligible multi-file buckets)."""
+    compaction-eligible multi-file buckets). Underscore/dot-prefixed
+    dirs are metadata, not partitions (Spark's own hidden-path
+    convention) — e.g. the IVF index persists its coarse quantizer
+    under ``_quantizer/`` inside the index root; it must never appear
+    in the manifest or be rewritten by compaction."""
     out = []
     for root, _dirs, files in os.walk(path):
+        rel = os.path.relpath(root, path)
+        if rel != "." and any(
+            seg[:1] in ("_", ".") for seg in rel.split(os.sep)
+        ):
+            continue
         n = sum(1 for f in files if f.endswith(".parquet"))
         if root != path and n >= min_files:
-            out.append(os.path.relpath(root, path))
+            out.append(rel)
     return sorted(out)
 
 
@@ -436,4 +445,13 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
         path,
         ["band", "bkey"],
         "vec_id long, _v array<double>, band int, bkey int",
+    )
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> int:
+    return compact_index(
+        spark,
+        path,
+        ["cell"],
+        "vec_id long, _v array<double>, cell long",
     )

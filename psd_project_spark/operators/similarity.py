@@ -291,8 +291,6 @@ def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/ncells of the data (partition pruning on the candidate
     scan).
     """
-    import numpy as np
-
     e = _embeddings(spark, sf_dir)
     # O(K·d) codebook + N_QUERIES query vectors to the driver (model
     # state): cell assignment becomes the shared mapInPandas argmax
@@ -300,14 +298,7 @@ def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N_PROBE nearest cells are picked driver-side from the SAME
     # quantized-cosine integers (V.cosine_int_rows) the kernel ranks
     # by, so assignment and probing cannot disagree.
-    cb = {
-        r["vec_id"]: r["_v"]
-        for r in e.filter(F.col("vec_id") < N_CELLS)
-        .select("vec_id", "_v")
-        .collect()
-    }
-    cb_ids = sorted(cb)
-    codebook = np.array([cb[c] for c in cb_ids], dtype=np.float64)
+    codebook, cb_ids = _ivf_codebook(e)
     cells = e.select("vec_id", "_v").mapInPandas(
         V.make_cell_assign_kernel(codebook, cb_ids),
         schema="vec_id long, cell long, _v array<double>",
@@ -318,15 +309,10 @@ def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "_v")
         .collect()
     }
-    probe_rows = []
-    for qid in sorted(qrows):
-        ci = V.cosine_int_rows(np.asarray(qrows[qid]), codebook)[0]
-        # rank by (cosine desc, centroid id) — the kernel's tiebreak —
-        # and emit the centroids' ACTUAL ids, not positions
-        top = sorted(range(len(ci)), key=lambda k: (-ci[k], cb_ids[k]))
-        probe_rows += [
-            (qid, list(qrows[qid]), cb_ids[k]) for k in top[:N_PROBE]
-        ]
+    # rank by (cosine desc, centroid id) — the kernel's tiebreak —
+    # and emit the centroids' ACTUAL ids, not positions (shared with
+    # the persisted-index probe so the two paths cannot disagree)
+    probe_rows = _ivf_probe_rows(qrows, codebook, cb_ids)
     probes = spark.createDataFrame(
         probe_rows, "query_id long, _vq array<double>, qcid long"
     )
@@ -1420,6 +1406,252 @@ def _search_batch_fn(
     return search_batch
 
 
+# --- persisted IVF index lifecycle (VERDICT r07 #3 / r08 #3) -----------------
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    import hashlib
+
+    from psd_project_spark.sources.registry import source_fingerprint
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # layout version (cells × probe width) + source fingerprint, same
+    # staleness contract as _ann_index_dir: a regenerated source or an
+    # older layout never satisfies the completion gate, and superseded
+    # fingerprint trees are pruned by the build branches
+    fp = source_fingerprint(sf_dir, "embeddings")
+    return (
+        f"/tmp/psd_spark_sink/{key}/ivf_index_"
+        f"{N_CELLS}c{N_PROBE}p_ibkey_{fp}"
+    )
+
+
+def _ivf_codebook(e: DataFrame):
+    """O(K·d) coarse quantizer as driver model state (the first
+    ``N_CELLS`` vectors by id — deterministic, matching the oracle's
+    ``WHERE vec_id < N_CELLS`` centroid pick). Returns the codebook
+    matrix sorted by centroid id plus the id list."""
+    import numpy as np
+
+    cb = {
+        r["vec_id"]: r["_v"]
+        for r in e.filter(F.col("vec_id") < N_CELLS)
+        .select("vec_id", "_v")
+        .collect()
+    }
+    cb_ids = sorted(cb)
+    return np.array([cb[c] for c in cb_ids], dtype=np.float64), cb_ids
+
+
+def _ivf_probe_rows(qrows: dict, codebook, cb_ids: list) -> list:
+    """Driver-side probe selection: each query's ``N_PROBE`` nearest
+    cells by the SAME quantized-cosine integers the assignment kernel
+    ranks by (ties → lowest centroid id), so assignment and probing
+    cannot disagree. Returns (query_id, query_vec, cell) rows."""
+    import numpy as np
+
+    out = []
+    for qid in sorted(qrows):
+        ci = V.cosine_int_rows(np.asarray(qrows[qid]), codebook)[0]
+        top = sorted(range(len(ci)), key=lambda k: (-ci[k], cb_ids[k]))
+        out += [(qid, list(qrows[qid]), cb_ids[k]) for k in top[:N_PROBE]]
+    return out
+
+
+def _write_ivf_index(
+    spark: SparkSession, e: DataFrame, path: str, mode: str,
+    codebook, cb_ids: list, flt=None,
+) -> None:
+    """Write (or append) one vector batch into the cell-partitioned
+    IVF layout: the vectorized ``mapInPandas`` assignment kernel (the
+    codebook is closure state — no shuffle or join of the data side),
+    then a ``PARTITIONED BY (cell)`` parquet write where the cell id
+    IS the directory key. On ``overwrite`` (the base batch) the coarse
+    quantizer itself is persisted under ``_quantizer/`` inside the
+    index root — underscore-hidden from data reads and the partition
+    manifest — so a probe can run against the on-disk artifact alone."""
+    cells = e.select("vec_id", "_v")
+    if flt is not None:
+        cells = cells.filter(flt)
+    assigned = cells.mapInPandas(
+        V.make_cell_assign_kernel(codebook, cb_ids),
+        schema="vec_id long, cell long, _v array<double>",
+    )
+    (
+        assigned.select("vec_id", "_v", "cell")
+        # co-locate each cell into one file before the partitioned
+        # write (same smallfile discipline as _write_ann_index)
+        .repartition(N_CELLS, "cell")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    if mode == "overwrite":
+        rows = [
+            (int(cid), [float(x) for x in codebook[i]])
+            for i, cid in enumerate(cb_ids)
+        ]
+        (
+            spark.createDataFrame(rows, "cid long, vc array<double>")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/_quantizer")
+        )
+
+
+def _probe_ivf_index(
+    spark: SparkSession, e: DataFrame, path: str
+) -> DataFrame:
+    """Answer the model-state query set against a persisted IVF index.
+    The quantizer is read BACK from ``_quantizer/`` (the probe trusts
+    only on-disk artifacts — a probe in a fresh session needs no
+    builder state); each query's ``N_PROBE`` cells name the only
+    partition directories read (manifest-enumerated, literal paths —
+    pruned at file listing, nprobe/ncells of the data). Candidates
+    join the broadcast probe set on cell id; each vector lives in
+    exactly ONE cell, so no cross-band dedup is needed (unlike LSH)."""
+    import numpy as np
+
+    from psd_project_spark.operators.index_compact import list_partitions
+
+    qz = spark.read.parquet(f"{path}/_quantizer").collect()
+    cb_ids = sorted(int(r["cid"]) for r in qz)
+    vc = {int(r["cid"]): r["vc"] for r in qz}
+    codebook = np.array([vc[c] for c in cb_ids], dtype=np.float64)
+    qrows = {
+        r["vec_id"]: r["_v"]
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "_v")
+        .collect()
+    }
+    probe_rows = _ivf_probe_rows(qrows, codebook, cb_ids)
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, _vq array<double>, qcid long"
+    )
+    present = list_partitions(path)
+    cells_needed = sorted({c for _, _, c in probe_rows})
+    cell_dirs = [
+        f"{path}/cell={c}" for c in cells_needed if f"cell={c}" in present
+    ]
+    if not cell_dirs:
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cell long,"
+            " cosine double, rank int",
+        )
+    back = (
+        spark.read.option("basePath", path)
+        .schema("vec_id long, _v array<double>, cell long")
+        .parquet(*cell_dirs)
+    )
+    cand = (
+        back.filter(F.col("cell").isin([int(c) for c in cells_needed]))
+        .join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("qcid"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", V.cosine_q(F.col("_vq"), F.col("_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF index (VERDICT r07 #3, carried to r08 #3):
+    ``ivf_ann_cosine``'s coarse quantizer and centroid-bucketed
+    vectors written ONCE as an on-disk artifact — parquet
+    ``PARTITIONED BY (cell)`` plus the quantizer under
+    ``_quantizer/`` — then probed by reading only each query's
+    ``N_PROBE`` cell directories (manifest-enumerated literal paths,
+    pruned at file listing). Previously the 0.92-recall IVF path
+    re-trained and re-partitioned per run while only the 0.72-recall
+    LSH layout persisted; this gives the higher-recall variant the
+    same build-once / probe-many lifecycle.
+
+    At 100 TB the cell id is the partition/bucket key on object
+    storage: a probe LISTs and reads nprobe/ncells of the corpus and
+    nothing else, and the quantizer is O(K·d) model state fetched in
+    one small read. Oracle: the full in-memory IVF query
+    (``IVF_ORACLE`` verbatim) — a hash-match proves persist + manifest
+    probe ≡ the unpersisted assignment join."""
+    import os
+
+    e = _embeddings(spark, sf_dir)
+    path = _ivf_index_dir(sf_dir)
+    # completion gate = BOTH commits: the data write's _SUCCESS and
+    # the quantizer's (written after — a crash between the two leaves
+    # a dir that fails this gate and rebuilds)
+    if not (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "_quantizer", "_SUCCESS"))
+    ):
+        from psd_project_spark.operators.index_compact import (
+            prune_siblings_of,
+            single_writer,
+            write_partition_manifest,
+        )
+
+        codebook, cb_ids = _ivf_codebook(e)
+        prune_siblings_of(path)
+        with single_writer(path):
+            _write_ivf_index(spark, e, path, "overwrite", codebook, cb_ids)
+            write_partition_manifest(path)
+    return _probe_ivf_index(spark, e, path)
+
+
+def ivf_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full persisted-IVF LIFECYCLE as one driver-verified query
+    (the IVF twin of ``ann_index_compaction``): base vector batch
+    (``vec_id % 3 != 2``, ``overwrite`` + quantizer persist), delta
+    batch appended into the same cell layout (assigned by the SAME
+    persisted quantizer — centroids never move on append, so delta
+    placement agrees with the probe), per-bucket compaction
+    (``compact_ivf_index`` — dynamic partition overwrite rewrites only
+    multi-file cells, cost tracks the appended-to buckets), then the
+    manifest-pruned probe. Oracle: ``IVF_ORACLE`` verbatim, so a
+    hash-match proves **build + append + compact + probe ≡
+    from-scratch in-memory IVF**.
+
+    Durability: the shared ``build_base_plus_delta`` protocol —
+    compaction inside the writer lock, ``_DELTA_APPENDED`` marker
+    strictly last; a crash anywhere (including between the base write
+    and the quantizer persist) leaves a directory that fails the gate
+    and rebuilds."""
+    from psd_project_spark.operators.index_compact import (
+        build_base_plus_delta,
+        compact_ivf_index,
+    )
+
+    e = _embeddings(spark, sf_dir)
+    path = _ivf_index_dir(sf_dir) + "_cmp"
+    codebook, cb_ids = _ivf_codebook(e)
+    is_delta = F.col("vec_id") % 3 == 2
+    build_base_plus_delta(
+        path,
+        lambda: _write_ivf_index(
+            spark, e, path, "overwrite", codebook, cb_ids, flt=~is_delta
+        ),
+        lambda: _write_ivf_index(
+            spark, e, path, "append", codebook, cb_ids, flt=is_delta
+        ),
+        compact_fn=lambda: compact_ivf_index(spark, path),
+    )
+    return _probe_ivf_index(spark, e, path)
+
+
 ANN_INDEX_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
@@ -1457,6 +1689,8 @@ QUERIES = {
     "stream_ann_search": (stream_ann_search, ANN_INDEX_ORACLE),
     "ann_lsh_cosine": (ann_lsh_cosine, ANN_ORACLE),
     "ivf_ann_cosine": (ivf_ann_cosine, IVF_ORACLE),
+    "ivf_index_search": (ivf_index_search, IVF_ORACLE),
+    "ivf_index_compaction": (ivf_index_compaction, IVF_ORACLE),
     "embedding_centroids": (embedding_centroids, CENTROIDS_ORACLE),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_ORACLE),
     "cluster_balanced_sample": (cluster_balanced_sample, _cluster_sample_oracle()),

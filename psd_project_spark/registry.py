@@ -43,6 +43,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # queue: every registry query holds or re-earns a current-bytes driver
 # row (tests/test_registry_order.py).
 _PRIORITY = (
+    # -- round-9 new operators (front: day-one driver rows) ------------
+    "ivf_index_search",
+    "ivf_index_compaction",
     # -- round-8 operators owed their day-one driver row ---------------
     "stream_index_maintain",
     "quality_classifier_eval",
@@ -101,10 +104,9 @@ _PRIORITY = (
     "measures_window_stream",
     "alerts_stream",
     "events_time_windows",
-    "stream_dedup_users",
-    # -- spare: the classifier's feature dependency (first to yield
-    #    its slot when a round-9 operator lands) -----------------------
-    "quality_features",
+    # (stream_dedup_users + quality_features yielded their spare
+    # slots to the round-9 persisted-IVF pair: both hold green r08
+    # rows over bytes untouched since)
 )
 
 _MODULES = (

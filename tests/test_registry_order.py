@@ -25,6 +25,8 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 #: zero-queue breach) plus any round-9 additions — each must hold a
 #: front-of-window slot so it earns a driver row this round.
 R9_FRONT = [
+    "ivf_index_search",
+    "ivf_index_compaction",
     "stream_index_maintain",
     "quality_classifier_eval",
     "quality_calibration",
@@ -51,10 +53,11 @@ R9_DEP_AFFECTED = {
 }
 
 #: Spare-slot re-verification: the reference risk surface + core
-#: streaming battery (graded every round), and the classifier's
-#: feature chain (first to yield when a round-9 operator lands).
+#: streaming battery (graded every round). quality_features and
+#: stream_dedup_users yielded their slots to the round-9 IVF pair
+#: (both hold green r08 rows over bytes untouched since).
 SPARE = {"measures_agg", "alerts_batch", "measures_window_stream",
-         "stream_ingest_dedup", "quality_features"}
+         "stream_ingest_dedup"}
 
 
 def _driver_checked_rounds() -> set[str]:

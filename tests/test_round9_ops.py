@@ -1,0 +1,125 @@
+"""Round-9 operator tests: the persisted IVF index lifecycle
+(VERDICT r07 #3 / r08 #3) — layout, manifest hygiene, crash gates,
+and the persisted ≡ in-memory differential."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from psd_project_spark.operators import similarity as S
+from psd_project_spark.operators.index_compact import (
+    list_partitions,
+    multi_file_buckets,
+)
+from tests.conftest import SF_DIR
+
+
+def _fresh(path):
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["cell"], r["cosine"], r["rank"])
+        for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def ivf_results(spark):
+    """One build+probe of both persisted variants plus the in-memory
+    reference, from clean directories."""
+    _fresh(S._ivf_index_dir(SF_DIR))
+    _fresh(S._ivf_index_dir(SF_DIR) + "_cmp")
+    return {
+        "mem": _rows(S.ivf_ann_cosine(spark, SF_DIR)),
+        "search": _rows(S.ivf_index_search(spark, SF_DIR)),
+        "cmp": _rows(S.ivf_index_compaction(spark, SF_DIR)),
+    }
+
+
+def test_persisted_ivf_equals_in_memory(ivf_results):
+    """The central lifecycle claim: persist + manifest-pruned probe ≡
+    the unpersisted assignment join, and base+delta+compact ≡ the
+    one-shot build — row-for-row, including cell ids and ranks."""
+    assert ivf_results["search"] == ivf_results["mem"]
+    assert ivf_results["cmp"] == ivf_results["mem"]
+    assert len(ivf_results["mem"]) == S.N_QUERIES * S.ANN_TOP_K
+
+
+def test_ivf_layout_and_manifest(spark, ivf_results):
+    """Cell dirs are the partition key; the quantizer lives under the
+    underscore-hidden ``_quantizer/`` and never leaks into the
+    partition manifest or the compaction bucket walk."""
+    path = S._ivf_index_dir(SF_DIR)
+    parts = list_partitions(path)
+    assert parts and all(p.startswith("cell=") for p in parts)
+    assert os.path.exists(os.path.join(path, "_quantizer", "_SUCCESS"))
+    assert not any("_quantizer" in b for b in multi_file_buckets(path))
+    qz = spark.read.parquet(f"{path}/_quantizer")
+    assert qz.count() == S.N_CELLS
+
+
+def test_ivf_compaction_leaves_single_file_cells(ivf_results):
+    """After the lifecycle's compaction, no cell holds more than one
+    parquet file (the base+delta append created multi-file cells; the
+    per-bucket rewrite collapsed exactly those)."""
+    path = S._ivf_index_dir(SF_DIR) + "_cmp"
+    assert multi_file_buckets(path) == []
+    assert os.path.exists(os.path.join(path, "_DELTA_APPENDED"))
+
+
+def test_ivf_gate_rejects_missing_quantizer(spark, ivf_results):
+    """Crash contract: a directory whose data write committed but
+    whose quantizer is missing fails the completion gate and
+    rebuilds (rather than serving a probe that cannot be answered)."""
+    path = S._ivf_index_dir(SF_DIR)
+    shutil.rmtree(os.path.join(path, "_quantizer"))
+    got = _rows(S.ivf_index_search(spark, SF_DIR))
+    assert os.path.exists(os.path.join(path, "_quantizer", "_SUCCESS"))
+    assert got == ivf_results["mem"]
+
+
+def test_ivf_probe_reads_only_probed_cells(spark, ivf_results):
+    """Scale claim made observable: the probe's parquet scan lists
+    ONLY the nprobe cells of each query — at most
+    N_QUERIES × N_PROBE distinct directories, never all N_CELLS —
+    and prunes them at file-listing time (literal paths)."""
+    from psd_project_spark.plans.inspect import partition_filters
+
+    path = S._ivf_index_dir(SF_DIR)
+    e = S._embeddings(spark, SF_DIR)
+    df = S._probe_ivf_index(spark, e, path)
+    pf = partition_filters(df)
+    assert any("cell" in f for f in pf), pf
+    # the literal path list itself is bounded by the probe fan-out:
+    # the probed cell set comes from the same helper the probe uses
+    import numpy as np
+
+    qz = spark.read.parquet(f"{path}/_quantizer").collect()
+    cb_ids = sorted(int(r["cid"]) for r in qz)
+    vc = {int(r["cid"]): r["vc"] for r in qz}
+    codebook = np.array([vc[c] for c in cb_ids], dtype=np.float64)
+    qrows = {
+        r["vec_id"]: r["_v"]
+        for r in e.filter(F.col("vec_id") < S.N_QUERIES)
+        .select("vec_id", "_v")
+        .collect()
+    }
+    cells = {c for _, _, c in S._ivf_probe_rows(qrows, codebook, cb_ids)}
+    assert 0 < len(cells) <= S.N_QUERIES * S.N_PROBE
+
+
+def test_walk_partitions_skips_hidden_dirs(tmp_path):
+    """The manifest walk ignores underscore/dot-prefixed dirs (the
+    Spark hidden-path convention) at any depth."""
+    root = tmp_path / "idx"
+    for d in ("cell=1", "cell=2", "_quantizer", ".staging/cell=9"):
+        p = root / d
+        p.mkdir(parents=True)
+        (p / "part-0.parquet").write_bytes(b"x")
+    from psd_project_spark.operators.index_compact import _walk_partitions
+
+    assert _walk_partitions(str(root)) == ["cell=1", "cell=2"]
