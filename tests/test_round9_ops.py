@@ -112,6 +112,70 @@ def test_ivf_probe_reads_only_probed_cells(spark, ivf_results):
     assert 0 < len(cells) <= S.N_QUERIES * S.N_PROBE
 
 
+def test_stream_index_maintain_per_bucket_merge(spark):
+    """VERDICT r08 #4: the stream-maintained index commits staged
+    epochs by per-bucket file rename + multi-file-bucket compaction
+    (never a full-index re-shuffle), and still equals the one-shot
+    full-corpus screen row-for-row."""
+    from psd_project_spark.functions.caching import release_transient
+    from psd_project_spark.operators import exact_substr as ES
+
+    path = ES._substr_index_dir(SF_DIR) + "_stream"
+    _fresh(path)
+    got = (
+        ES.stream_index_maintain(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    release_transient()
+    ref = (
+        ES.decontaminate_substr(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(ref[got.columns])
+    # canonical post-compaction layout: one file per appended-to
+    # bucket, no staging leftovers, manifest present
+    assert multi_file_buckets(path) == []
+    assert not os.path.isdir(path + "_stage")
+    assert list_partitions(path)
+    assert os.path.exists(os.path.join(path, "_DELTA_APPENDED"))
+
+
+def test_maintain_epoch_replay_is_idempotent(spark, tmp_path):
+    """Crash-recovery double delivery: replaying an epoch overwrites
+    its own staging partition, and the rename commit gives replayed
+    files deterministic names — never a double append."""
+    from psd_project_spark.operators import exact_substr as ES
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 30) for i in range(6)],
+        "doc_id long, text string",
+    )
+    stage = str(tmp_path / "stage")
+    lock = str(tmp_path / "idx")
+    fn = ES._maintain_batch_fn(stage, lock)
+    fn(docs, 7)
+    once = (
+        spark.read.option("basePath", stage)
+        .parquet(f"{stage}/epoch=7")
+        .count()
+    )
+    fn(docs, 7)  # replay
+    twice = (
+        spark.read.option("basePath", stage)
+        .parquet(f"{stage}/epoch=7")
+        .count()
+    )
+    assert once == twice > 0
+    os.makedirs(lock)
+    ES._merge_staged_epochs(stage, lock)
+    merged = spark.read.option("basePath", lock).parquet(lock).count()
+    assert merged == once
+
+
 def test_walk_partitions_skips_hidden_dirs(tmp_path):
     """The manifest walk ignores underscore/dot-prefixed dirs (the
     Spark hidden-path convention) at any depth."""
