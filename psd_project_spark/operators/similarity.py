@@ -1510,20 +1510,36 @@ def _probe_ivf_index(
     pruned at file listing, nprobe/ncells of the data). Candidates
     join the broadcast probe set on cell id; each vector lives in
     exactly ONE cell, so no cross-band dedup is needed (unlike LSH)."""
-    import numpy as np
-
-    from psd_project_spark.operators.index_compact import list_partitions
-
-    qz = spark.read.parquet(f"{path}/_quantizer").collect()
-    cb_ids = sorted(int(r["cid"]) for r in qz)
-    vc = {int(r["cid"]): r["vc"] for r in qz}
-    codebook = np.array([vc[c] for c in cb_ids], dtype=np.float64)
+    codebook, cb_ids = _read_ivf_quantizer(spark, path)
     qrows = {
         r["vec_id"]: r["_v"]
         for r in e.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "_v")
         .collect()
     }
+    return _probe_ivf_rows(spark, path, qrows, codebook, cb_ids)
+
+
+def _read_ivf_quantizer(spark: SparkSession, path: str):
+    """Load the persisted coarse quantizer back from the index root
+    (one small read — O(K·d) model state)."""
+    import numpy as np
+
+    qz = spark.read.parquet(f"{path}/_quantizer").collect()
+    cb_ids = sorted(int(r["cid"]) for r in qz)
+    vc = {int(r["cid"]): r["vc"] for r in qz}
+    return np.array([vc[c] for c in cb_ids], dtype=np.float64), cb_ids
+
+
+def _probe_ivf_rows(
+    spark: SparkSession, path: str, qrows: dict, codebook, cb_ids: list
+) -> DataFrame:
+    """The probe body over an already-collected query-vector dict —
+    factored so the streaming search can probe per micro-batch with
+    the batch's own queries through the identical pruning/join/top-k
+    code (the `_probe_with_sigs` discipline)."""
+    from psd_project_spark.operators.index_compact import list_partitions
+
     probe_rows = _ivf_probe_rows(qrows, codebook, cb_ids)
     probes = spark.createDataFrame(
         probe_rows, "query_id long, _vq array<double>, qcid long"
@@ -1587,9 +1603,20 @@ def ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     one small read. Oracle: the full in-memory IVF query
     (``IVF_ORACLE`` verbatim) — a hash-match proves persist + manifest
     probe ≡ the unpersisted assignment join."""
+    e = _embeddings(spark, sf_dir)
+    path = _ensure_ivf_index(spark, sf_dir, e)
+    return _probe_ivf_index(spark, e, path)
+
+
+def _ensure_ivf_index(
+    spark: SparkSession, sf_dir: str, e: DataFrame
+) -> str:
+    """Build (or reuse) the one-shot full-corpus IVF index for
+    ``sf_dir`` under the writer lock; shared by the batch probe
+    (:func:`ivf_index_search`) and the streaming search
+    (:func:`stream_ivf_search`). Returns the index path."""
     import os
 
-    e = _embeddings(spark, sf_dir)
     path = _ivf_index_dir(sf_dir)
     # completion gate = BOTH commits: the data write's _SUCCESS and
     # the quantizer's (written after — a crash between the two leaves
@@ -1609,7 +1636,7 @@ def ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         with single_writer(path):
             _write_ivf_index(spark, e, path, "overwrite", codebook, cb_ids)
             write_partition_manifest(path)
-    return _probe_ivf_index(spark, e, path)
+    return path
 
 
 def ivf_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1652,6 +1679,93 @@ def ivf_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_ivf_index(spark, e, path)
 
 
+def stream_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online vector search as a STREAM over the persisted IVF index —
+    the IVF twin of :func:`stream_ann_search`, completing the
+    lifecycle trio (one-shot build, base+delta+compact, streaming
+    serve): query vectors arrive as a file stream and every
+    micro-batch answers its own queries with a cell-pruned probe of
+    the standing index.
+
+    Per micro-batch (``foreachBatch``): the batch IS the query set
+    (bounded by ``MAX_EPOCH_QUERIES`` — the shared per-epoch
+    driver-state cap); the PERSISTED quantizer — read once, O(K·d)
+    closure state — picks each query's ``N_PROBE`` cells driver-side,
+    only those manifest-enumerated cell dirs are read, and candidates
+    run the shared :func:`_probe_ivf_rows` join → cosine → top-k.
+    Epoch outputs land in the idempotent ``batch_id=N`` sink layout.
+    A query's candidates all arise in its own epoch (each vector
+    lives in exactly one cell), so the union of epochs must equal the
+    one-shot probe — the oracle is the full in-memory IVF join
+    (``IVF_ORACLE`` verbatim), so the hash match proves index build +
+    quantizer persist + per-epoch pruned probes + epoch-sink
+    reassembly end-to-end. At 100 TB this is the ANN-serving shape:
+    per-epoch cost tracks the epoch's query count and nprobe/ncells
+    of the index, never the corpus."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.streaming.foreach_sink import run_stream
+    from psd_project_spark.streaming.jobs import _stream_dir
+
+    e = _embeddings(spark, sf_dir)
+    path = _ensure_ivf_index(spark, sf_dir, e)
+    codebook, cb_ids = _read_ivf_quantizer(spark, path)
+    d = _stream_dir(sf_dir, "embeddings")
+    schema = spark.read.parquet(d).schema
+    arriving = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.expr(V.to_double_expr()).alias("_v"))
+    )
+    out = scratch_dir("ivf_search_out")
+    ckpt = scratch_dir("ivf_search_ckpt")
+    run_stream(
+        arriving,
+        _ivf_search_batch_fn(path, out, codebook, cb_ids),
+        ckpt,
+        state_partitions=None,
+    )
+    return (
+        spark.read.parquet(out)
+        .drop("batch_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_search_batch_fn(
+    path: str, out: str, codebook, cb_ids: list,
+    max_epoch_rows: int = MAX_EPOCH_QUERIES,
+):
+    """The per-epoch IVF probe as a ``foreachBatch`` callable
+    (factored so tests can drive a multi-file query stream — or an
+    oversized epoch — through the identical code the registry query
+    runs)."""
+
+    def search_batch(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        n = batch.limit(max_epoch_rows + 1).count()
+        if n > max_epoch_rows:
+            raise RuntimeError(
+                f"stream_ivf_search epoch {batch_id} carries >"
+                f" {max_epoch_rows} query vectors — refusing to collect"
+                " epoch-sized probe state onto the driver; lower the"
+                " trigger's file/row cap or raise MAX_EPOCH_QUERIES"
+            )
+        qrows = {
+            r["vec_id"]: r["_v"]
+            for r in batch.select("vec_id", "_v").collect()
+        }
+        from psd_project_spark.streaming.foreach_sink import write_epoch
+
+        write_epoch(
+            _probe_ivf_rows(ss, path, qrows, codebook, cb_ids),
+            out,
+            batch_id,
+        )
+
+    return search_batch
+
+
 ANN_INDEX_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, {V.to_double_sql()} AS v FROM embeddings
@@ -1691,6 +1805,7 @@ QUERIES = {
     "ivf_ann_cosine": (ivf_ann_cosine, IVF_ORACLE),
     "ivf_index_search": (ivf_index_search, IVF_ORACLE),
     "ivf_index_compaction": (ivf_index_compaction, IVF_ORACLE),
+    "stream_ivf_search": (stream_ivf_search, IVF_ORACLE),
     "embedding_centroids": (embedding_centroids, CENTROIDS_ORACLE),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_ORACLE),
     "cluster_balanced_sample": (cluster_balanced_sample, _cluster_sample_oracle()),

@@ -46,6 +46,7 @@ _PRIORITY = (
     # -- round-9 new operators (front: day-one driver rows) ------------
     "ivf_index_search",
     "ivf_index_compaction",
+    "stream_ivf_search",
     # -- round-8 operators owed their day-one driver row ---------------
     "stream_index_maintain",
     "quality_classifier_eval",
@@ -103,10 +104,9 @@ _PRIORITY = (
     "stream_ingest_dedup",
     "measures_window_stream",
     "alerts_stream",
-    "events_time_windows",
-    # (stream_dedup_users + quality_features yielded their spare
-    # slots to the round-9 persisted-IVF pair: both hold green r08
-    # rows over bytes untouched since)
+    # (stream_dedup_users + quality_features + events_time_windows
+    # yielded their spare slots to the round-9 persisted-IVF trio:
+    # all three hold green r08 rows over bytes untouched since)
 )
 
 _MODULES = (

@@ -27,6 +27,7 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 R9_FRONT = [
     "ivf_index_search",
     "ivf_index_compaction",
+    "stream_ivf_search",
     "stream_index_maintain",
     "quality_classifier_eval",
     "quality_calibration",

@@ -186,9 +186,12 @@ SHOWCASE = [
         "Token-budget mixture draw: budgets come from a ~|sources|-row "
         "aggregate broadcast back; the selection's first Window "
         "partitions on (source, salt) — 16× the parallelism of a "
-        "per-source window — and the second (global) Window runs "
-        "after the survivor filter + broadcast cut join, i.e. on "
-        "budget-proportional row counts, never the corpus.",
+        "per-source window — and the final per-source running total is "
+        "the chunk-parallel exact prefix sum (functions/prefix.py): "
+        "local cumsum Windows on (source, chunk) — 64 deterministic "
+        "hash-prefix chunks per source — with per-chunk totals "
+        "broadcast back as exclusive offsets. No Window in the plan "
+        "partitions on a bare per-source key.",
     ),
     (
         "pack_sequences",
@@ -202,8 +205,20 @@ SHOWCASE = [
     (
         "source_mix_rebalance",
         "Per-language counts collapse to ≤5 rows then broadcast back; "
-        "the only data-sized shuffle is the per-language hash-rank "
-        "window (the price of an exact quota).",
+        "the exact per-language hash-rank runs as the chunk-parallel "
+        "prefix sum over 256 hash-prefix chunks (functions/prefix.py) "
+        "— local rank Windows on (language, chunk) plus broadcast "
+        "chunk-count offsets, retiring the per-language single-task "
+        "sort that was the price of an exact quota.",
+    ),
+    (
+        "ivf_index_search",
+        "The persisted-IVF probe: the scan's PartitionFilters prune on "
+        "cell — the IVF cell id is the physical directory key, so a "
+        "probe lists and reads only its nprobe cell dirs out of "
+        "N_CELLS (the 100 TB vector-index layout); the probe set and "
+        "quantizer are O(K·d) broadcast model state, and the top-k "
+        "window runs over candidate cells only, never the corpus.",
     ),
 ]
 

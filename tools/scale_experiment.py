@@ -104,7 +104,48 @@ QUERIES = [
     # the feature-store lifecycle: base/delta/compaction are
     # data-sized (once), the probe reads manifest-pruned buckets
     "quality_store_incremental",
+    # round-8: the stream-maintained substring index (per-epoch
+    # bucket-local appends + per-bucket compaction at 10x corpus),
+    # and the classifier evaluation tier (per-source confusion
+    # counts / 10-bin calibration — one exchange each, ~|sources| or
+    # ~10 rows after it)
+    "stream_index_maintain",
+    "quality_classifier_eval",
+    "quality_calibration",
+    # round-8 rewrite re-measurements (the r07 entries timed the
+    # retired single-window plans): chunk-parallel exact prefix sums
+    "source_mix_rebalance",
+    # round-9: the persisted IVF lifecycle — build/append/compact are
+    # data-sized (once, pruned before each rep), the probe reads only
+    # nprobe manifest-pruned cell dirs
+    "ivf_index_search",
+    "ivf_index_compaction",
+    "stream_ivf_search",
 ]
+
+
+def _prune_sinks(name: str, sf_dir: str) -> None:
+    """Clear a lifecycle query's persisted artifacts before a timed
+    rep, so the completion-marker gate can't hide the build cost
+    (the quality_store_incremental methodology, SCALE.md r7)."""
+    import shutil
+
+    from psd_project_spark.operators import exact_substr, similarity
+
+    dirs = {
+        "stream_index_maintain": lambda d: [
+            exact_substr._substr_index_dir(d) + "_stream",
+            exact_substr._substr_index_dir(d) + "_stream_stage",
+        ],
+        "ivf_index_search": lambda d: [similarity._ivf_index_dir(d)],
+        "stream_ivf_search": lambda d: [similarity._ivf_index_dir(d)],
+        "ivf_index_compaction": lambda d: [
+            similarity._ivf_index_dir(d) + "_cmp"
+        ],
+    }.get(name)
+    if dirs:
+        for p in dirs(sf_dir):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def build() -> None:
@@ -141,7 +182,10 @@ def build() -> None:
         )
 
 
-def run() -> None:
+def run(names: list[str] | None = None) -> None:
+    """Time ``names`` (default: the full QUERIES list) at both scales.
+    With an explicit subset, merge the rows into SCALE_EXPERIMENT.json
+    in place instead of printing a fresh full document."""
     import json
 
     from psd_project_spark.registry import queries
@@ -149,12 +193,14 @@ def run() -> None:
 
     spark = get_spark(app_name="scale-experiment")
     qs = queries()
+    subset = bool(names)
     result = {}
-    for name in QUERIES:
+    for name in names or QUERIES:
         row = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1x10", DST)):
             best = None
             for _ in range(2):
+                _prune_sinks(name, sf_dir)
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -167,8 +213,22 @@ def run() -> None:
         result[name] = row
         print(f"{name:24s} {row['sf0.1']:7.2f}s {row['sf1x10']:8.2f}s "
               f"x{row['ratio']}", file=sys.stderr, flush=True)
+    if subset:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALE_EXPERIMENT.json",
+        )
+        with open(path) as fh:
+            doc = json.load(fh)
+        doc.update(result)
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        print(f"merged {len(result)} rows into {path}", file=sys.stderr)
     print(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":
-    {"build": build, "run": run}[sys.argv[1]]()
+    if sys.argv[1] == "build":
+        build()
+    else:
+        run(sys.argv[2:] or None)
