@@ -28,6 +28,7 @@ R9_FRONT = [
     "ivf_index_search",
     "ivf_index_compaction",
     "stream_ivf_search",
+    "stream_minhash_screen",
     "stream_index_maintain",
     "quality_classifier_eval",
     "quality_calibration",

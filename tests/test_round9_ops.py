@@ -134,6 +134,53 @@ def test_stream_ivf_search_oversized_epoch_fails_cleanly(spark, tmp_path):
         fn(batch, 0)
 
 
+def test_stream_minhash_screen_equals_index_probe(spark):
+    """The streaming near-dup screen: per-epoch manifest-pruned band
+    probes + Jaccard verification + epoch reassembly ≡ the one-shot
+    persisted-index probe (both share cross_dedup_minhash's oracle)."""
+    from psd_project_spark.functions.caching import release_transient
+    from psd_project_spark.operators.dedup import minhash_index_export
+    from psd_project_spark.operators.minhash_stream import (
+        stream_minhash_screen,
+    )
+
+    got = (
+        stream_minhash_screen(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_eval")
+        .reset_index(drop=True)
+    )
+    release_transient()
+    ref = (
+        minhash_index_export(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_eval")
+        .reset_index(drop=True)
+    )
+    assert got.equals(ref[got.columns])
+    assert len(got) > 0
+
+
+def test_stream_minhash_screen_oversized_epoch_fails_cleanly(
+    spark, tmp_path
+):
+    from psd_project_spark.operators.minhash_stream import (
+        _minhash_screen_batch_fn,
+    )
+
+    st = spark.createDataFrame([], "doc_train long, _sht array<string>")
+    fn = _minhash_screen_batch_fn(
+        str(tmp_path / "idx"), set(), st, str(tmp_path / "out"),
+        max_epoch_docs=2,
+    )
+    batch = spark.createDataFrame(
+        [(i, "words words words " * 10) for i in range(4)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(RuntimeError, match="documents"):
+        fn(batch, 0)
+
+
 def test_stream_index_maintain_per_bucket_merge(spark):
     """VERDICT r08 #4: the stream-maintained index commits staged
     epochs by per-bucket file rename + multi-file-bucket compaction
