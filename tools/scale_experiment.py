@@ -121,6 +121,11 @@ QUERIES = [
     "ivf_index_search",
     "ivf_index_compaction",
     "stream_ivf_search",
+    # the streaming near-dup screen: per-epoch manifest-pruned band
+    # probes + Jaccard verification against the cached corpus shingle
+    # table (10x exact replication makes every probe band hit — the
+    # adversarial candidate maximum)
+    "stream_minhash_screen",
 ]
 
 
@@ -130,7 +135,7 @@ def _prune_sinks(name: str, sf_dir: str) -> None:
     (the quality_store_incremental methodology, SCALE.md r7)."""
     import shutil
 
-    from psd_project_spark.operators import exact_substr, similarity
+    from psd_project_spark.operators import dedup, exact_substr, similarity
 
     dirs = {
         "stream_index_maintain": lambda d: [
@@ -139,6 +144,7 @@ def _prune_sinks(name: str, sf_dir: str) -> None:
         ],
         "ivf_index_search": lambda d: [similarity._ivf_index_dir(d)],
         "stream_ivf_search": lambda d: [similarity._ivf_index_dir(d)],
+        "stream_minhash_screen": lambda d: [dedup._minhash_index_dir(d)],
         "ivf_index_compaction": lambda d: [
             similarity._ivf_index_dir(d) + "_cmp"
         ],
