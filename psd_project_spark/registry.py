@@ -48,6 +48,7 @@ _PRIORITY = (
     "ivf_index_compaction",
     "stream_ivf_search",
     "stream_minhash_screen",
+    "bucketed_join_roundtrip",
     # -- round-8 operators owed their day-one driver row ---------------
     "stream_index_maintain",
     "quality_classifier_eval",
@@ -99,15 +100,15 @@ _PRIORITY = (
     "alerts_batch",
     "alert_counts",
     "portfolio_projection",
-    "alert_log_roundtrip",
     # -- spares: core streaming battery --------------------------------
     "stream_ingest_dedup",
     "measures_window_stream",
     "alerts_stream",
     # (stream_dedup_users + quality_features + events_time_windows +
-    # psd_samples_source yielded their spare slots to the round-9
-    # persisted-IVF trio and the streaming MinHash screen: all four
-    # hold green r08 rows over bytes untouched since)
+    # psd_samples_source + alert_log_roundtrip yielded their spare
+    # slots to the round-9 additions — the persisted-IVF trio, the
+    # streaming MinHash screen, and the co-located bucketed join:
+    # all five hold green r08 rows over bytes untouched since)
 )
 
 _MODULES = (
@@ -124,6 +125,7 @@ _MODULES = (
     "psd_project_spark.operators.text_curation",
     "psd_project_spark.operators.dedup",
     "psd_project_spark.operators.minhash_stream",
+    "psd_project_spark.operators.bucketing",
     "psd_project_spark.operators.exact_substr",
     "psd_project_spark.operators.quality_classifier",
     "psd_project_spark.operators.sampling",

@@ -29,6 +29,7 @@ R9_FRONT = [
     "ivf_index_compaction",
     "stream_ivf_search",
     "stream_minhash_screen",
+    "bucketed_join_roundtrip",
     "stream_index_maintain",
     "quality_classifier_eval",
     "quality_calibration",

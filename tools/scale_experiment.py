@@ -126,6 +126,10 @@ QUERIES = [
     # table (10x exact replication makes every probe band hit — the
     # adversarial candidate maximum)
     "stream_minhash_screen",
+    # the co-located bucketed join: rep 1 pays the bucketed write
+    # (data-sized, once per snapshot), rep 2 is the steady state —
+    # the exchange-free join itself
+    "bucketed_join_roundtrip",
 ]
 
 
