@@ -212,6 +212,15 @@ SHOWCASE = [
         "sort that was the price of an exact quota.",
     ),
     (
+        "bucketed_join_roundtrip",
+        "The co-located fact⋈fact join: both scans show "
+        "SelectedBucketsCount and the SortMergeJoin has NO exchange "
+        "below it — the bucketed table layout already co-located both "
+        "sides on the join key (the one data-sized shuffle was paid "
+        "at write time); the only exchange in the plan is the 3-row "
+        "post-join rollup.",
+    ),
+    (
         "ivf_index_search",
         "The persisted-IVF probe: the scan's PartitionFilters prune on "
         "cell — the IVF cell id is the physical directory key, so a "
