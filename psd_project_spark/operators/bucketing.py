@@ -39,14 +39,20 @@ _DEC = "decimal(27,15)"
 #: invocation would delete the files out from under the standing
 #: catalog entries (bench and the driver invoke every query at least
 #: twice per session). Memoizing keeps files and catalog coherent for
-#: the session; atexit still sweeps the dir.
+#: the session; atexit still sweeps the dir. The memo re-mints when
+#: the dir has vanished (an explicit scratch sweep can reclaim it
+#: mid-session), and the build gate checks the FILES, not just the
+#: catalog, for the same reason.
 _ROOTS: dict[str, str] = {}
 
 
 def _table_root(key: str) -> str:
+    import os
+
     from psd_project_spark.functions.caching import scratch_dir
 
-    if key not in _ROOTS:
+    root = _ROOTS.get(key)
+    if root is None or not os.path.isdir(root):
         _ROOTS[key] = scratch_dir(f"bucketed_tables_{key}")
     return _ROOTS[key]
 
@@ -90,13 +96,22 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             "l_orderkey",
         ),
     )
+    import os
+
     for name, df, bkey in specs:
-        if spark.catalog.tableExists(name):
-            continue  # session-scoped: already written this session
+        tpath = f"{root}/{name}"
+        # reuse only when BOTH halves agree: the catalog entry exists
+        # AND its committed files are still on disk (a scratch sweep
+        # can reclaim the dir while the catalog entry stands)
+        if spark.catalog.tableExists(name) and os.path.exists(
+            os.path.join(tpath, "_SUCCESS")
+        ):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             df.repartition(N_BUCKETS, F.col(bkey))
             .write.mode("overwrite")
-            .option("path", f"{root}/{name}")
+            .option("path", tpath)
             .bucketBy(N_BUCKETS, bkey)
             .sortBy(bkey)
             .saveAsTable(name)

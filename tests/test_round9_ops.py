@@ -294,9 +294,17 @@ def test_bucketed_join_survives_reinvocation(spark):
         bucketed_join_roundtrip,
     )
 
+    from psd_project_spark.functions.caching import _cleanup_scratch
+
     a = sorted(map(tuple, bucketed_join_roundtrip(spark, SF_DIR).collect()))
     b = sorted(map(tuple, bucketed_join_roundtrip(spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+    # and survive a mid-session scratch sweep (test_round7_ops runs
+    # one for real): the file-level gate must rebuild, never serve
+    # the standing catalog entry whose files are gone
+    _cleanup_scratch()
+    c = sorted(map(tuple, bucketed_join_roundtrip(spark, SF_DIR).collect()))
+    assert c == a
 
 
 def test_walk_partitions_skips_hidden_dirs(tmp_path):
