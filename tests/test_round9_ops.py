@@ -285,6 +285,35 @@ def test_bucketed_join_elides_exchanges(spark):
     assert got == ref
 
 
+def test_bucketed_point_lookup_prunes_buckets(spark):
+    """The layout's second dividend: an equality filter on the bucket
+    key scans ONE bucket out of N_BUCKETS (bucket pruning at file
+    level) — the point-lookup shape a reconciliation job runs."""
+    import re
+
+    from psd_project_spark.operators.bucketing import (
+        N_BUCKETS,
+        _bucketed_pair,
+    )
+    from psd_project_spark.plans.inspect import formatted_plan
+
+    _, lineitem_t = _bucketed_pair(spark, SF_DIR)
+    # autoBucketedScan downgrades scan-only queries to a plain scan
+    # (no interleaving operator benefits from bucketing) — disable it
+    # so the point lookup keeps the bucketed scan and its pruning
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        one = spark.table(lineitem_t).filter(F.col("l_orderkey") == 19)
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)",
+                      formatted_plan(one))
+    finally:
+        spark.conf.set(key, prev)
+    assert m, "expected a bucketed scan"
+    assert int(m.group(1)) == 1 and int(m.group(2)) == N_BUCKETS
+
+
 def test_bucketed_join_survives_reinvocation(spark):
     """The bench/driver loops invoke every query at least twice per
     session: the catalog gate must reuse COHERENT files (a per-call
