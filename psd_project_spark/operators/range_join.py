@@ -1,0 +1,97 @@
+"""Interval range join as a bucketed equi-join — the general form of
+the trick ``behavior.rolling_dau`` uses at day grain.
+
+Spark has no native range-join operator: a predicate like
+``b.ts BETWEEN a.ts - W AND a.ts + W`` plans as
+BroadcastNestedLoopJoin (O(n·m) compares, and the build side must fit
+in memory) — unusable at 100 TB. The standard rewrite buckets time
+into fixed W-width cells: the BUILD side lands in its single HOME
+bucket, the PROBE side explodes into the ≤3 buckets its ±W window can
+touch, and the join becomes a plain shuffled equi-join on the bucket
+id with an exact residual filter. Every qualifying pair meets in
+exactly ONE bucket (the build row's home), so no distinct pass is
+needed — output comes straight off the join.
+
+Cost model at scale: shuffle volume = |probe|·(2 + 1) + |build| rows
+on a uniformly-hashable bucket key (time skew → AQE skew-join splits
+the hot buckets); compare work = Σ per-bucket |probe|·|build|, i.e.
+only genuinely time-adjacent rows are ever compared."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psd_project_spark.sources.registry import load_table
+
+#: Overlap radius AND bucket width, in microseconds (5 minutes).
+#: Width == radius keeps the probe expansion at exactly 3 buckets.
+RANGE_W_US = 300_000_000
+
+
+def range_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event concurrency: for every event, the count of OTHER
+    events within ±5 minutes — the self range join a monitoring or
+    coalescing pipeline runs ("how busy was the system around this
+    point?"), kept as a per-event rollup so the output is one row per
+    event, not the pair blow-up.
+
+    Plan shape (pinned by tests/test_round9_ops.py): ONE equi-join on
+    the bucket id — never BroadcastNestedLoopJoin or a cartesian — and
+    the count is a map-side-combinable groupBy(event_id). Oracle: the
+    direct BETWEEN self-join in DuckDB (IEJoin there), so a hash match
+    proves the bucketed rewrite ≡ the naive range predicate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    home = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("us").alias("b_us"),
+        F.floor(F.col("us") / RANGE_W_US).alias("bucket"),
+    )
+    probe = ev.select(
+        "event_id",
+        "us",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("us") - RANGE_W_US) / RANGE_W_US),
+                F.floor((F.col("us") + RANGE_W_US) / RANGE_W_US),
+            )
+        ).alias("bucket"),
+    )
+    pairs = probe.join(home, "bucket").filter(
+        (F.col("b_id") != F.col("event_id"))
+        & (F.abs(F.col("b_us") - F.col("us")) <= F.lit(RANGE_W_US))
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        ev.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        )
+        .orderBy("event_id")
+    )
+
+
+RANGE_JOIN_ORACLE = f"""
+WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+cnt AS (
+  SELECT a.event_id, count(*) AS n_overlap
+  FROM ev a JOIN ev b
+    ON b.us BETWEEN a.us - {RANGE_W_US} AND a.us + {RANGE_W_US}
+   AND b.event_id != a.event_id
+  GROUP BY a.event_id
+)
+SELECT ev.event_id AS event_id, COALESCE(cnt.n_overlap, 0) AS n_overlap
+FROM ev LEFT JOIN cnt ON ev.event_id = cnt.event_id
+ORDER BY ev.event_id
+"""
+
+
+QUERIES = {
+    "range_join_overlap": (range_join_overlap, RANGE_JOIN_ORACLE),
+}

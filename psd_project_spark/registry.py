@@ -49,6 +49,7 @@ _PRIORITY = (
     "stream_ivf_search",
     "stream_minhash_screen",
     "bucketed_join_roundtrip",
+    "range_join_overlap",
     # -- round-8 operators owed their day-one driver row ---------------
     "stream_index_maintain",
     "quality_classifier_eval",
@@ -103,12 +104,12 @@ _PRIORITY = (
     # -- spares: core streaming battery --------------------------------
     "stream_ingest_dedup",
     "measures_window_stream",
-    "alerts_stream",
     # (stream_dedup_users + quality_features + events_time_windows +
-    # psd_samples_source + alert_log_roundtrip yielded their spare
-    # slots to the round-9 additions — the persisted-IVF trio, the
-    # streaming MinHash screen, and the co-located bucketed join:
-    # all five hold green r08 rows over bytes untouched since)
+    # psd_samples_source + alert_log_roundtrip + alerts_stream
+    # yielded their spare slots to the round-9 additions — the
+    # persisted-IVF trio, the streaming MinHash screen, the
+    # co-located bucketed join, and the bucketed range join: all six
+    # hold green r08 rows over bytes untouched since)
 )
 
 _MODULES = (
@@ -126,6 +127,7 @@ _MODULES = (
     "psd_project_spark.operators.dedup",
     "psd_project_spark.operators.minhash_stream",
     "psd_project_spark.operators.bucketing",
+    "psd_project_spark.operators.range_join",
     "psd_project_spark.operators.exact_substr",
     "psd_project_spark.operators.quality_classifier",
     "psd_project_spark.operators.sampling",

@@ -30,6 +30,7 @@ R9_FRONT = [
     "stream_ivf_search",
     "stream_minhash_screen",
     "bucketed_join_roundtrip",
+    "range_join_overlap",
     "stream_index_maintain",
     "quality_classifier_eval",
     "quality_calibration",

@@ -336,6 +336,79 @@ def test_bucketed_join_survives_reinvocation(spark):
     assert c == a
 
 
+def test_range_join_is_bucketed_equi_join(spark):
+    """The range-join rewrite's claims: (a) the plan carries NO
+    nested-loop or cartesian join — the BETWEEN predicate became an
+    equi-join on the bucket id; (b) results equal a brute-force
+    pairwise count on the same data."""
+    from psd_project_spark.operators.range_join import (
+        RANGE_W_US,
+        range_join_overlap,
+    )
+    from psd_project_spark.plans.inspect import executed_plan
+    from psd_project_spark.sources.registry import load_table
+
+    df = range_join_overlap(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    got = {(r["event_id"], r["n_overlap"]) for r in df.collect()}
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", F.unix_micros(F.col("ts")).alias("us"))
+        .collect()
+    )
+    ref = {
+        (a["event_id"],
+         sum(1 for b in rows
+             if b["event_id"] != a["event_id"]
+             and abs(b["us"] - a["us"]) <= RANGE_W_US))
+        for a in rows
+    }
+    assert got == ref
+    assert any(n > 0 for _, n in got)  # the window actually matches
+
+
+def test_range_join_pairs_meet_in_one_bucket(spark):
+    """Home-bucket assignment counts every qualifying pair exactly
+    once — including pairs that straddle a bucket boundary (us one
+    microsecond either side of a multiple of W)."""
+    from psd_project_spark.operators import range_join as R
+
+    W = R.RANGE_W_US
+    base = 10 * W
+    data = [(1, base - 1), (2, base + 1), (3, base + W), (4, base + 3 * W)]
+    ev = spark.createDataFrame(data, "event_id long, us long")
+    home = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("us").alias("b_us"),
+        F.floor(F.col("us") / W).alias("bucket"),
+    )
+    probe = ev.select(
+        "event_id", "us",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("us") - W) / W),
+                F.floor((F.col("us") + W) / W),
+            )
+        ).alias("bucket"),
+    )
+    pairs = probe.join(home, "bucket").filter(
+        (F.col("b_id") != F.col("event_id"))
+        & (F.abs(F.col("b_us") - F.col("us")) <= F.lit(W))
+    )
+    got = sorted(
+        (r["event_id"], r["b_id"]) for r in pairs.collect()
+    )
+    ref = sorted(
+        (a, b)
+        for a, ua in data
+        for b, ub in data
+        if a != b and abs(ua - ub) <= W
+    )
+    assert got == ref  # exact multiset: no misses, no double counts
+
+
 def test_walk_partitions_skips_hidden_dirs(tmp_path):
     """The manifest walk ignores underscore/dot-prefixed dirs (the
     Spark hidden-path convention) at any depth."""

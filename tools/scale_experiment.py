@@ -130,6 +130,11 @@ QUERIES = [
     # (data-sized, once per snapshot), rep 2 is the steady state —
     # the exchange-free join itself
     "bucketed_join_roundtrip",
+    # the bucketed range join: 10x events in the same time span ≈ 10x
+    # per-bucket density, so pair volume grows ~100x — the stress case
+    # for the equi-join rewrite (the naive BNLJ would grow the same
+    # but with the build side in memory)
+    "range_join_overlap",
 ]
 
 
