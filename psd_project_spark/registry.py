@@ -16,10 +16,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness driver only checks the FIRST 50 registry entries (in
 # iteration order), so ordering is part of the verification contract.
-# Round-9 rotation (VERDICT r08 "Next round" #1): the three round-8
-# operators that shipped without a driver row lead the window
-# (stream_index_maintain, quality_classifier_eval, quality_calibration
-# — the zero-queue breach this rotation repairs), then EVERY query of
+# Round-9 rotation (VERDICT r08 "Next round" #1): round 9's six new
+# operators (the persisted-IVF trio, the streaming MinHash screen,
+# the co-located bucketed join, the bucketed range join) and the
+# three round-8 operators that shipped without a driver row lead the
+# window (stream_index_maintain, quality_classifier_eval,
+# quality_calibration — the zero-queue breach this rotation repairs),
+# then EVERY query of
 # every module functionally changed in round 8 — sampling.py (the
 # chunked-rank rewrite of source_mix_rebalance plus the content-hash
 # helper migration), governance.py (same migration), quality_classifier
@@ -32,8 +35,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # per-bucket compaction / persisted-IVF work (the r06/r07 precedent:
 # a changed dependency re-windows exactly the queries it affects) —
 # minhash_index_* therefore re-enter. Spares re-verify the reference
-# risk surface and the core streaming battery, plus the classifier's
-# feature dependency (quality_features). Outside the window: queries
+# risk surface and the core streaming battery. Outside the window:
+# queries
 # in files untouched since their last green row (freq_sketch.py,
 # streaming/foreach_sink.py, risk.py's value_histogram, the relational
 # /tpch tiers, text_analysis/text_curation/dedup batch tiers — all
