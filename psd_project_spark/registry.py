@@ -53,6 +53,7 @@ _PRIORITY = (
     "stream_minhash_screen",
     "bucketed_join_roundtrip",
     "range_join_overlap",
+    "scd2_history",
     # -- round-8 operators owed their day-one driver row ---------------
     "stream_index_maintain",
     "quality_classifier_eval",
@@ -103,16 +104,16 @@ _PRIORITY = (
     "measures_window",
     "alerts_batch",
     "alert_counts",
-    "portfolio_projection",
     # -- spares: core streaming battery --------------------------------
     "stream_ingest_dedup",
     "measures_window_stream",
     # (stream_dedup_users + quality_features + events_time_windows +
-    # psd_samples_source + alert_log_roundtrip + alerts_stream
-    # yielded their spare slots to the round-9 additions — the
-    # persisted-IVF trio, the streaming MinHash screen, the
-    # co-located bucketed join, and the bucketed range join: all six
-    # hold green r08 rows over bytes untouched since)
+    # psd_samples_source + alert_log_roundtrip + alerts_stream +
+    # portfolio_projection yielded their spare slots to the round-9
+    # additions — the persisted-IVF trio, the streaming MinHash
+    # screen, the co-located bucketed join, the bucketed range join,
+    # and the SCD2 history: all seven hold green r08 rows over bytes
+    # untouched since)
 )
 
 _MODULES = (
@@ -131,6 +132,7 @@ _MODULES = (
     "psd_project_spark.operators.minhash_stream",
     "psd_project_spark.operators.bucketing",
     "psd_project_spark.operators.range_join",
+    "psd_project_spark.operators.scd",
     "psd_project_spark.operators.exact_substr",
     "psd_project_spark.operators.quality_classifier",
     "psd_project_spark.operators.sampling",

@@ -31,6 +31,7 @@ R9_FRONT = [
     "stream_minhash_screen",
     "bucketed_join_roundtrip",
     "range_join_overlap",
+    "scd2_history",
     "stream_index_maintain",
     "quality_classifier_eval",
     "quality_calibration",

@@ -409,6 +409,28 @@ def test_range_join_pairs_meet_in_one_bucket(spark):
     assert got == ref  # exact multiset: no misses, no double counts
 
 
+def test_scd2_history_chain_and_plan(spark):
+    """SCD2 intervals: exactly one data-sized exchange (the user_id
+    window), intervals chain per user without gaps, ties break by
+    event_id, exactly one current row per user."""
+    from psd_project_spark.operators.scd import scd2_history
+    from psd_project_spark.plans.inspect import executed_plan
+
+    df = scd2_history(spark, SF_DIR)
+    # the orderBy adds a range exchange for presentation; the data-
+    # sized hash exchange is the single user_id window partition
+    assert executed_plan(df).count("Exchange hashpartitioning") == 1
+    rows = df.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, chain in by_user.items():
+        assert sum(1 for r in chain if r["is_current"]) == 1
+        for a, b in zip(chain, chain[1:]):
+            assert a["valid_to"] == b["valid_from"], (user, a, b)
+        assert chain[-1]["valid_to"] is None
+
+
 def test_walk_partitions_skips_hidden_dirs(tmp_path):
     """The manifest walk ignores underscore/dot-prefixed dirs (the
     Spark hidden-path convention) at any depth."""

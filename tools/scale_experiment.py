@@ -135,6 +135,8 @@ QUERIES = [
     # for the equi-join rewrite (the naive BNLJ would grow the same
     # but with the build side in memory)
     "range_join_overlap",
+    # SCD2 validity intervals: one user_id exchange + per-user lead()
+    "scd2_history",
 ]
 
 
