@@ -16,72 +16,75 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness driver only checks the FIRST 50 registry entries (in
 # iteration order), so ordering is part of the verification contract.
-# Round-9 rotation (VERDICT r08 "Next round" #1): round 9's six new
-# operators (the persisted-IVF trio, the streaming MinHash screen,
-# the co-located bucketed join, the bucketed range join) and the
-# three round-8 operators that shipped without a driver row lead the
-# window (stream_index_maintain, quality_classifier_eval,
-# quality_calibration — the zero-queue breach this rotation repairs),
-# then EVERY query of
-# every module functionally changed in round 8 — sampling.py (the
-# chunked-rank rewrite of source_mix_rebalance plus the content-hash
-# helper migration), governance.py (same migration), quality_classifier
-# .py (eval/calibration tier, prefix-sum rewrite of mixture_resample,
-# model memo, store fingerprint), exact_substr.py (stream_index_
-# maintain, MAX_EPOCH_DOCS guard), similarity.py (MAX_EPOCH_QUERIES
-# guard, cached epoch ids) — so their pre-rewrite rows are replaced by
-# current-bytes rows. dedup.py is untouched, but its persisted-index
-# queries flow through index_compact.py, which round 9 touches for the
-# per-bucket compaction / persisted-IVF work (the r06/r07 precedent:
-# a changed dependency re-windows exactly the queries it affects) —
-# minhash_index_* therefore re-enter. Spares re-verify the reference
-# risk surface and the core streaming battery. Outside the window:
-# queries
-# in files untouched since their last green row (freq_sketch.py,
-# streaming/foreach_sink.py, risk.py's value_histogram, the relational
-# /tpch tiers, text_analysis/text_curation/dedup batch tiers — all
-# hold r08-or-earlier rows over unchanged bytes; stream_session_windows
-# / stream_stream_join / stream_upsert_latest / dedup_ngram_jaccard
-# yielded their r7-spare slots, each holding a green r08 row). NO
-# queue: every registry query holds or re-earns a current-bytes driver
-# row (tests/test_registry_order.py).
+# Round-10 rotation (VERDICT r09 "Next round" #1, rotated FIRST): the
+# round-10 additions lead the window as they land — asof_feature_join
+# and stream_scd2_maintain (both in scd.py) — followed by every query
+# of every module round 10 functionally touches: scd.py (the two new
+# queries live beside scd2_history), range_join.py (the pair builder
+# is factored out for the skew pin), bucketing.py (per-table
+# fingerprints + the bucket-aligned delta-append write path), and —
+# by the r06/r07/r09 changed-dependency precedent (a changed
+# dependency re-windows exactly the queries it affects) —
+# stream_upsert_latest, whose merge path moves onto the generic
+# versioned foreachBatch runner in streaming/foreach_sink.py that the
+# SCD2 maintenance stream shares (run_stream itself is byte-unchanged,
+# so the other foreachBatch streams keep their r9 rows).
+# functions/vectors.py is also touched, but only inside
+# make_nn_kernel (the size-gate on its driver collect), which no
+# registry query calls — its sole caller is the non-registry
+# differential baseline dedup_embedding_1nn_collect — so no query
+# re-enters for it. The remaining slots are documented spares holding
+# their full-r9-window green rows: the persisted-index lifecycles,
+# the classifier/sampling/governance/exact_substr/similarity
+# families, the reference risk surface, and the core streaming
+# battery. Yields by name, staged as the r10 entries land (each
+# yielder holds a green r9 row over bytes untouched in r10):
+# quality_store_incremental → stream_upsert_latest (this rotation);
+# domain_mixture_weights → asof_feature_join and mixture_resample →
+# stream_scd2_maintain (on their landing commits). NO queue: every
+# registry query holds or re-earns a current-bytes driver row
+# (tests/test_registry_order.py).
 _PRIORITY = (
-    # -- round-9 new operators (front: day-one driver rows) ------------
+    # -- round-10 new + re-entering (front: day-one driver rows) -------
+    "scd2_history",
+    "range_join_overlap",
+    "bucketed_join_roundtrip",
+    "stream_upsert_latest",
+    # -- spares: round-9 operators re-verified over unchanged bytes ----
     "ivf_index_search",
     "ivf_index_compaction",
     "stream_ivf_search",
     "stream_minhash_screen",
-    "bucketed_join_roundtrip",
-    "range_join_overlap",
-    "scd2_history",
-    # -- round-8 operators owed their day-one driver row ---------------
     "stream_index_maintain",
     "quality_classifier_eval",
     "quality_calibration",
-    # -- operators/sampling.py (chunked_rank rewrite + hash migration) -
+    # -- spares: sampling.py family (green r9 rows, untouched) ---------
     "train_val_split",
     "source_mix_rebalance",
     "stratified_sample",
     "token_budget_packing",
-    # -- operators/governance.py (hash-helper migration) ---------------
+    # -- spares: governance.py family (green r9 rows, untouched) -------
     "k_anonymity_release",
     "weighted_sample",
     "training_shard_export",
-    # -- operators/quality_classifier.py (module changed in r8) --------
+    # -- spares: quality_classifier.py family (green r9 rows,
+    #    untouched; quality_store_incremental yielded its slot to the
+    #    re-entering stream_upsert_latest; domain_mixture_weights and
+    #    mixture_resample yield theirs to asof_feature_join and
+    #    stream_scd2_maintain when those land later this round) --------
     "quality_classifier_train",
     "quality_classifier_score",
     "stream_quality_score",
-    "quality_store_incremental",
     "domain_mixture_weights",
     "mixture_resample",
-    # -- operators/exact_substr.py (module changed in r8) --------------
+    # -- spares: exact_substr.py family (green r9 rows, untouched) -----
     "dedup_exact_substr",
     "exact_substr_cut",
     "decontaminate_substr",
     "decontaminate_cut",
     "substr_index_incremental",
     "stream_crawl_screen",
-    # -- operators/similarity.py (module changed in r8) ----------------
+    # -- spares: similarity.py family (green r9 rows, untouched) -------
     "knn_cosine",
     "ann_index_export",
     "ann_index_incremental",
@@ -94,8 +97,8 @@ _PRIORITY = (
     "cluster_balanced_sample",
     "dedup_embedding_lsh",
     "semantic_dedup",
-    # -- dedup.py index-lifecycle queries (index_compact.py changes
-    #    in r9: per-bucket compaction + persisted IVF) -----------------
+    # -- spares: dedup.py index lifecycle (green r9 rows; dedup.py and
+    #    index_compact.py both untouched in r10) -----------------------
     "minhash_index_export",
     "minhash_index_incremental",
     "minhash_index_compaction",
@@ -107,13 +110,13 @@ _PRIORITY = (
     # -- spares: core streaming battery --------------------------------
     "stream_ingest_dedup",
     "measures_window_stream",
-    # (stream_dedup_users + quality_features + events_time_windows +
-    # psd_samples_source + alert_log_roundtrip + alerts_stream +
-    # portfolio_projection yielded their spare slots to the round-9
-    # additions — the persisted-IVF trio, the streaming MinHash
-    # screen, the co-located bucketed join, the bucketed range join,
-    # and the SCD2 history: all seven hold green r08 rows over bytes
-    # untouched since)
+    # (quality_store_incremental yielded its r9 slot to the
+    # re-entering stream_upsert_latest; it holds a green r9 row over
+    # bytes untouched in r10. The r8-era yielders — stream_dedup_users,
+    # quality_features, events_time_windows, psd_samples_source,
+    # alert_log_roundtrip, alerts_stream, portfolio_projection,
+    # stream_session_windows, stream_stream_join, dedup_ngram_jaccard —
+    # still hold green r08-or-earlier rows over bytes untouched since.)
 )
 
 _MODULES = (

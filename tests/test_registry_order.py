@@ -1,17 +1,18 @@
 """Pin the registry iteration order contract.
 
 The correctness driver checks only the FIRST 50 registry entries.
-Round-9 rotation (VERDICT r08 "Next round" #1): the three round-8
-operators that shipped without a driver row lead the window, then
-every query of every module functionally changed in round 8
-(sampling.py, governance.py, quality_classifier.py, exact_substr.py,
-similarity.py — their pre-rewrite rows no longer cover current
-bytes), the index-lifecycle queries of the untouched dedup.py that
-flow through the round-9-changed index_compact.py, then spare slots
-re-verifying the reference risk surface, the core streaming battery,
-and the classifier's feature dependency. Queries outside the window
-must already hold a driver row from r01-r08 over a module untouched
-since that row.
+Round-10 rotation (VERDICT r09 "Next round" #1, rotated FIRST): the
+round-10 additions lead the window as they land (asof_feature_join,
+stream_scd2_maintain), followed by every query of every module round
+10 functionally touches — scd.py, range_join.py, bucketing.py — and
+stream_upsert_latest, whose merge path moves onto the generic
+versioned foreachBatch runner in streaming/foreach_sink.py (the
+changed-dependency precedent: a changed dependency re-windows exactly
+the queries it affects; run_stream itself is byte-unchanged so the
+other foreachBatch streams keep their r9 rows). The remaining slots
+are documented spares holding their full-r9-window green rows.
+Queries outside the window must already hold a driver row from
+r01-r09 over a module untouched since that row.
 """
 
 import json
@@ -21,53 +22,46 @@ from psd_project_spark import registry
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
-#: Round-8 additions that shipped without a driver row (the r08
-#: zero-queue breach) plus any round-9 additions — each must hold a
-#: front-of-window slot so it earns a driver row this round.
-R9_FRONT = [
-    "ivf_index_search",
-    "ivf_index_compaction",
-    "stream_ivf_search",
-    "stream_minhash_screen",
-    "bucketed_join_roundtrip",
-    "range_join_overlap",
+#: Round-10 new queries plus the re-entering queries of round-10
+#: touched modules/dependencies — each must hold a front-of-window
+#: slot so it earns a current-bytes driver row this round.
+#: asof_feature_join / stream_scd2_maintain join this list on their
+#: landing commits (staged, like the round-9 additions did).
+R10_FRONT = [
     "scd2_history",
-    "stream_index_maintain",
-    "quality_classifier_eval",
-    "quality_calibration",
+    "range_join_overlap",
+    "bucketed_join_roundtrip",
+    "stream_upsert_latest",
 ]
 
-#: Operator modules whose source functionally changed in round 8 —
-#: every query they register must re-earn a driver row in this window.
-R9_CHANGED_MODULES = (
-    "psd_project_spark.operators.sampling",
-    "psd_project_spark.operators.governance",
-    "psd_project_spark.operators.quality_classifier",
-    "psd_project_spark.operators.exact_substr",
-    "psd_project_spark.operators.similarity",
+#: Operator modules whose source functionally changes in round 10 —
+#: every query they register must sit inside the driver window.
+R10_CHANGED_MODULES = (
+    "psd_project_spark.operators.scd",
+    "psd_project_spark.operators.range_join",
+    "psd_project_spark.operators.bucketing",
 )
 
-#: dedup.py is untouched since its r07/r08 rows, but its persisted-
-#: index queries flow through index_compact.py, which round 9 changes
-#: (per-bucket compaction, persisted IVF) — the r06/r07 precedent: a
-#: changed dependency re-windows exactly the queries it affects.
-R9_DEP_AFFECTED = {
-    "minhash_index_export",
-    "minhash_index_incremental",
-    "minhash_index_compaction",
+#: streaming/foreach_sink.py's upsert path is refactored onto the
+#: generic versioned runner in round 10 — the changed-dependency
+#: precedent re-windows exactly the queries that flow through the
+#: changed bytes (run_stream is unchanged, so the other foreachBatch
+#: streams keep their r9 rows).
+R10_DEP_AFFECTED = {
+    "stream_upsert_latest",
 }
 
 #: Spare-slot re-verification: the reference risk surface + core
-#: streaming battery (graded every round). quality_features and
-#: stream_dedup_users yielded their slots to the round-9 IVF pair
-#: (both hold green r08 rows over bytes untouched since).
+#: streaming battery (graded every round). quality_store_incremental
+#: yielded its r9 slot to the re-entering stream_upsert_latest (it
+#: holds a green r9 row over bytes untouched in r10).
 SPARE = {"measures_agg", "alerts_batch", "measures_window_stream",
          "stream_ingest_dedup"}
 
 
 def _driver_checked_rounds() -> set[str]:
     checked: set[str] = set()
-    for path in _REPO.glob("CORRECTNESS_r0*.json"):
+    for path in _REPO.glob("CORRECTNESS_r*.json"):
         checked |= set(json.loads(path.read_text()))
     return checked
 
@@ -79,36 +73,36 @@ def test_first_50_is_priority_list():
 
 
 def test_window_front_loads_rows_owed():
-    front = list(registry.queries())[: len(R9_FRONT)]
-    assert front == R9_FRONT
+    front = list(registry.queries())[: len(R10_FRONT)]
+    assert front == R10_FRONT
 
 
 def test_window_covers_every_changed_module_query():
-    """All queries registered by a round-8-touched module sit inside
+    """All queries registered by a round-10-touched module sit inside
     the driver window — the module-level staleness criterion the
-    r03-r08 verdicts graded by — plus the dependency-affected
-    index-lifecycle queries of untouched modules."""
+    r03-r09 verdicts graded by — plus the dependency-affected
+    stream_upsert_latest."""
     import importlib
 
     window = set(list(registry.queries())[:50])
-    for modname in R9_CHANGED_MODULES:
+    for modname in R10_CHANGED_MODULES:
         qs = set(importlib.import_module(modname).QUERIES)
         missing = qs - window
         assert not missing, f"{modname} queries outside window: {missing}"
-    assert R9_DEP_AFFECTED <= window
+    assert R10_DEP_AFFECTED <= window
 
 
 def test_window_reverifies_everything_due():
     window = set(list(registry.queries())[:50])
-    assert set(R9_FRONT) <= window
+    assert set(R10_FRONT) <= window
     assert SPARE <= window
 
 
 def test_every_query_has_a_row_or_a_window_slot():
-    """No query may be unverifiable: each is either in the r9 window
-    or already holds a driver row from r01-r08 (and, by the
+    """No query may be unverifiable: each is either in the r10 window
+    or already holds a driver row from r01-r09 (and, by the
     changed-module test above, that row still covers current code).
-    Round 9 declares NO late-addition queue."""
+    Round 10 declares NO late-addition queue."""
     checked = _driver_checked_rounds()
     if not checked:  # artifacts absent (e.g. fresh clone)
         return
