@@ -37,15 +37,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # their full-r9-window green rows: the persisted-index lifecycles,
 # the classifier/sampling/governance/exact_substr/similarity
 # families, the reference risk surface, and the core streaming
-# battery. Yields by name, staged as the r10 entries land (each
-# yielder holds a green r9 row over bytes untouched in r10):
-# quality_store_incremental → stream_upsert_latest (this rotation);
-# domain_mixture_weights → asof_feature_join and mixture_resample →
-# stream_scd2_maintain (on their landing commits). NO queue: every
-# registry query holds or re-earns a current-bytes driver row
+# battery. Yields by name (each yielder holds a green r9 row over
+# bytes untouched in r10): quality_store_incremental →
+# stream_upsert_latest, domain_mixture_weights → asof_feature_join,
+# mixture_resample → stream_scd2_maintain. NO queue: every registry
+# query holds or re-earns a current-bytes driver row
 # (tests/test_registry_order.py).
 _PRIORITY = (
     # -- round-10 new + re-entering (front: day-one driver rows) -------
+    "asof_feature_join",
+    "stream_scd2_maintain",
     "scd2_history",
     "range_join_overlap",
     "bucketed_join_roundtrip",
@@ -69,14 +70,11 @@ _PRIORITY = (
     "training_shard_export",
     # -- spares: quality_classifier.py family (green r9 rows,
     #    untouched; quality_store_incremental yielded its slot to the
-    #    re-entering stream_upsert_latest; domain_mixture_weights and
-    #    mixture_resample yield theirs to asof_feature_join and
-    #    stream_scd2_maintain when those land later this round) --------
+    #    re-entering stream_upsert_latest, domain_mixture_weights to
+    #    asof_feature_join, mixture_resample to stream_scd2_maintain) --
     "quality_classifier_train",
     "quality_classifier_score",
     "stream_quality_score",
-    "domain_mixture_weights",
-    "mixture_resample",
     # -- spares: exact_substr.py family (green r9 rows, untouched) -----
     "dedup_exact_substr",
     "exact_substr_cut",
@@ -110,9 +108,10 @@ _PRIORITY = (
     # -- spares: core streaming battery --------------------------------
     "stream_ingest_dedup",
     "measures_window_stream",
-    # (quality_store_incremental yielded its r9 slot to the
-    # re-entering stream_upsert_latest; it holds a green r9 row over
-    # bytes untouched in r10. The r8-era yielders — stream_dedup_users,
+    # (quality_store_incremental, domain_mixture_weights and
+    # mixture_resample yielded their r9 slots to the round-10 entries;
+    # each holds a green r9 row over bytes untouched in r10. The
+    # r8-era yielders — stream_dedup_users,
     # quality_features, events_time_windows, psd_samples_source,
     # alert_log_roundtrip, alerts_stream, portfolio_projection,
     # stream_session_windows, stream_stream_join, dedup_ngram_jaccard —

@@ -11,15 +11,17 @@ patterns, reimplemented here storage-free on plain parquet:
   (micro-batch replay after a crash) overwrites its own directory
   instead of duplicating rows. Exactly-once = checkpointed offsets +
   idempotent per-epoch writes.
+- ``run_foreachbatch_versioned``: the generic MERGE-style state sink
+  (immutable version dirs + atomic ``current`` symlink swap + epoch
+  replay guard) with the per-epoch merge injected — shared by the
+  upsert below and the streaming SCD2 maintenance (operators/scd.py).
 - ``run_foreachbatch_upsert``: maintains a compact keyed table.
   Per epoch: keep-latest within the batch, anti-join-free merge with
-  the current table (union → rank → keep-latest), write a new
-  immutable version directory, then atomically repoint a ``current``
-  symlink. Readers always see a complete version; a replayed epoch
-  rebuilds the same version directory and the swap is idempotent.
-  At scale the same pattern is a lakehouse MERGE (Delta/Iceberg); the
-  plan shape — broadcast-free keyed dedup of (state ∪ delta) — is
-  identical.
+  the current table (union → rank → keep-latest) through the
+  versioned runner. Readers always see a complete version; a replayed
+  epoch is a guarded no-op. At scale the same pattern is a lakehouse
+  MERGE (Delta/Iceberg); the plan shape — broadcast-free keyed dedup
+  of (state ∪ delta) — is identical.
 
 The reference has no recovery or upsert story at all: a crash
 re-prints every alert (StreamingJob.java:439 print sink).
@@ -92,6 +94,53 @@ def current_upsert_table(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "current"))
 
 
+def run_foreachbatch_versioned(
+    result: DataFrame,
+    out_dir: str,
+    ckpt: str,
+    merge_fn,
+    state_partitions: int | None = STATE_PARTITIONS,
+) -> None:
+    """Generic MERGE-style versioned state sink: the machinery shared
+    by every continuously-maintained keyed table (the latest-row
+    upsert below, the streaming SCD2 interval maintenance in
+    ``operators/scd.py``). Per epoch: ``merge_fn(current, delta,
+    batch_id) -> DataFrame`` (``current`` is None on the first epoch)
+    computes the next state, which is written to a new immutable
+    version directory and published by atomically repointing a
+    ``current`` symlink. Readers always see a complete version.
+
+    Replay idempotency: the symlink's version number records the last
+    APPLIED epoch — a replayed micro-batch (crash + checkpoint
+    recovery) whose id is ≤ the applied version returns without
+    touching state, so no epoch is ever double-merged. At scale the
+    same pattern is a lakehouse MERGE (Delta/Iceberg) keyed by the
+    same idempotent epoch id."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        current = os.path.join(out_dir, "current")
+        cur_df = None
+        if os.path.lexists(current):
+            # Replay guard: if the swap for this (or a later) epoch
+            # already happened, the epoch was fully applied — reapplying
+            # would read and clobber the same version directory.
+            applied = int(os.readlink(current).lstrip("v"))
+            if applied >= batch_id:
+                return
+            cur_df = spark.read.parquet(current)
+        merged = merge_fn(cur_df, df, batch_id)
+        version = os.path.join(out_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(version)
+        tmp = os.path.join(out_dir, f".swap{batch_id}")
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(f"v{batch_id}", tmp)
+        os.replace(tmp, current)  # atomic repoint
+
+    _run(result, write_batch, ckpt, state_partitions)
+
+
 def run_foreachbatch_upsert(
     result: DataFrame,
     out_dir: str,
@@ -104,37 +153,20 @@ def run_foreachbatch_upsert(
     swap. ``order_cols`` must totally order rows within a key (e.g.
     ``["ts_ns", "event_id"]``) so the kept row is deterministic."""
 
-    def write_batch(df: DataFrame, batch_id: int) -> None:
-        spark = df.sparkSession
-        w = Window.partitionBy(*key_cols).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+
+    def merge(current: DataFrame | None, df: DataFrame, batch_id: int):
         delta = df.withColumn("_epoch", F.lit(batch_id).cast("long"))
-        current = os.path.join(out_dir, "current")
-        if os.path.lexists(current):
-            # Replay guard: if the swap for this (or a later) epoch
-            # already happened, the epoch was fully applied — reapplying
-            # would read and clobber the same version directory.
-            applied = int(os.readlink(current).lstrip("v"))
-            if applied >= batch_id:
-                return
-            merged = spark.read.parquet(current).unionByName(delta)
-        else:
-            merged = delta
-        latest = (
+        merged = delta if current is None else current.unionByName(delta)
+        return (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        version = os.path.join(out_dir, f"v{batch_id}")
-        latest.write.mode("overwrite").parquet(version)
-        tmp = os.path.join(out_dir, f".swap{batch_id}")
-        if os.path.lexists(tmp):
-            os.unlink(tmp)
-        os.symlink(f"v{batch_id}", tmp)
-        os.replace(tmp, current)  # atomic repoint
 
-    _run(result, write_batch, ckpt, state_partitions)
+    run_foreachbatch_versioned(result, out_dir, ckpt, merge, state_partitions)
 
 
 # --- registry query ----------------------------------------------------------

@@ -25,9 +25,9 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 #: Round-10 new queries plus the re-entering queries of round-10
 #: touched modules/dependencies — each must hold a front-of-window
 #: slot so it earns a current-bytes driver row this round.
-#: asof_feature_join / stream_scd2_maintain join this list on their
-#: landing commits (staged, like the round-9 additions did).
 R10_FRONT = [
+    "asof_feature_join",
+    "stream_scd2_maintain",
     "scd2_history",
     "range_join_overlap",
     "bucketed_join_roundtrip",
@@ -52,9 +52,10 @@ R10_DEP_AFFECTED = {
 }
 
 #: Spare-slot re-verification: the reference risk surface + core
-#: streaming battery (graded every round). quality_store_incremental
-#: yielded its r9 slot to the re-entering stream_upsert_latest (it
-#: holds a green r9 row over bytes untouched in r10).
+#: streaming battery (graded every round). quality_store_incremental,
+#: domain_mixture_weights and mixture_resample yielded their r9 slots
+#: to the round-10 entries (each holds a green r9 row over bytes
+#: untouched in r10).
 SPARE = {"measures_agg", "alerts_batch", "measures_window_stream",
          "stream_ingest_dedup"}
 

@@ -1,0 +1,224 @@
+"""Round-10 operator tests: the point-in-time as-of feature join and
+the streaming SCD2 interval maintenance (VERDICT r09 "Next round"
+#2/#3) — plan shape, tie/late-data semantics, restart idempotency."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from psd_project_spark.operators.scd import (
+    _scd2_intervals,
+    asof_feature_join,
+    asof_join,
+    run_scd2_maintenance,
+    scd2_history,
+    scd2_merge,
+)
+from tests.conftest import SF_DIR
+
+
+def test_asof_feature_join_plan_one_exchange(spark):
+    """The union-sort-fill as-of join shuffles the data exactly ONCE
+    (the user_id window) and never falls back to a nested-loop or
+    cartesian join — the property the non-equi BETWEEN form lacks."""
+    from psd_project_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(asof_feature_join(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_join_tie_and_boundary_semantics(spark):
+    """Hand-built chain: a probe AT a state event's ts sees it
+    (valid_from inclusive); tied state events resolve to the highest
+    event_id (the empty-interval rule); probes before the first event
+    keep NULLs; probes after the last event see the open interval."""
+    state = spark.createDataFrame(
+        [
+            (1, 11, 100, 1.0),
+            (1, 13, 100, 2.0),  # tied ts with 11: 13 owns [100, 200)
+            (1, 15, 200, 3.0),
+            (2, 21, 500, 9.0),
+        ],
+        "user_id long, event_id long, ts long, value double",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    probes = spark.createDataFrame(
+        [
+            (1, 90, 50),    # before first event → NULLs
+            (1, 92, 100),   # at tied ts → event 13
+            (1, 94, 150),   # inside [100, 200) → event 13
+            (1, 96, 200),   # at boundary → event 15
+            (1, 98, 999),   # open interval → event 15
+            (2, 91, 400),   # other user, before its event → NULLs
+            (2, 93, 500),   # at its event → event 21
+        ],
+        "user_id long, probe_id long, ts long",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    got = {
+        (r["user_id"], r["probe_id"], r["asof_event_id"], r["asof_value"])
+        for r in asof_join(state, probes).collect()
+    }
+    assert got == {
+        (1, 90, None, None),
+        (1, 92, 13, 2.0),
+        (1, 94, 13, 2.0),
+        (1, 96, 15, 3.0),
+        (1, 98, 15, 3.0),
+        (2, 91, None, None),
+        (2, 93, 21, 9.0),
+    }
+
+
+def test_asof_equals_interval_lookup(spark):
+    """Differential vs the SCD2 intervals themselves: for every probe,
+    the as-of answer equals the (unique) interval containing its ts —
+    the composition the operator exists for."""
+    from psd_project_spark.sources.registry import load_table
+
+    rows = asof_feature_join(spark, SF_DIR).collect()
+    # intervals over the STATE set only (lead within odd events) —
+    # filtering scd2_history after its all-events lead would close
+    # each interval at the next event of either parity
+    ev = _scd2_intervals(
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .filter(F.col("event_id") % 2 == 1)
+    ).collect()
+    # probe cardinality is preserved exactly (each probe matches ≤ 1
+    # interval)
+    n_probes = len([r for r in rows])
+    assert n_probes > 0
+    intervals = {}
+    for r in ev:
+        intervals.setdefault(r["user_id"], []).append(r)
+    for r in rows:
+        hits = [
+            iv
+            for iv in intervals.get(r["user_id"], [])
+            if iv["valid_from"] <= r["ts"]
+            and (iv["valid_to"] is None or r["ts"] < iv["valid_to"])
+        ]
+        assert len(hits) <= 1
+        if hits:
+            assert (r["asof_event_id"], r["asof_value"]) == (
+                hits[0]["event_id"],
+                hits[0]["value"],
+            ), r
+        else:
+            assert r["asof_event_id"] is None and r["asof_value"] is None
+
+
+def test_scd2_merge_handles_late_data(spark):
+    """An event arriving AFTER later events splices into the middle
+    of its user's chain: merge(current, late_delta) ≡ the batch
+    recompute over the full event set — the case a naive
+    close-the-open-interval upsert corrupts."""
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    first = mk([(1, 10, 100, 1.0), (1, 30, 300, 3.0), (2, 40, 50, 4.0)])
+    late = mk([(1, 20, 200, 2.0)])  # lands between 10 and 30
+    current = scd2_merge(None, first, 0)
+    merged = scd2_merge(current, late, 1)
+    want = _scd2_intervals(first.unionByName(late))
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(merged) == key(want)
+    # untouched user 2 must be byte-identical (single open interval)
+    u2 = [r for r in merged.collect() if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]
+
+
+def test_stream_scd2_restart_and_replay(spark, tmp_path):
+    """Maintenance across a restart == batch scd2 over all events;
+    re-running with no new data is a guarded no-op (the version
+    pointer does not move, state bytes unchanged)."""
+    from psd_project_spark.sources.registry import load_table
+
+    src_dir = tmp_path / "src"; src_dir.mkdir()
+    out_dir = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    def maintain():
+        arriving = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, value double"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+        run_scd2_maintenance(arriving, out_dir, ckpt)
+
+    half1.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f1"))
+    maintain()
+    half2.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f2"))
+    maintain()
+
+    key = lambda df: sorted(
+        map(tuple, df.select(
+            "user_id", "event_id", "valid_from", "valid_to", "value",
+            "is_current",
+        ).collect())
+    )
+    got = key(spark.read.parquet(os.path.join(out_dir, "current")))
+    want = key(scd2_history(spark, SF_DIR))
+    assert got == want
+    assert len(glob.glob(os.path.join(out_dir, "v*"))) >= 2  # real epochs
+    # replay: no new files → the checkpointed query emits nothing new
+    # and the applied-version pointer stays put
+    applied = os.readlink(os.path.join(out_dir, "current"))
+    maintain()
+    assert os.readlink(os.path.join(out_dir, "current")) == applied
+    assert key(spark.read.parquet(os.path.join(out_dir, "current"))) == want
+
+
+def test_scd2_merge_replay_guard_via_versioned_runner(spark, tmp_path):
+    """Drive the versioned runner's guard directly: after epochs 0+1
+    are applied, a replayed epoch-0 batch must not rewrite state (the
+    crash-recovery double-merge this guards against)."""
+    from psd_project_spark.streaming.foreach_sink import (
+        run_foreachbatch_versioned,
+    )
+
+    src_dir = tmp_path / "src"; src_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    e0 = mk([(1, 10, 100, 1.0)])
+    e1 = mk([(1, 20, 200, 2.0)])
+    e0.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f0"))
+    run_foreachbatch_versioned(
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double"
+        ).option("recursiveFileLookup", "true").parquet(str(src_dir)),
+        out_dir, str(tmp_path / "ck1"), scd2_merge,
+    )
+    e1.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f1"))
+    run_foreachbatch_versioned(
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double"
+        ).option("recursiveFileLookup", "true").parquet(str(src_dir)),
+        out_dir, str(tmp_path / "ck1"), scd2_merge,
+    )
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{out_dir}/current").collect())
+    )
+    # a FRESH checkpoint replays everything as epoch 0 — the guard
+    # must refuse it (applied version ≥ replayed id) and keep state
+    run_foreachbatch_versioned(
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double"
+        ).option("recursiveFileLookup", "true").parquet(str(src_dir)),
+        out_dir, str(tmp_path / "ck2"), scd2_merge,
+    )
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{out_dir}/current").collect())
+    )
+    assert after == before
+    assert len([r for r in after if r[5]]) == 1  # one current row
