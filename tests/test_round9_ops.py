@@ -379,26 +379,8 @@ def test_range_join_pairs_meet_in_one_bucket(spark):
     base = 10 * W
     data = [(1, base - 1), (2, base + 1), (3, base + W), (4, base + 3 * W)]
     ev = spark.createDataFrame(data, "event_id long, us long")
-    home = ev.select(
-        F.col("event_id").alias("b_id"),
-        F.col("us").alias("b_us"),
-        F.floor(F.col("us") / W).alias("bucket"),
-    )
-    probe = ev.select(
-        "event_id", "us",
-        F.explode(
-            F.sequence(
-                F.floor((F.col("us") - W) / W),
-                F.floor((F.col("us") + W) / W),
-            )
-        ).alias("bucket"),
-    )
-    pairs = probe.join(home, "bucket").filter(
-        (F.col("b_id") != F.col("event_id"))
-        & (F.abs(F.col("b_us") - F.col("us")) <= F.lit(W))
-    )
     got = sorted(
-        (r["event_id"], r["b_id"]) for r in pairs.collect()
+        (r["event_id"], r["b_id"]) for r in R.overlap_pairs(ev).collect()
     )
     ref = sorted(
         (a, b)
