@@ -16,7 +16,12 @@ every subsequent join (daily revenue rollups, order-line
 reconciliation) reads co-located buckets with map-side joins —
 ``tests/test_round9_ops.py`` pins the plan differential (bucketed
 plan: no exchange below the join; raw-parquet plan: both sides
-shuffle)."""
+shuffle). Round 10 adds the INCREMENTAL half (VERDICT r09 #5): new
+data lands as bucket-aligned APPENDS into the standing buckets (one
+new file per bucket per delta, spec-validated by Spark), so a daily
+delta pays a delta-sized shuffle — never a snapshot rewrite — and
+the join stays exchange-free over multi-file buckets
+(``tests/test_round10_ops.py``)."""
 
 from __future__ import annotations
 
@@ -57,65 +62,105 @@ def _table_root(key: str) -> str:
     return _ROOTS[key]
 
 
-def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write (or overwrite) the co-located ``orders``/``lineitem``
-    table pair for ``sf_dir`` and return their catalog names.
+#: Marker published STRICTLY LAST, after every write phase of a
+#: table (base snapshot + delta appends): the file-aware gate keys on
+#: it, not on parquet's ``_SUCCESS`` (which the BASE phase already
+#: writes — gating on _SUCCESS would serve a half-built table if a
+#: crash landed between base and delta).
+_COMPLETE = "_BUCKETS_COMPLETE"
 
-    Each side is ``repartition(N_BUCKETS, key)`` before the bucketed
-    write — repartition's hash IS the bucketing hash (Murmur3 on the
+
+def _write_bucketed(df, name: str, tpath: str, bkey: str, mode: str) -> None:
+    """One bucket-aligned write phase. ``repartition(N_BUCKETS, key)``
+    first — repartition's hash IS the bucketing hash (Murmur3 on the
     column value), so every write task holds exactly one bucket's rows
-    and each bucket lands as ONE file (the bucketed-write smallfile
-    trap: without it every task writes a sliver of every bucket).
-    Tables are EXTERNAL (explicit path under the session scratch
-    root); the in-memory catalog entry carries the bucket spec that
-    lets the planner elide the join exchange."""
+    and each phase lands as ONE file per bucket (the bucketed-write
+    smallfile trap: without it every task writes a sliver of every
+    bucket). ``mode="append"`` with the SAME bucketBy/sortBy spec is
+    the incremental path: Spark validates the spec against the
+    existing table and adds one new file per bucket — bucket-aligned
+    delta appends, no snapshot rewrite (VERDICT r09 #5). Multi-file
+    buckets keep the exchange-free join (the planner re-sorts each
+    bucket, it never re-shuffles)."""
+    (
+        df.repartition(N_BUCKETS, F.col(bkey))
+        .write.mode(mode)
+        .option("path", tpath)
+        .bucketBy(N_BUCKETS, bkey)
+        .sortBy(bkey)
+        .saveAsTable(name)
+    )
+
+
+def _pair_key(sf_dir: str) -> str:
+    """Staleness key for the pair: sf_dir + PER-TABLE source
+    fingerprints (the index-dir staleness contract) — regenerating
+    EITHER side mints new table names, never silently serves stale
+    buckets (ADVICE r09 #1: a lineitem-only key served stale orders
+    buckets after an orders-only regen)."""
     import hashlib
 
     from psd_project_spark.sources.registry import source_fingerprint
 
-    # sf_dir + source-data fingerprint (the index-dir staleness
-    # contract): regenerated source data mints new table names, never
-    # silently serves stale buckets
-    fp = source_fingerprint(sf_dir, "lineitem")
-    key = hashlib.md5(f"{sf_dir}:{fp}".encode()).hexdigest()[:8]
+    fp_o = source_fingerprint(sf_dir, "orders")
+    fp_l = source_fingerprint(sf_dir, "lineitem")
+    return hashlib.md5(f"{sf_dir}:{fp_o}:{fp_l}".encode()).hexdigest()[:8]
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write (or reuse) the co-located ``orders``/``lineitem`` table
+    pair for ``sf_dir`` and return their catalog names.
+
+    The fact side (lineitem) exercises the full incremental snapshot
+    lifecycle every build: a BASE write of ~¾ of the rows, then a
+    bucket-aligned APPEND of the rest — the daily-delta shape a
+    standing 100 TB snapshot needs (one data-sized shuffle per
+    snapshot ONCE, then per-delta shuffles of delta volume only,
+    never a snapshot rewrite). Tables are EXTERNAL (explicit path
+    under the session scratch root); the catalog entry carries the
+    bucket spec that lets the planner elide the join exchange."""
+    key = _pair_key(sf_dir)
     root = _table_root(key)
     names = (f"bkt_orders_{key}", f"bkt_lineitem_{key}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
     specs = (
-        (
-            names[0],
-            load_table(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_orderstatus"
-            ),
-            "o_orderkey",
-        ),
+        (names[0], "o_orderkey", (("overwrite", orders),)),
         (
             names[1],
-            load_table(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_extendedprice", "l_discount"
-            ),
             "l_orderkey",
+            # base snapshot + bucket-aligned delta append (¾ / ¼ by
+            # join key — deterministic, every bucket gets both phases)
+            (
+                ("overwrite", lineitem.filter(F.col("l_orderkey") % 4 != 0)),
+                ("append", lineitem.filter(F.col("l_orderkey") % 4 == 0)),
+            ),
         ),
     )
     import os
 
-    for name, df, bkey in specs:
+    for name, bkey, phases in specs:
         tpath = f"{root}/{name}"
         # reuse only when BOTH halves agree: the catalog entry exists
-        # AND its committed files are still on disk (a scratch sweep
-        # can reclaim the dir while the catalog entry stands)
+        # AND the COMPLETION marker's files are still on disk (a
+        # scratch sweep can reclaim the dir while the catalog entry
+        # stands; a crash between phases leaves no marker → rebuild)
         if spark.catalog.tableExists(name) and os.path.exists(
-            os.path.join(tpath, "_SUCCESS")
+            os.path.join(tpath, _COMPLETE)
         ):
             continue
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.repartition(N_BUCKETS, F.col(bkey))
-            .write.mode("overwrite")
-            .option("path", tpath)
-            .bucketBy(N_BUCKETS, bkey)
-            .sortBy(bkey)
-            .saveAsTable(name)
-        )
+        import shutil
+
+        shutil.rmtree(tpath, ignore_errors=True)  # crashed prior build
+        for mode, df in phases:
+            _write_bucketed(df, name, tpath, bkey, mode)
+        with open(os.path.join(tpath, _COMPLETE), "w") as fh:
+            fh.write("ok")
     return names
 
 

@@ -177,6 +177,96 @@ def test_stream_scd2_restart_and_replay(spark, tmp_path):
     assert key(spark.read.parquet(os.path.join(out_dir, "current"))) == want
 
 
+def test_bucketed_delta_append_lands_in_standing_buckets(spark):
+    """The incremental snapshot lifecycle (VERDICT r09 #5): the fact
+    table's build is base + bucket-aligned delta append — after it,
+    every bucket holds ≥2 files (one per phase), the completion
+    marker is published, and the co-located join STILL runs
+    exchange-free over the multi-file buckets."""
+    import re
+
+    from psd_project_spark.operators.bucketing import (
+        _COMPLETE,
+        N_BUCKETS,
+        _bucketed_pair,
+        bucketed_join_roundtrip,
+    )
+    from psd_project_spark.plans.inspect import executed_plan
+
+    orders_t, lineitem_t = _bucketed_pair(spark, SF_DIR)
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {lineitem_t}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    ).replace("file:", "")
+    files = glob.glob(os.path.join(loc, "part-*"))
+    assert os.path.exists(os.path.join(loc, _COMPLETE))
+    by_bucket = {}
+    for f in files:
+        m = re.search(r"_(\d{5})(?:\.|_)", os.path.basename(f))
+        assert m, f
+        by_bucket.setdefault(int(m.group(1)), []).append(f)
+    assert len(by_bucket) == N_BUCKETS
+    assert all(len(v) >= 2 for v in by_bucket.values()), {
+        k: len(v) for k, v in by_bucket.items()
+    }
+    # and the join over multi-file buckets is still exchange-free
+    # below the join (the only exchange is the 3-row rollup above it)
+    plan = executed_plan(bucketed_join_roundtrip(spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_bucketed_gate_rebuilds_after_partial_write(spark):
+    """Crash-between-phases safety: a table whose completion marker is
+    missing (base written, delta append lost) must REBUILD, not serve
+    the half-built snapshot — the reason the gate keys on _COMPLETE
+    rather than parquet's _SUCCESS (which the base phase already
+    writes)."""
+    from psd_project_spark.operators.bucketing import (
+        _COMPLETE,
+        _bucketed_pair,
+        bucketed_join_roundtrip,
+    )
+
+    before = sorted(
+        map(tuple, bucketed_join_roundtrip(spark, SF_DIR).collect())
+    )
+    _, lineitem_t = _bucketed_pair(spark, SF_DIR)
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {lineitem_t}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    ).replace("file:", "")
+    # simulate the crash: marker gone, one phase's files gone
+    os.remove(os.path.join(loc, _COMPLETE))
+    for f in glob.glob(os.path.join(loc, "part-*"))[:3]:
+        os.remove(f)
+    after = sorted(
+        map(tuple, bucketed_join_roundtrip(spark, SF_DIR).collect())
+    )
+    assert after == before
+    assert os.path.exists(os.path.join(loc, _COMPLETE))
+
+
+def test_pair_key_covers_both_tables(monkeypatch):
+    """ADVICE r09 #1: the staleness key must change when EITHER
+    source table regenerates — an orders-only regen with
+    byte-identical lineitem previously kept the old key and served
+    stale bucketed orders."""
+    from psd_project_spark.operators import bucketing as B
+
+    fps = {"orders": "AAA", "lineitem": "LLL"}
+    monkeypatch.setattr(
+        "psd_project_spark.sources.registry.source_fingerprint",
+        lambda sf_dir, table: fps[table],
+    )
+    k1 = B._pair_key("/x")
+    fps["orders"] = "BBB"  # orders regenerated, lineitem untouched
+    k2 = B._pair_key("/x")
+    assert k1 != k2
+
+
 def test_range_join_hot_bucket_triggers_skew_split(spark):
     """The range-join module defers hot time-buckets to AQE
     (range_join.py docstring); prove it instead of promising it
