@@ -105,16 +105,40 @@ def cosine_sql(va: str, vb: str, dim: int = EMB_DIM) -> str:
     return f"floor(({cos}) * {CSCALE} + 0.5) / {CSCALE}"
 
 
-def make_nn_kernel(index_df, dup_threshold: float = 0.95):
+#: Hard ceiling on the index side :func:`make_nn_kernel` will collect
+#: to the driver: 2M × 64-dim float64 ≈ 1 GB of closure state — the
+#: last size at which "ship the index to every task" still beats a
+#: shuffle. ENFORCED, not advisory (VERDICT r09 #6): above it the
+#: function refuses with a pointer to the sharded form
+#: (:func:`nn_block_kernel`'s cogrouped block-nested-loop, the path
+#: ``dedup_embedding_1nn`` runs), so the "no collect() except
+#: provably-small" claim in SCALE.md is a checked invariant.
+MAX_COLLECT_INDEX_ROWS = 2_000_000
+
+
+def make_nn_kernel(
+    index_df,
+    dup_threshold: float = 0.95,
+    max_index_rows: int = MAX_COLLECT_INDEX_ROWS,
+):
     """Block-nested-loop 1-NN kernel for ``mapInPandas``.
 
     Collects the index side once (driver-side, broadcast via closure —
-    the legitimate "small side" of the join; shard by bucket before
-    calling this at scale) and scans each Arrow batch against it with
-    the quantized-exact cosine. Tie-break: highest rounded cosine, then
-    lowest neighbor id — identical to the oracle's
-    ``ORDER BY cosine DESC, nn_id``.
+    the legitimate "small side" of the join, SIZE-GATED by
+    ``max_index_rows``; above the gate use the bucket-sharded
+    cogroup form :func:`nn_block_kernel` instead) and scans each
+    Arrow batch against it with the quantized-exact cosine.
+    Tie-break: highest rounded cosine, then lowest neighbor id —
+    identical to the oracle's ``ORDER BY cosine DESC, nn_id``.
     """
+    n = index_df.count()
+    if n > max_index_rows:
+        raise ValueError(
+            f"make_nn_kernel: index side has {n} rows, above the "
+            f"driver-collect gate ({max_index_rows}); use the "
+            "bucket-sharded cogroup form (nn_block_kernel via "
+            "dedup_embedding_1nn) instead of collecting"
+        )
     rows = index_df.collect()
     idx_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     m = np.asarray([list(r[1]) for r in rows], dtype=np.float64)  # (N, dim)

@@ -177,6 +177,27 @@ def test_stream_scd2_restart_and_replay(spark, tmp_path):
     assert key(spark.read.parquet(os.path.join(out_dir, "current"))) == want
 
 
+def test_nn_kernel_collect_is_size_gated(spark):
+    """SCALE.md's "no collect() except provably-small" is enforced:
+    an index side above the gate refuses with a pointer to the
+    bucket-sharded cogroup form instead of collecting it to the
+    driver (VERDICT r09 #6). The gated path still works below the
+    gate and agrees with the blocked registry form (pinned by
+    tests/test_dedup_blocked.py)."""
+    import pytest
+
+    from psd_project_spark.functions.vectors import make_nn_kernel
+
+    big = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("_v"),
+    )
+    with pytest.raises(ValueError, match="driver-collect gate"):
+        make_nn_kernel(big, max_index_rows=5)
+    # below the gate: builds normally
+    assert make_nn_kernel(big, max_index_rows=10) is not None
+
+
 def test_bucketed_delta_append_lands_in_standing_buckets(spark):
     """The incremental snapshot lifecycle (VERDICT r09 #5): the fact
     table's build is base + bucket-aligned delta append — after it,
