@@ -318,8 +318,12 @@ def test_range_join_hot_bucket_triggers_skew_split(spark):
             "64KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # must be pinned too: AQE would otherwise re-plan the small
+        # skewed SMJ into a broadcast join (another test can leave
+        # this explicitly set, shadowing the -1 above)
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     }
-    prev = {k: spark.conf.get(k) for k in confs}
+    prev = {k: spark.conf.get(k, None) for k in confs}
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
@@ -328,7 +332,10 @@ def test_range_join_hot_bucket_triggers_skew_split(spark):
         plan = agg._jdf.queryExecution().executedPlan().toString()
     finally:
         for k, v in prev.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     assert "SortMergeJoin(skew=true)" in plan, plan
     # the split must not change the answer: same total pair count
     # under default (unsplit) confs

@@ -137,6 +137,19 @@ QUERIES = [
     "range_join_overlap",
     # SCD2 validity intervals: one user_id exchange + per-user lead()
     "scd2_history",
+    # round-10: the point-in-time as-of join (union-sort-fill, one
+    # user_id exchange over state ∪ probes — same scale axis as
+    # scd2_history with 2x the rows through the window)
+    "asof_feature_join",
+    # the streaming SCD2 maintenance: 3 epochs of MERGE, each
+    # O(delta + affected-user history); at 10x both terms grow 10x
+    # and the version write is data-sized per epoch (the documented
+    # full-rewrite-at-test-scale / bucket-rewrite-at-100TB trade)
+    "stream_scd2_maintain",
+    # (bucketed_join_roundtrip, listed above, is RE-MEASURED in r10:
+    # the pair now builds base + bucket-aligned delta append — rep 1
+    # pays both phases, rep 2 is the exchange-free steady state over
+    # multi-file buckets)
 ]
 
 
