@@ -229,6 +229,16 @@ SHOWCASE = [
         "quantizer are O(K·d) broadcast model state, and the top-k "
         "window runs over candidate cells only, never the corpus.",
     ),
+    (
+        "asof_feature_join",
+        "The point-in-time feature lookup as union-sort-fill: state "
+        "and probe scans union, then EXACTLY ONE hash exchange on "
+        "user_id feeds the per-user (ts, kind, id) sort and the "
+        "last(ignorenulls) running fill — no join operator at all, so "
+        "no BNLJ risk and nothing else in the plan is data-sized "
+        "(the non-equi BETWEEN alternative plans as "
+        "BroadcastNestedLoopJoin).",
+    ),
 ]
 
 
