@@ -259,8 +259,67 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING stream completing the point-in-time trio (history /
+    maintenance / online lookups): probe rows arrive in 3 epochs
+    (source split on ``probe_id % 3``, ``maxFilesPerTrigger=1``) and
+    each micro-batch answers itself with an as-of lookup against the
+    standing feature history — the online read path of a feature
+    store ("what is this user's feature value right now / at this
+    training row's timestamp?"). Epoch outputs land in the idempotent
+    ``batch_id=N`` sink layout, so the replay contract matches every
+    other serving stream here.
+
+    Per-epoch cost tracks the EPOCH, not the corpus: the state side
+    is pruned to the epoch's users (``left_semi`` on the batch's
+    distinct user_ids — the same affected-users discipline as
+    :func:`scd2_merge`) before the union-sort-fill runs, so each
+    epoch sorts only the probing users' histories; the history scan
+    itself is shared across epochs via a transient cache. Oracle:
+    :data:`ASOF_ORACLE` VERBATIM — the union of per-epoch answers
+    over the disjoint probe split must equal the one-shot batch
+    as-of join, proving pruning + epoch reassembly change nothing."""
+    from psd_project_spark.functions.caching import (
+        scratch_dir,
+        transient_cache,
+    )
+    from psd_project_spark.streaming.foreach_sink import (
+        run_stream,
+        write_epoch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    state = transient_cache(ev.filter(F.col("event_id") % 2 == 1))
+    probes = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", F.col("event_id").alias("probe_id"), "ts"
+    )
+    src = scratch_dir("psd_asof_src_")
+    out_dir = scratch_dir("psd_asof_")
+    ckpt = scratch_dir("psd_asof_ckpt_")
+    probes.repartition(3, F.col("probe_id") % 3).write.mode(
+        "overwrite"
+    ).parquet(src)
+    arriving = (
+        spark.readStream.schema("user_id long, probe_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def answer_epoch(df: DataFrame, batch_id: int) -> None:
+        pruned = state.join(
+            df.select("user_id").distinct(), "user_id", "left_semi"
+        )
+        write_epoch(asof_join(pruned, df), out_dir, batch_id)
+
+    run_stream(arriving, answer_epoch, ckpt, state_partitions=None)
+    return spark.read.parquet(out_dir).select(
+        "user_id", "probe_id", "ts", "asof_event_id", "asof_value"
+    )
+
+
 QUERIES = {
     "scd2_history": (scd2_history, SCD2_ORACLE),
     "asof_feature_join": (asof_feature_join, ASOF_ORACLE),
     "stream_scd2_maintain": (stream_scd2_maintain, SCD2_ORACLE),
+    "stream_asof_lookup": (stream_asof_lookup, ASOF_ORACLE),
 }

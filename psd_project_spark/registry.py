@@ -40,13 +40,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # battery. Yields by name (each yielder holds a green r9 row over
 # bytes untouched in r10): quality_store_incremental →
 # stream_upsert_latest, domain_mixture_weights → asof_feature_join,
-# mixture_resample → stream_scd2_maintain. NO queue: every registry
-# query holds or re-earns a current-bytes driver row
-# (tests/test_registry_order.py).
+# mixture_resample → stream_scd2_maintain, stream_crawl_screen →
+# stream_asof_lookup. NO queue: every registry query holds or
+# re-earns a current-bytes driver row (tests/test_registry_order.py).
 _PRIORITY = (
     # -- round-10 new + re-entering (front: day-one driver rows) -------
     "asof_feature_join",
     "stream_scd2_maintain",
+    "stream_asof_lookup",
     "scd2_history",
     "range_join_overlap",
     "bucketed_join_roundtrip",
@@ -75,13 +76,13 @@ _PRIORITY = (
     "quality_classifier_train",
     "quality_classifier_score",
     "stream_quality_score",
-    # -- spares: exact_substr.py family (green r9 rows, untouched) -----
+    # -- spares: exact_substr.py family (green r9 rows, untouched;
+    #    stream_crawl_screen yielded its slot to stream_asof_lookup) ---
     "dedup_exact_substr",
     "exact_substr_cut",
     "decontaminate_substr",
     "decontaminate_cut",
     "substr_index_incremental",
-    "stream_crawl_screen",
     # -- spares: similarity.py family (green r9 rows, untouched) -------
     "knn_cosine",
     "ann_index_export",
@@ -108,10 +109,10 @@ _PRIORITY = (
     # -- spares: core streaming battery --------------------------------
     "stream_ingest_dedup",
     "measures_window_stream",
-    # (quality_store_incremental, domain_mixture_weights and
-    # mixture_resample yielded their r9 slots to the round-10 entries;
-    # each holds a green r9 row over bytes untouched in r10. The
-    # r8-era yielders — stream_dedup_users,
+    # (quality_store_incremental, domain_mixture_weights,
+    # mixture_resample and stream_crawl_screen yielded their r9 slots
+    # to the round-10 entries; each holds a green r9 row over bytes
+    # untouched in r10. The r8-era yielders — stream_dedup_users,
     # quality_features, events_time_windows, psd_samples_source,
     # alert_log_roundtrip, alerts_stream, portfolio_projection,
     # stream_session_windows, stream_stream_join, dedup_ngram_jaccard —

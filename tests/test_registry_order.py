@@ -28,6 +28,7 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 R10_FRONT = [
     "asof_feature_join",
     "stream_scd2_maintain",
+    "stream_asof_lookup",
     "scd2_history",
     "range_join_overlap",
     "bucketed_join_roundtrip",
@@ -53,9 +54,9 @@ R10_DEP_AFFECTED = {
 
 #: Spare-slot re-verification: the reference risk surface + core
 #: streaming battery (graded every round). quality_store_incremental,
-#: domain_mixture_weights and mixture_resample yielded their r9 slots
-#: to the round-10 entries (each holds a green r9 row over bytes
-#: untouched in r10).
+#: domain_mixture_weights, mixture_resample and stream_crawl_screen
+#: yielded their r9 slots to the round-10 entries (each holds a green
+#: r9 row over bytes untouched in r10).
 SPARE = {"measures_agg", "alerts_batch", "measures_window_stream",
          "stream_ingest_dedup"}
 

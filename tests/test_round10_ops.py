@@ -110,6 +110,26 @@ def test_asof_equals_interval_lookup(spark):
             assert r["asof_event_id"] is None and r["asof_value"] is None
 
 
+def test_stream_asof_lookup_equals_batch(spark):
+    """The serving stream's per-epoch pruned lookups reassemble to the
+    one-shot batch as-of join exactly (disjoint probe split, ≥2 real
+    epochs), proving the left_semi state pruning and the epoch sink
+    layout change nothing."""
+    from psd_project_spark.operators.scd import stream_asof_lookup
+
+    key = lambda df: sorted(
+        map(
+            tuple,
+            df.select(
+                "user_id", "probe_id", "ts", "asof_event_id", "asof_value"
+            ).collect(),
+        )
+    )
+    got = key(stream_asof_lookup(spark, SF_DIR))
+    want = key(asof_feature_join(spark, SF_DIR))
+    assert got == want and len(got) > 0
+
+
 def test_scd2_merge_handles_late_data(spark):
     """An event arriving AFTER later events splices into the middle
     of its user's chain: merge(current, late_delta) ≡ the batch
