@@ -146,6 +146,10 @@ QUERIES = [
     # and the version write is data-sized per epoch (the documented
     # full-rewrite-at-test-scale / bucket-rewrite-at-100TB trade)
     "stream_scd2_maintain",
+    # the point-in-time serving stream: per-epoch left_semi prune of
+    # the cached history to the epoch's users, then union-sort-fill —
+    # epoch cost tracks the probing users' histories, not the corpus
+    "stream_asof_lookup",
     # (bucketed_join_roundtrip, listed above, is RE-MEASURED in r10:
     # the pair now builds base + bucket-aligned delta append — rep 1
     # pays both phases, rep 2 is the exchange-free steady state over
