@@ -25,10 +25,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # fingerprints + the bucket-aligned delta-append write path), and —
 # by the r06/r07/r09 changed-dependency precedent (a changed
 # dependency re-windows exactly the queries it affects) —
-# stream_upsert_latest, whose merge path moves onto the generic
-# versioned foreachBatch runner in streaming/foreach_sink.py that the
-# SCD2 maintenance stream shares (run_stream itself is byte-unchanged,
-# so the other foreachBatch streams keep their r9 rows).
+# stream_upsert_latest and stream_value_quantiles_sink, whose merge
+# paths move onto the generic versioned foreachBatch runner (with
+# version retention) in streaming/foreach_sink.py that the SCD2
+# maintenance stream shares (run_stream itself is byte-unchanged, so
+# the foreachBatch streams that only run through it keep their r9
+# rows).
 # functions/vectors.py is also touched, but only inside
 # make_nn_kernel (the size-gate on its driver collect), which no
 # registry query calls — its sole caller is the non-registry
@@ -41,8 +43,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # bytes untouched in r10): quality_store_incremental →
 # stream_upsert_latest, domain_mixture_weights → asof_feature_join,
 # mixture_resample → stream_scd2_maintain, stream_crawl_screen →
-# stream_asof_lookup. NO queue: every registry query holds or
-# re-earns a current-bytes driver row (tests/test_registry_order.py).
+# stream_asof_lookup, decontaminate_cut → stream_value_quantiles_sink.
+# NO queue: every registry query holds or re-earns a current-bytes
+# driver row (tests/test_registry_order.py).
 _PRIORITY = (
     # -- round-10 new + re-entering (front: day-one driver rows) -------
     "asof_feature_join",
@@ -52,6 +55,7 @@ _PRIORITY = (
     "range_join_overlap",
     "bucketed_join_roundtrip",
     "stream_upsert_latest",
+    "stream_value_quantiles_sink",
     # -- spares: round-9 operators re-verified over unchanged bytes ----
     "ivf_index_search",
     "ivf_index_compaction",
@@ -77,11 +81,11 @@ _PRIORITY = (
     "quality_classifier_score",
     "stream_quality_score",
     # -- spares: exact_substr.py family (green r9 rows, untouched;
-    #    stream_crawl_screen yielded its slot to stream_asof_lookup) ---
+    #    stream_crawl_screen yielded its slot to stream_asof_lookup,
+    #    decontaminate_cut to stream_value_quantiles_sink) -------------
     "dedup_exact_substr",
     "exact_substr_cut",
     "decontaminate_substr",
-    "decontaminate_cut",
     "substr_index_incremental",
     # -- spares: similarity.py family (green r9 rows, untouched) -------
     "knn_cosine",
@@ -110,9 +114,10 @@ _PRIORITY = (
     "stream_ingest_dedup",
     "measures_window_stream",
     # (quality_store_incremental, domain_mixture_weights,
-    # mixture_resample and stream_crawl_screen yielded their r9 slots
-    # to the round-10 entries; each holds a green r9 row over bytes
-    # untouched in r10. The r8-era yielders — stream_dedup_users,
+    # mixture_resample, stream_crawl_screen and decontaminate_cut
+    # yielded their r9 slots to the round-10 entries; each holds a
+    # green r9 row over bytes untouched in r10. The r8-era yielders —
+    # stream_dedup_users,
     # quality_features, events_time_windows, psd_samples_source,
     # alert_log_roundtrip, alerts_stream, portfolio_projection,
     # stream_session_windows, stream_stream_join, dedup_ngram_jaccard —

@@ -100,6 +100,7 @@ def run_foreachbatch_versioned(
     ckpt: str,
     merge_fn,
     state_partitions: int | None = STATE_PARTITIONS,
+    keep_versions: int = 2,
 ) -> None:
     """Generic MERGE-style versioned state sink: the machinery shared
     by every continuously-maintained keyed table (the latest-row
@@ -115,7 +116,18 @@ def run_foreachbatch_versioned(
     recovery) whose id is ≤ the applied version returns without
     touching state, so no epoch is ever double-merged. At scale the
     same pattern is a lakehouse MERGE (Delta/Iceberg) keyed by the
-    same idempotent epoch id."""
+    same idempotent epoch id.
+
+    Retention: after each publish, version dirs older than the newest
+    ``keep_versions`` are pruned, so state storage is bounded by
+    keep_versions × |state| instead of growing with stream lifetime.
+    Safe because the replay guard reads only the symlink's NUMBER
+    (never old version contents) and readers only ever resolve
+    ``current``, which always points at the newest complete version;
+    keeping ≥2 means an in-flight reader of the previous version
+    survives one publish (the lakehouse snapshot-retention trade)."""
+    import re
+    import shutil
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
@@ -137,6 +149,16 @@ def run_foreachbatch_versioned(
             os.unlink(tmp)
         os.symlink(f"v{batch_id}", tmp)
         os.replace(tmp, current)  # atomic repoint
+        if keep_versions:
+            vers = sorted(
+                int(d[1:])
+                for d in os.listdir(out_dir)
+                if re.fullmatch(r"v\d+", d)
+            )
+            for v in vers[:-keep_versions]:
+                shutil.rmtree(
+                    os.path.join(out_dir, f"v{v}"), ignore_errors=True
+                )
 
     _run(result, write_batch, ckpt, state_partitions)
 

@@ -33,6 +33,7 @@ R10_FRONT = [
     "range_join_overlap",
     "bucketed_join_roundtrip",
     "stream_upsert_latest",
+    "stream_value_quantiles_sink",
 ]
 
 #: Operator modules whose source functionally changes in round 10 —
@@ -44,12 +45,14 @@ R10_CHANGED_MODULES = (
 )
 
 #: streaming/foreach_sink.py's upsert path is refactored onto the
-#: generic versioned runner in round 10 — the changed-dependency
-#: precedent re-windows exactly the queries that flow through the
-#: changed bytes (run_stream is unchanged, so the other foreachBatch
-#: streams keep their r9 rows).
+#: generic versioned runner (with version retention) in round 10 —
+#: the changed-dependency precedent re-windows exactly the queries
+#: that flow through the changed bytes: both upsert-sink consumers
+#: (run_stream is unchanged, so the foreachBatch streams that only
+#: run through it keep their r9 rows).
 R10_DEP_AFFECTED = {
     "stream_upsert_latest",
+    "stream_value_quantiles_sink",
 }
 
 #: Spare-slot re-verification: the reference risk surface + core

@@ -130,6 +130,82 @@ def test_stream_asof_lookup_equals_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_asof_join_randomized_differential(spark):
+    """Seeded randomized differential: 300 independent user scenarios
+    (dense ts domain → frequent ties, empty/singleton histories,
+    probes before/at/after events) run through asof_join in ONE Spark
+    job and compare against the brute-force in-force rule (max ts ≤
+    probe ts, then max event_id) — the semantics the interval chain
+    and both oracles define."""
+    import random
+
+    rng = random.Random(0)
+    state_rows, probe_rows = [], []
+    expected = {}
+    for uid in range(1, 301):
+        n_state = rng.randint(0, 5)
+        n_probe = rng.randint(1, 4)
+        ids = rng.sample(range(1, 100), n_state + n_probe)
+        state = [
+            (uid, ids[i], rng.randint(0, 8), float(rng.randint(-5, 5)))
+            for i in range(n_state)
+        ]
+        state_rows += state
+        for j in range(n_probe):
+            pid = ids[n_state + j]
+            pts = rng.randint(0, 8)
+            probe_rows.append((uid, pid, pts))
+            hits = [s for s in state if s[2] <= pts]
+            if hits:
+                best = max(hits, key=lambda s: (s[2], s[1]))
+                expected[(uid, pid)] = (best[1], best[3])
+            else:
+                expected[(uid, pid)] = (None, None)
+    state_df = spark.createDataFrame(
+        state_rows, "user_id long, event_id long, ts long, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    probe_df = spark.createDataFrame(
+        probe_rows, "user_id long, probe_id long, ts long"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    got = {
+        (r["user_id"], r["probe_id"]): (r["asof_event_id"], r["asof_value"])
+        for r in asof_join(state_df, probe_df).collect()
+    }
+    assert got == expected
+
+
+def test_versioned_runner_prunes_old_versions(spark, tmp_path):
+    """Retention: after N epochs only keep_versions version dirs
+    remain, current points at the newest, and the state is unaffected
+    by pruning (the replay guard reads the symlink number, never old
+    version contents)."""
+    src_dir = tmp_path / "src"; src_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, value double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    for i in range(3):
+        mk([(1, 10 + i, 100 * (i + 1), float(i))]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src_dir / f"f{i}"))
+        arriving = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, value double"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+        run_scd2_maintenance(arriving, out_dir, str(tmp_path / "ckpt"))
+    vers = sorted(
+        d for d in os.listdir(out_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    assert vers == ["v1", "v2"]  # v0 pruned, keep_versions=2
+    assert os.readlink(os.path.join(out_dir, "current")) == "v2"
+    rows = spark.read.parquet(os.path.join(out_dir, "current")).collect()
+    assert len(rows) == 3 and sum(1 for r in rows if r["is_current"]) == 1
+
+
 def test_scd2_merge_handles_late_data(spark):
     """An event arriving AFTER later events splices into the middle
     of its user's chain: merge(current, late_delta) ≡ the batch
