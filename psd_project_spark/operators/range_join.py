@@ -29,24 +29,26 @@ from psd_project_spark.sources.registry import load_table
 RANGE_W_US = 300_000_000
 
 
-def overlap_pairs(ev: DataFrame, w_us: int = RANGE_W_US) -> DataFrame:
-    """The bucketed rewrite itself — (event_id, us) → qualifying
-    pairs within ±``w_us``, as ONE equi-join on the bucket id. Build
-    side lands in its home bucket; probe side explodes into the ≤3
-    buckets its window can touch; the exact residual filter runs on
-    already-co-bucketed rows, so every qualifying pair meets exactly
-    once (the build row's home bucket). Hot time-buckets (a burst
-    putting half the stream into one W-cell) are AQE's skew-join
-    case: the bucket key is the shuffle key, so
-    ``spark.sql.adaptive.skewJoin`` splits the oversized partition at
-    runtime — proven by tests/test_round10_ops.py's skew pin rather
-    than deferred to a docstring promise (VERDICT r09 #4)."""
-    home = ev.select(
+def home_buckets(ev: DataFrame, w_us: int = RANGE_W_US) -> DataFrame:
+    """Build side: every event in its single home W-bucket."""
+    return ev.select(
         F.col("event_id").alias("b_id"),
         F.col("us").alias("b_us"),
         F.floor(F.col("us") / w_us).alias("bucket"),
     )
-    probe = ev.select(
+
+
+def overlap_pairs_against(
+    home: DataFrame, probes: DataFrame, w_us: int = RANGE_W_US
+) -> DataFrame:
+    """Asymmetric form of the bucketed rewrite: ``probes``
+    ((event_id, us)) against a prepared ``home`` side
+    ((b_id, b_us, bucket)) — the shape the streaming variant probes a
+    STANDING corpus with. Probe rows explode into the ≤3 buckets
+    their ±``w_us`` window can touch; the exact residual filter runs
+    on already-co-bucketed rows, so every qualifying pair meets
+    exactly once (the build row's home bucket)."""
+    probe = probes.select(
         "event_id",
         "us",
         F.explode(
@@ -60,6 +62,19 @@ def overlap_pairs(ev: DataFrame, w_us: int = RANGE_W_US) -> DataFrame:
         (F.col("b_id") != F.col("event_id"))
         & (F.abs(F.col("b_us") - F.col("us")) <= F.lit(w_us))
     )
+
+
+def overlap_pairs(ev: DataFrame, w_us: int = RANGE_W_US) -> DataFrame:
+    """The bucketed rewrite itself — (event_id, us) → qualifying
+    pairs within ±``w_us``, as ONE equi-join on the bucket id (the
+    self-join composition of :func:`home_buckets` +
+    :func:`overlap_pairs_against`). Hot time-buckets (a burst
+    putting half the stream into one W-cell) are AQE's skew-join
+    case: the bucket key is the shuffle key, so
+    ``spark.sql.adaptive.skewJoin`` splits the oversized partition at
+    runtime — proven by tests/test_round10_ops.py's skew pin rather
+    than deferred to a docstring promise (VERDICT r09 #4)."""
+    return overlap_pairs_against(home_buckets(ev, w_us), ev, w_us)
 
 
 def range_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,6 +121,89 @@ ORDER BY ev.event_id
 """
 
 
+def stream_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range join's ONLINE half: arriving events are concurrency-
+    counted per micro-batch against a STANDING corpus persisted as a
+    time-bucket-PARTITIONED table — the monitoring shape ("how busy
+    was the system around this arriving event?") every alerting /
+    coalescing pipeline runs continuously.
+
+    Scale shape: the standing corpus is written once, partitioned by
+    home W-bucket (``partitionBy("bucket")`` — the time cell is the
+    physical directory key, the same layout discipline as the ANN/IVF
+    cell dirs). Probes arrive in 3 TIME-CONTIGUOUS epochs (events
+    arrive roughly in time order in any real stream), and each epoch
+    reads only the corpus partitions its ±W windows can touch — a
+    2-literal ``bucket BETWEEN lo AND hi`` bound derived from the
+    epoch's min/max timestamp (one 1-row aggregate of driver state,
+    bounded), so per-epoch corpus I/O tracks the epoch's TIME SPAN,
+    never the corpus (PartitionFilters pinned by test). Inside the
+    pruned slice the join is the same bucketed equi-join rewrite as
+    the batch form. Epoch outputs land in the idempotent
+    ``batch_id=N`` sink layout.
+
+    Oracle: :data:`RANGE_JOIN_ORACLE` VERBATIM — the probe split
+    covers every event exactly once, so the union of per-epoch counts
+    must reassemble the batch self range join bit-exactly, proving
+    partition pruning + epoch reassembly change nothing."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.streaming.foreach_sink import (
+        run_stream,
+        write_epoch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    corpus_dir = scratch_dir("psd_range_corpus_")
+    home_buckets(ev).write.partitionBy("bucket").mode("overwrite").parquet(
+        corpus_dir
+    )
+    lo_us, hi_us = ev.agg(F.min("us"), F.max("us")).collect()[0]
+    src = scratch_dir("psd_range_src_")
+    out_dir = scratch_dir("psd_range_out_")
+    ckpt = scratch_dir("psd_range_ckpt_")
+    third = (hi_us - lo_us) // 3 + 1
+    (
+        ev.repartition(3, F.floor((F.col("us") - lo_us) / third))
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    arriving = (
+        spark.readStream.schema("event_id long, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def answer_epoch(df: DataFrame, batch_id: int) -> None:
+        lo, hi = df.agg(F.min("us"), F.max("us")).collect()[0]
+        if lo is None:  # empty epoch
+            return
+        b_lo = (lo - RANGE_W_US) // RANGE_W_US
+        b_hi = (hi + RANGE_W_US) // RANGE_W_US
+        corpus = spark.read.parquet(corpus_dir).filter(
+            F.col("bucket").between(F.lit(b_lo), F.lit(b_hi))
+        )
+        counts = (
+            overlap_pairs_against(corpus, df)
+            .groupBy("event_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        result = (
+            df.select("event_id")
+            .join(counts, "event_id", "left")
+            .select(
+                "event_id",
+                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            )
+        )
+        write_epoch(result, out_dir, batch_id)
+
+    run_stream(arriving, answer_epoch, ckpt, state_partitions=None)
+    return spark.read.parquet(out_dir).select("event_id", "n_overlap")
+
+
 QUERIES = {
     "range_join_overlap": (range_join_overlap, RANGE_JOIN_ORACLE),
+    "stream_range_overlap": (stream_range_overlap, RANGE_JOIN_ORACLE),
 }

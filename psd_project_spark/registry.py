@@ -43,9 +43,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # bytes untouched in r10): quality_store_incremental →
 # stream_upsert_latest, domain_mixture_weights → asof_feature_join,
 # mixture_resample → stream_scd2_maintain, stream_crawl_screen →
-# stream_asof_lookup, decontaminate_cut → stream_value_quantiles_sink.
-# NO queue: every registry query holds or re-earns a current-bytes
-# driver row (tests/test_registry_order.py).
+# stream_asof_lookup, decontaminate_cut → stream_value_quantiles_sink,
+# cluster_balanced_sample → stream_range_overlap. NO queue: every
+# registry query holds or re-earns a current-bytes driver row
+# (tests/test_registry_order.py).
 _PRIORITY = (
     # -- round-10 new + re-entering (front: day-one driver rows) -------
     "asof_feature_join",
@@ -53,6 +54,7 @@ _PRIORITY = (
     "stream_asof_lookup",
     "scd2_history",
     "range_join_overlap",
+    "stream_range_overlap",
     "bucketed_join_roundtrip",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -97,7 +99,7 @@ _PRIORITY = (
     "ivf_ann_cosine",
     "embedding_centroids",
     "kmeans_embeddings",
-    "cluster_balanced_sample",
+    # (cluster_balanced_sample yielded its slot to stream_range_overlap)
     "dedup_embedding_lsh",
     "semantic_dedup",
     # -- spares: dedup.py index lifecycle (green r9 rows; dedup.py and
@@ -114,10 +116,10 @@ _PRIORITY = (
     "stream_ingest_dedup",
     "measures_window_stream",
     # (quality_store_incremental, domain_mixture_weights,
-    # mixture_resample, stream_crawl_screen and decontaminate_cut
-    # yielded their r9 slots to the round-10 entries; each holds a
-    # green r9 row over bytes untouched in r10. The r8-era yielders —
-    # stream_dedup_users,
+    # mixture_resample, stream_crawl_screen, decontaminate_cut and
+    # cluster_balanced_sample yielded their r9 slots to the round-10
+    # entries; each holds a green r9 row over bytes untouched in r10.
+    # The r8-era yielders — stream_dedup_users,
     # quality_features, events_time_windows, psd_samples_source,
     # alert_log_roundtrip, alerts_stream, portfolio_projection,
     # stream_session_windows, stream_stream_join, dedup_ngram_jaccard —

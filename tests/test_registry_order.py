@@ -31,6 +31,7 @@ R10_FRONT = [
     "stream_asof_lookup",
     "scd2_history",
     "range_join_overlap",
+    "stream_range_overlap",
     "bucketed_join_roundtrip",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",

@@ -442,6 +442,53 @@ def test_range_join_hot_bucket_triggers_skew_split(spark):
     assert skewed_total == uniform_total > 0
 
 
+def test_stream_range_overlap_equals_batch_and_prunes(spark):
+    """The streaming range join's two claims: (a) the union of
+    per-epoch counts over the time-contiguous probe split reassembles
+    the batch self range join exactly; (b) an epoch's corpus read is
+    PARTITION-PRUNED to the buckets its ±W windows touch (the
+    time-cell directory layout actually prunes at file-listing
+    time)."""
+    import re
+
+    from psd_project_spark.operators.range_join import (
+        RANGE_W_US,
+        home_buckets,
+        range_join_overlap,
+        stream_range_overlap,
+    )
+    from psd_project_spark.plans.inspect import formatted_plan
+    from psd_project_spark.sources.registry import load_table
+
+    key = lambda df: sorted(
+        (r["event_id"], r["n_overlap"]) for r in df.collect()
+    )
+    got = key(stream_range_overlap(spark, SF_DIR))
+    want = key(range_join_overlap(spark, SF_DIR))
+    assert got == want and len(got) > 0
+    # pruning pin: a 2-literal bucket bound on the partitioned corpus
+    # shows up as PartitionFilters and selects a strict subset
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        home_buckets(ev).write.partitionBy("bucket").parquet(
+            d, mode="overwrite"
+        )
+        lo = ev.agg(F.min("us")).collect()[0][0]
+        b_lo, b_hi = lo // RANGE_W_US, lo // RANGE_W_US + 1
+        pruned = spark.read.parquet(d).filter(
+            F.col("bucket").between(F.lit(b_lo), F.lit(b_hi))
+        )
+        plan = formatted_plan(pruned)
+        assert re.search(r"PartitionFilters: \[.*bucket.*>=.*", plan), plan
+        n_all = home_buckets(ev).select("bucket").distinct().count()
+        n_read = pruned.select("bucket").distinct().count()
+        assert 0 < n_read <= 2 < n_all
+
+
 def test_scd2_merge_replay_guard_via_versioned_runner(spark, tmp_path):
     """Drive the versioned runner's guard directly: after epochs 0+1
     are applied, a replayed epoch-0 batch must not rewrite state (the
