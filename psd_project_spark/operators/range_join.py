@@ -28,6 +28,15 @@ from psd_project_spark.sources.registry import load_table
 #: Width == radius keeps the probe expansion at exactly 3 buckets.
 RANGE_W_US = 300_000_000
 
+#: Directory-partition cell for the streaming variant's standing
+#: corpus: one DAY (288 join buckets). The fine W-bucket is the JOIN
+#: key, never the directory key — a month of data is 8.6k five-minute
+#: cells (and a year is 105k: directory-per-W explodes file listings
+#: and partitioned-write fan-out), but only ~30 day dirs. Pruning on
+#: the coarse cell reads at most one extra day per epoch edge; the
+#: fine residual join discards the rest.
+PART_CELL_US = RANGE_W_US * 288
+
 
 def home_buckets(ev: DataFrame, w_us: int = RANGE_W_US) -> DataFrame:
     """Build side: every event in its single home W-bucket."""
@@ -129,18 +138,20 @@ def stream_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalescing pipeline runs continuously.
 
     Scale shape: the standing corpus is written once, partitioned by
-    home W-bucket (``partitionBy("bucket")`` — the time cell is the
+    DAY cell (``partitionBy("pcell")`` — a coarse time cell is the
     physical directory key, the same layout discipline as the ANN/IVF
-    cell dirs). Probes arrive in 3 TIME-CONTIGUOUS epochs (events
-    arrive roughly in time order in any real stream), and each epoch
-    reads only the corpus partitions its ±W windows can touch — a
-    2-literal ``bucket BETWEEN lo AND hi`` bound derived from the
-    epoch's min/max timestamp (one 1-row aggregate of driver state,
-    bounded), so per-epoch corpus I/O tracks the epoch's TIME SPAN,
-    never the corpus (PartitionFilters pinned by test). Inside the
-    pruned slice the join is the same bucketed equi-join rewrite as
-    the batch form. Epoch outputs land in the idempotent
-    ``batch_id=N`` sink layout.
+    cell dirs; the fine W-bucket stays the JOIN key only, because a
+    directory per 5-minute cell would explode listings and write
+    fan-out — 8.6k dirs/month vs 30). Probes arrive in 3
+    TIME-CONTIGUOUS epochs (events arrive roughly in time order in
+    any real stream), and each epoch reads only the day partitions
+    its ±W windows can touch — a 2-literal ``pcell BETWEEN lo AND
+    hi`` bound derived from the epoch's min/max timestamp (one 1-row
+    aggregate of driver state, bounded), so per-epoch corpus I/O
+    tracks the epoch's TIME SPAN, never the corpus (PartitionFilters
+    pinned by test). Inside the pruned slice the join is the same
+    bucketed equi-join rewrite as the batch form. Epoch outputs land
+    in the idempotent ``batch_id=N`` sink layout.
 
     Oracle: :data:`RANGE_JOIN_ORACLE` VERBATIM — the probe split
     covers every event exactly once, so the union of per-epoch counts
@@ -156,8 +167,18 @@ def stream_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.unix_micros(F.col("ts")).alias("us")
     )
     corpus_dir = scratch_dir("psd_range_corpus_")
-    home_buckets(ev).write.partitionBy("bucket").mode("overwrite").parquet(
-        corpus_dir
+    # repartition by the partition column first: without it every
+    # write task emits one small file into every day dir it holds
+    # rows for (tasks × cells files — the partitioned-write smallfile
+    # trap, same discipline as bucketing._write_bucketed); with it
+    # each day cell lands as one file
+    (
+        home_buckets(ev)
+        .withColumn("pcell", F.floor(F.col("b_us") / PART_CELL_US))
+        .repartition(F.col("pcell"))
+        .write.partitionBy("pcell")
+        .mode("overwrite")
+        .parquet(corpus_dir)
     )
     lo_us, hi_us = ev.agg(F.min("us"), F.max("us")).collect()[0]
     src = scratch_dir("psd_range_src_")
@@ -179,11 +200,11 @@ def stream_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = df.agg(F.min("us"), F.max("us")).collect()[0]
         if lo is None:  # empty epoch
             return
-        b_lo = (lo - RANGE_W_US) // RANGE_W_US
-        b_hi = (hi + RANGE_W_US) // RANGE_W_US
+        c_lo = (lo - RANGE_W_US) // PART_CELL_US
+        c_hi = (hi + RANGE_W_US) // PART_CELL_US
         corpus = spark.read.parquet(corpus_dir).filter(
-            F.col("bucket").between(F.lit(b_lo), F.lit(b_hi))
-        )
+            F.col("pcell").between(F.lit(c_lo), F.lit(c_hi))
+        ).drop("pcell")
         counts = (
             overlap_pairs_against(corpus, df)
             .groupBy("event_id")

@@ -446,13 +446,14 @@ def test_stream_range_overlap_equals_batch_and_prunes(spark):
     """The streaming range join's two claims: (a) the union of
     per-epoch counts over the time-contiguous probe split reassembles
     the batch self range join exactly; (b) an epoch's corpus read is
-    PARTITION-PRUNED to the buckets its ±W windows touch (the
-    time-cell directory layout actually prunes at file-listing
-    time)."""
+    PARTITION-PRUNED to the day cells its ±W windows touch (the
+    coarse time-cell directory layout actually prunes at file-listing
+    time; the fine W-bucket is the join key only — a dir per 5-min
+    cell would be 8.6k dirs/month)."""
     import re
 
     from psd_project_spark.operators.range_join import (
-        RANGE_W_US,
+        PART_CELL_US,
         home_buckets,
         range_join_overlap,
         stream_range_overlap,
@@ -466,26 +467,35 @@ def test_stream_range_overlap_equals_batch_and_prunes(spark):
     got = key(stream_range_overlap(spark, SF_DIR))
     want = key(range_join_overlap(spark, SF_DIR))
     assert got == want and len(got) > 0
-    # pruning pin: a 2-literal bucket bound on the partitioned corpus
-    # shows up as PartitionFilters and selects a strict subset
+    # pruning pin: a 2-literal day-cell bound on the partitioned
+    # corpus shows up as PartitionFilters and selects a strict subset
     ev = load_table(spark, SF_DIR, "events").select(
         "event_id", F.unix_micros(F.col("ts")).alias("us")
     )
     import tempfile
 
     with tempfile.TemporaryDirectory() as d:
-        home_buckets(ev).write.partitionBy("bucket").parquet(
-            d, mode="overwrite"
+        (
+            home_buckets(ev)
+            .withColumn("pcell", F.floor(F.col("b_us") / PART_CELL_US))
+            .repartition(F.col("pcell"))
+            .write.partitionBy("pcell")
+            .parquet(d, mode="overwrite")
         )
         lo = ev.agg(F.min("us")).collect()[0][0]
-        b_lo, b_hi = lo // RANGE_W_US, lo // RANGE_W_US + 1
+        c_lo = lo // PART_CELL_US
         pruned = spark.read.parquet(d).filter(
-            F.col("bucket").between(F.lit(b_lo), F.lit(b_hi))
+            F.col("pcell").between(F.lit(c_lo), F.lit(c_lo + 1))
         )
         plan = formatted_plan(pruned)
-        assert re.search(r"PartitionFilters: \[.*bucket.*>=.*", plan), plan
-        n_all = home_buckets(ev).select("bucket").distinct().count()
-        n_read = pruned.select("bucket").distinct().count()
+        assert re.search(r"PartitionFilters: \[.*pcell.*>=.*", plan), plan
+        n_all = (
+            home_buckets(ev)
+            .select(F.floor(F.col("b_us") / PART_CELL_US))
+            .distinct()
+            .count()
+        )
+        n_read = pruned.select("pcell").distinct().count()
         assert 0 < n_read <= 2 < n_all
 
 

@@ -150,6 +150,11 @@ QUERIES = [
     # the cached history to the epoch's users, then union-sort-fill —
     # epoch cost tracks the probing users' histories, not the corpus
     "stream_asof_lookup",
+    # the streaming range join: corpus write is data-sized (once);
+    # each epoch's corpus read is partition-pruned to its time span.
+    # Shares range_join_overlap's output-bound caveat under exact
+    # replication (identical timestamps multiply qualifying pairs)
+    "stream_range_overlap",
     # (bucketed_join_roundtrip, listed above, is RE-MEASURED in r10:
     # the pair now builds base + bucket-aligned delta append — rep 1
     # pays both phases, rep 2 is the exchange-free steady state over
