@@ -131,13 +131,16 @@ def make_nn_kernel(
     Tie-break: highest rounded cosine, then lowest neighbor id —
     identical to the oracle's ``ORDER BY cosine DESC, nn_id``.
     """
-    n = index_df.count()
-    if n > max_index_rows:
+    # gate checked with limit(cap+1).count() so the guard itself
+    # never scans more than cap+1 rows (the MAX_EPOCH_QUERIES
+    # discipline) instead of paying a full second pass of the index
+    # pipeline before the collect
+    if index_df.limit(max_index_rows + 1).count() > max_index_rows:
         raise ValueError(
-            f"make_nn_kernel: index side has {n} rows, above the "
-            f"driver-collect gate ({max_index_rows}); use the "
-            "bucket-sharded cogroup form (nn_block_kernel via "
-            "dedup_embedding_1nn) instead of collecting"
+            f"make_nn_kernel: index side exceeds the driver-collect "
+            f"gate ({max_index_rows} rows); use the bucket-sharded "
+            "cogroup form (nn_block_kernel via dedup_embedding_1nn) "
+            "instead of collecting"
         )
     rows = index_df.collect()
     idx_ids = np.asarray([r[0] for r in rows], dtype=np.int64)

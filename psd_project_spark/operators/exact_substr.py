@@ -799,12 +799,18 @@ def stream_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(marker):
         prune_siblings_of(path)
         src = scratch_dir("substr_maint_src_")
-        (
-            docs.filter(~is_eval)
-            .select("doc_id", "text")
-            .repartition(3, F.col("doc_id") % 3)
-            .write.mode("overwrite")
-            .parquet(src)
+        from psd_project_spark.streaming.foreach_sink import (
+            stage_stream_splits,
+        )
+
+        # explicit filtered splits, not repartition(3, expr): hash
+        # partitioning collides residues {0,1,2} into 2 of 3
+        # partitions, leaving one epoch empty and one with 2/3 of the
+        # docs — stage_stream_splits guarantees 3 REAL epochs
+        stage_stream_splits(
+            docs.filter(~is_eval).select("doc_id", "text"),
+            F.col("doc_id") % 3,
+            src,
         )
         stage = path + "_stage"
         with single_writer(path):
@@ -815,6 +821,7 @@ def stream_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             arriving = (
                 spark.readStream.schema("doc_id long, text string")
                 .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
                 .parquet(src)
             )
             run_stream(

@@ -160,6 +160,7 @@ def stream_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from psd_project_spark.functions.caching import scratch_dir
     from psd_project_spark.streaming.foreach_sink import (
         run_stream,
+        stage_stream_splits,
         write_epoch,
     )
 
@@ -185,14 +186,13 @@ def stream_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir("psd_range_out_")
     ckpt = scratch_dir("psd_range_ckpt_")
     third = (hi_us - lo_us) // 3 + 1
-    (
-        ev.repartition(3, F.floor((F.col("us") - lo_us) / third))
-        .write.mode("overwrite")
-        .parquet(src)
+    stage_stream_splits(
+        ev, F.floor((F.col("us") - lo_us) / third), src
     )
     arriving = (
         spark.readStream.schema("event_id long, us long")
         .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
         .parquet(src)
     )
 

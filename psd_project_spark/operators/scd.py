@@ -116,8 +116,15 @@ def asof_join(state: DataFrame, probes: DataFrame) -> DataFrame:
     ``state``: (user_id, event_id, ts, value) feature events;
     ``probes``: (user_id, probe_id, ts) lookup rows. Returns one row
     per probe with the feature struct in force at probe ``ts``
-    (NULLs when the probe precedes every state event)."""
-    st_t = "struct<event_id:bigint,value:double>"
+    (NULLs when the probe precedes every state event). The probe
+    side's NULL struct derives its type from the STATE frame's
+    schema, so callers with e.g. int event ids or decimal values
+    union cleanly."""
+    st_t = (
+        "struct<event_id:"
+        f"{state.schema['event_id'].dataType.simpleString()},"
+        f"value:{state.schema['value'].dataType.simpleString()}>"
+    )
     tagged = state.select(
         "user_id",
         "ts",
@@ -232,18 +239,21 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round10_ops.py."""
     from psd_project_spark.functions.caching import scratch_dir
 
+    from psd_project_spark.streaming.foreach_sink import (
+        stage_stream_splits,
+    )
+
     src = scratch_dir("psd_scd2_src_")
     out_dir = scratch_dir("psd_scd2_")
     ckpt = scratch_dir("psd_scd2_ckpt_")
     ev = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
-    ev.repartition(3, F.col("event_id") % 3).write.mode("overwrite").parquet(
-        src
-    )
+    stage_stream_splits(ev, F.col("event_id") % 3, src)
     arriving = (
         spark.readStream.schema(
             "user_id long, event_id long, ts timestamp, value double"
         )
         .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
         .parquet(src)
     )
     run_scd2_maintenance(arriving, out_dir, ckpt)
@@ -285,6 +295,7 @@ def stream_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from psd_project_spark.streaming.foreach_sink import (
         run_stream,
+        stage_stream_splits,
         write_epoch,
     )
 
@@ -296,12 +307,11 @@ def stream_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = scratch_dir("psd_asof_src_")
     out_dir = scratch_dir("psd_asof_")
     ckpt = scratch_dir("psd_asof_ckpt_")
-    probes.repartition(3, F.col("probe_id") % 3).write.mode(
-        "overwrite"
-    ).parquet(src)
+    stage_stream_splits(probes, F.col("probe_id") % 3, src)
     arriving = (
         spark.readStream.schema("user_id long, probe_id long, ts timestamp")
         .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
         .parquet(src)
     )
 

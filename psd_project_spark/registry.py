@@ -42,10 +42,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # battery. Yields by name (each yielder holds a green r9 row over
 # bytes untouched in r10): quality_store_incremental →
 # stream_upsert_latest, domain_mixture_weights → asof_feature_join,
-# mixture_resample → stream_scd2_maintain, stream_crawl_screen →
-# stream_asof_lookup, decontaminate_cut → stream_value_quantiles_sink,
-# cluster_balanced_sample → stream_range_overlap. NO queue: every
-# registry query holds or re-earns a current-bytes driver row
+# mixture_resample → stream_scd2_maintain, cluster_balanced_sample →
+# stream_range_overlap, and — after the late-round exact_substr
+# staging fix re-windowed that family's earlier yielders
+# stream_crawl_screen and decontaminate_cut — train_val_split →
+# stream_asof_lookup and token_budget_packing →
+# stream_value_quantiles_sink. NO queue: every registry query holds
+# or re-earns a current-bytes driver row
 # (tests/test_registry_order.py).
 _PRIORITY = (
     # -- round-10 new + re-entering (front: day-one driver rows) -------
@@ -66,11 +69,11 @@ _PRIORITY = (
     "stream_index_maintain",
     "quality_classifier_eval",
     "quality_calibration",
-    # -- spares: sampling.py family (green r9 rows, untouched) ---------
-    "train_val_split",
+    # -- spares: sampling.py family (green r9 rows, untouched;
+    #    train_val_split and token_budget_packing yielded their slots
+    #    to the re-entering exact_substr pair) -------------------------
     "source_mix_rebalance",
     "stratified_sample",
-    "token_budget_packing",
     # -- spares: governance.py family (green r9 rows, untouched) -------
     "k_anonymity_release",
     "weighted_sample",
@@ -82,13 +85,19 @@ _PRIORITY = (
     "quality_classifier_train",
     "quality_classifier_score",
     "stream_quality_score",
-    # -- spares: exact_substr.py family (green r9 rows, untouched;
-    #    stream_crawl_screen yielded its slot to stream_asof_lookup,
-    #    decontaminate_cut to stream_value_quantiles_sink) -------------
+    # -- exact_substr.py family: the streaming-maintenance staging
+    #    moved onto stage_stream_splits late in r10 (the degenerate
+    #    repartition-split fix), so the module's bytes changed and
+    #    every query re-enters — including the two that had yielded
+    #    earlier in the round ---------------------------------------
     "dedup_exact_substr",
     "exact_substr_cut",
     "decontaminate_substr",
+    "decontaminate_cut",
     "substr_index_incremental",
+    "stream_crawl_screen",
+    # (stream_index_maintain, the family's sixth member, already
+    # holds a slot in the round-9 block above)
     # -- spares: similarity.py family (green r9 rows, untouched) -------
     "knn_cosine",
     "ann_index_export",
@@ -116,8 +125,8 @@ _PRIORITY = (
     "stream_ingest_dedup",
     "measures_window_stream",
     # (quality_store_incremental, domain_mixture_weights,
-    # mixture_resample, stream_crawl_screen, decontaminate_cut and
-    # cluster_balanced_sample yielded their r9 slots to the round-10
+    # mixture_resample, cluster_balanced_sample, train_val_split and
+    # token_budget_packing yielded their r9 slots to the round-10
     # entries; each holds a green r9 row over bytes untouched in r10.
     # The r8-era yielders — stream_dedup_users,
     # quality_features, events_time_windows, psd_samples_source,

@@ -37,6 +37,28 @@ from pyspark.sql import functions as F
 from psd_project_spark.streaming.jobs import STATE_PARTITIONS
 
 
+def stage_stream_splits(df: DataFrame, part_col, src: str, n: int = 3) -> str:
+    """Stage ``df`` as ``n`` single-file parquet subdirs of ``src``,
+    one per value of ``part_col`` (must take values 0..n-1), so a
+    file-stream source with ``maxFilesPerTrigger=1`` +
+    ``recursiveFileLookup`` consumes them as n REAL epochs.
+
+    Explicit filtered writes, NOT ``repartition(n, part_col)``: hash
+    partitioning maps small residue domains onto colliding partitions
+    (measured: residues {0,1,2} land in 2 of 3 partitions, leaving one
+    epoch file empty and one carrying 2/3 of the rows), which silently
+    degrades the multi-epoch property every streaming query here
+    advertises."""
+    for i in range(n):
+        (
+            df.filter(part_col == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/p{i}")
+        )
+    return src
+
+
 def run_stream(
     result: DataFrame, batch_fn, ckpt: str, state_partitions
 ) -> None:
@@ -130,6 +152,12 @@ def run_foreachbatch_versioned(
     import shutil
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            # an empty micro-batch changes nothing — skip the
+            # state-sized version rewrite (the symlink simply stays at
+            # the last data epoch; a replay of the empty epoch skips
+            # again, so the guard semantics are unchanged)
+            return
         spark = df.sparkSession
         current = os.path.join(out_dir, "current")
         cur_df = None

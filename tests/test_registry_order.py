@@ -43,6 +43,9 @@ R10_CHANGED_MODULES = (
     "psd_project_spark.operators.scd",
     "psd_project_spark.operators.range_join",
     "psd_project_spark.operators.bucketing",
+    # late-round: the streaming-maintenance staging moved onto
+    # stage_stream_splits (the degenerate repartition-split fix)
+    "psd_project_spark.operators.exact_substr",
 )
 
 #: streaming/foreach_sink.py's upsert path is refactored onto the
@@ -58,9 +61,10 @@ R10_DEP_AFFECTED = {
 
 #: Spare-slot re-verification: the reference risk surface + core
 #: streaming battery (graded every round). quality_store_incremental,
-#: domain_mixture_weights, mixture_resample and stream_crawl_screen
-#: yielded their r9 slots to the round-10 entries (each holds a green
-#: r9 row over bytes untouched in r10).
+#: domain_mixture_weights, mixture_resample, cluster_balanced_sample,
+#: train_val_split and token_budget_packing yielded their r9 slots to
+#: the round-10 entries (each holds a green r9 row over bytes
+#: untouched in r10).
 SPARE = {"measures_agg", "alerts_batch", "measures_window_stream",
          "stream_ingest_dedup"}
 

@@ -273,6 +273,55 @@ def test_stream_scd2_restart_and_replay(spark, tmp_path):
     assert key(spark.read.parquet(os.path.join(out_dir, "current"))) == want
 
 
+def test_stage_stream_splits_yields_real_epochs(spark, tmp_path):
+    """The staging helper's reason to exist: filtered per-residue
+    writes give n NON-EMPTY epoch files. The repartition(n, expr)
+    form it replaced hash-collides small residue domains (measured:
+    {0,1,2} land in 2 of 3 partitions — one epoch file empty, one
+    carrying 2/3 of the rows), silently weakening every advertised
+    multi-epoch property."""
+    from psd_project_spark.streaming.foreach_sink import (
+        stage_stream_splits,
+    )
+
+    df = spark.range(90).select(F.col("id"))
+    src = str(tmp_path / "src")
+    stage_stream_splits(df, F.col("id") % 3, src)
+    sizes = [
+        spark.read.parquet(f"{src}/p{i}").count() for i in range(3)
+    ]
+    assert sizes == [30, 30, 30]
+    # and the degenerate form really is degenerate (regression
+    # documentation: if Spark's hash ever changes this, the helper
+    # can be reconsidered)
+    part_sizes = sorted(
+        r["cnt"]
+        for r in df.repartition(3, F.col("id") % 3)
+        .selectExpr("spark_partition_id() AS p")
+        .groupBy("p")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    )
+    assert 0 in part_sizes or len(part_sizes) < 3
+    # consumed with maxFilesPerTrigger=1 → 3 non-empty micro-batches
+    seen = []
+
+    def count_batch(bdf, bid):
+        seen.append(bdf.count())
+
+    from psd_project_spark.streaming.foreach_sink import run_stream
+
+    arriving = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    run_stream(arriving, count_batch, str(tmp_path / "ckpt"), None)
+    assert sorted(seen) == [30, 30, 30]
+
+
 def test_nn_kernel_collect_is_size_gated(spark):
     """SCALE.md's "no collect() except provably-small" is enforced:
     an index side above the gate refuses with a pointer to the
