@@ -415,6 +415,47 @@ def test_bucketed_gate_rebuilds_after_partial_write(spark):
     assert os.path.exists(os.path.join(loc, _COMPLETE))
 
 
+def test_bucketed_compaction_consolidates_and_preserves(spark, tmp_path):
+    """Generation-rewrite compaction: after enough delta appends push
+    a bucket past MAX files, compact_bucketed_table rewrites to one
+    file per bucket, rows and the bucketed layout (and thus the
+    exchange-free join property) survive, the completion marker is
+    republished, and a below-threshold table is left untouched."""
+    from psd_project_spark.operators.bucketing import (
+        _COMPLETE,
+        _write_bucketed,
+        bucket_file_counts,
+        compact_bucketed_table,
+    )
+
+    name = "bkt_compact_test"
+    tpath = str(tmp_path / name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    _write_bucketed(base, name, tpath, "k", "overwrite")
+    for i in range(3):
+        delta = spark.range(400 + i * 50, 400 + (i + 1) * 50).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        _write_bucketed(delta, name, tpath, "k", "append")
+    with open(f"{tpath}/{_COMPLETE}", "w") as fh:
+        fh.write("ok")
+    before = sorted(map(tuple, spark.table(name).collect()))
+    counts = bucket_file_counts(spark, name)
+    assert max(counts.values()) == 4  # base + 3 deltas
+    # below threshold: untouched
+    assert compact_bucketed_table(spark, name, "k", max_files=8) is False
+    # above threshold: one file per bucket, rows identical, marker back
+    assert compact_bucketed_table(spark, name, "k", max_files=3) is True
+    counts2 = bucket_file_counts(spark, name)
+    assert set(counts2.values()) == {1} and len(counts2) == len(counts)
+    assert sorted(map(tuple, spark.table(name).collect())) == before
+    assert os.path.exists(f"{tpath}/{_COMPLETE}")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_pair_key_covers_both_tables(monkeypatch):
     """ADVICE r09 #1: the staleness key must change when EITHER
     source table regenerates — an orders-only regen with
