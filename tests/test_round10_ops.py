@@ -226,6 +226,42 @@ def test_scd2_merge_handles_late_data(spark):
     assert len(u2) == 1 and u2[0]["is_current"]
 
 
+def test_scd2_merge_is_epoch_split_independent(spark):
+    """The maintenance semantics' strongest invariant, randomized:
+    partition a random event log into 1-4 epochs ARBITRARILY (not
+    time-ordered — every epoch carries late data) and fold them
+    through scd2_merge in sequence; the final state must equal the
+    batch interval chain for every seed. This is what makes crash
+    recovery + arbitrary micro-batch boundaries safe: state never
+    depends on how the stream happened to be chopped."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for uid in range(1, 13):
+            for _ in range(rng.randint(0, 6)):
+                eid += 1
+                rows.append(
+                    (uid, eid, rng.randint(0, 9) * 100, float(eid))
+                )
+        if not rows:
+            continue
+        mk = lambda rs: spark.createDataFrame(
+            rs, "user_id long, event_id long, ts long, value double"
+        ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+        n_epochs = rng.randint(1, 4)
+        epochs = [[] for _ in range(n_epochs)]
+        for r in rows:
+            epochs[rng.randrange(n_epochs)].append(r)
+        state = None
+        for i, ep in enumerate(ev for ev in epochs if ev):
+            state = scd2_merge(state, mk(ep), i)
+        key = lambda df: sorted(map(tuple, df.collect()))
+        assert key(state) == key(_scd2_intervals(mk(rows))), seed
+
+
 def test_stream_scd2_restart_and_replay(spark, tmp_path):
     """Maintenance across a restart == batch scd2 over all events;
     re-running with no new data is a guarded no-op (the version
