@@ -1,18 +1,24 @@
 """Pin the registry iteration order contract.
 
 The correctness driver checks only the FIRST 50 registry entries.
-Round-10 rotation (VERDICT r09 "Next round" #1, rotated FIRST): the
-round-10 additions lead the window as they land (asof_feature_join,
-stream_scd2_maintain), followed by every query of every module round
-10 functionally touches — scd.py, range_join.py, bucketing.py — and
-stream_upsert_latest, whose merge path moves onto the generic
-versioned foreachBatch runner in streaming/foreach_sink.py (the
-changed-dependency precedent: a changed dependency re-windows exactly
-the queries it affects; run_stream itself is byte-unchanged so the
-other foreachBatch streams keep their r9 rows). The remaining slots
-are documented spares holding their full-r9-window green rows.
-Queries outside the window must already hold a driver row from
-r01-r09 over a module untouched since that row.
+Round-11 rotation (VERDICT r10 "Next round" #1, rotated FIRST): the
+re-entering queries of the modules round 11 functionally touches lead
+the window — scd.py (the serve-from-maintained-table composition),
+bucketing.py (durable temp-dir-swap compaction + streaming bucketed
+ingestion) — plus, by the changed-dependency precedent, every consumer
+of streaming/foreach_sink.py's versioned MERGE runner, which gains the
+bucket-aligned mode (VERDICT r10 #2): stream_upsert_latest and
+stream_value_quantiles_sink (stream_scd2_maintain sits in scd.py
+anyway). run_stream / write_epoch / stage_stream_splits stay
+byte-identical, so the foreachBatch streams that only run through
+those keep their r10 rows. The round-11 additions join the front on
+their landing commits with staged by-name yields (purchases_asof_views
+→ stream_scd2_serve, views_before_purchase → stream_bucketed_ingest).
+Spares: the six r10 yielders first (per VERDICT r10 #1), the 4-query
+reference-risk/streaming signature set, then the stalest row-holders
+(r01 rows over bytes untouched since). Queries outside the window must
+already hold a driver row from r01-r10 over a module untouched since
+that row.
 """
 
 import json
@@ -22,51 +28,94 @@ from psd_project_spark import registry
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
-#: Round-10 new queries plus the re-entering queries of round-10
+#: Round-11 new queries plus the re-entering queries of round-11
 #: touched modules/dependencies — each must hold a front-of-window
-#: slot so it earns a current-bytes driver row this round.
-R10_FRONT = [
-    "asof_feature_join",
+#: slot so it earns a current-bytes driver row this round. The two
+#: new queries are appended here by their landing commits.
+R11_FRONT = [
     "stream_scd2_maintain",
-    "stream_asof_lookup",
-    "scd2_history",
-    "range_join_overlap",
-    "stream_range_overlap",
-    "bucketed_join_roundtrip",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
+    "scd2_history",
+    "asof_feature_join",
+    "stream_asof_lookup",
+    "bucketed_join_roundtrip",
 ]
 
-#: Operator modules whose source functionally changes in round 10 —
+#: Operator modules whose source functionally changes in round 11 —
 #: every query they register must sit inside the driver window.
-R10_CHANGED_MODULES = (
+R11_CHANGED_MODULES = (
     "psd_project_spark.operators.scd",
-    "psd_project_spark.operators.range_join",
     "psd_project_spark.operators.bucketing",
-    # late-round: the streaming-maintenance staging moved onto
-    # stage_stream_splits (the degenerate repartition-split fix)
-    "psd_project_spark.operators.exact_substr",
 )
 
-#: streaming/foreach_sink.py's upsert path is refactored onto the
-#: generic versioned runner (with version retention) in round 10 —
-#: the changed-dependency precedent re-windows exactly the queries
-#: that flow through the changed bytes: both upsert-sink consumers
-#: (run_stream is unchanged, so the foreachBatch streams that only
-#: run through it keep their r9 rows).
-R10_DEP_AFFECTED = {
+#: streaming/foreach_sink.py's versioned MERGE runner gains the
+#: bucket-aligned per-bucket-rewrite mode in round 11 — the
+#: changed-dependency precedent re-windows exactly the queries that
+#: flow through the changed bytes: every versioned-runner consumer
+#: (run_stream / write_epoch / stage_stream_splits are unchanged, so
+#: the foreachBatch streams that only run through those keep their
+#: r10 rows).
+R11_DEP_AFFECTED = {
+    "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
 }
 
-#: Spare-slot re-verification: the reference risk surface + core
-#: streaming battery (graded every round). quality_store_incremental,
-#: domain_mixture_weights, mixture_resample, cluster_balanced_sample,
-#: train_val_split and token_budget_packing yielded their r9 slots to
-#: the round-10 entries (each holds a green r9 row over bytes
-#: untouched in r10).
-SPARE = {"measures_agg", "alerts_batch", "measures_window_stream",
-         "stream_ingest_dedup"}
+#: Spare-slot re-verification: the r10 yielders re-enter first (each
+#: holds a green r9 row over bytes untouched since — VERDICT r10 #1
+#: names them first in line), plus the reference risk surface / core
+#: streaming signature set.
+SPARE = {
+    "quality_store_incremental",
+    "domain_mixture_weights",
+    "mixture_resample",
+    "cluster_balanced_sample",
+    "train_val_split",
+    "token_budget_packing",
+    "measures_agg",
+    "alerts_batch",
+    "measures_window_stream",
+    "stream_ingest_dedup",
+}
+
+#: Stalest-row re-verification: these held r01 driver rows over bytes
+#: untouched since; round 11 re-earns them current-round rows. The six
+#: heaviest multi-join TPC-H members (q2, q8, q9, q20, q21, q22) are
+#: deferred by name to r12 slots.
+R11_STALE_REVERIFY = {
+    "big_spenders_semi",
+    "cube_orders",
+    "customer_order_gaps",
+    "customers_without_orders",
+    "grouping_sets_orders",
+    "latest_event_per_user",
+    "nation_accounts_full_outer",
+    "nation_set_ops",
+    "order_value_deciles",
+    "pivot_status_totals",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_trade_volume",
+    "region_nation_rollup",
+    "running_user_spend",
+    "sessionize_events",
+    "top3_cheapest_per_flag",
+    "top_orders_by_revenue",
+    "trailing_hour_user_value",
+}
 
 
 def _driver_checked_rounds() -> set[str]:
@@ -83,36 +132,37 @@ def test_first_50_is_priority_list():
 
 
 def test_window_front_loads_rows_owed():
-    front = list(registry.queries())[: len(R10_FRONT)]
-    assert front == R10_FRONT
+    front = list(registry.queries())[: len(R11_FRONT)]
+    assert front == R11_FRONT
 
 
 def test_window_covers_every_changed_module_query():
-    """All queries registered by a round-10-touched module sit inside
+    """All queries registered by a round-11-touched module sit inside
     the driver window — the module-level staleness criterion the
-    r03-r09 verdicts graded by — plus the dependency-affected
-    stream_upsert_latest."""
+    r03-r10 verdicts graded by — plus the dependency-affected
+    versioned-runner consumers."""
     import importlib
 
     window = set(list(registry.queries())[:50])
-    for modname in R10_CHANGED_MODULES:
+    for modname in R11_CHANGED_MODULES:
         qs = set(importlib.import_module(modname).QUERIES)
         missing = qs - window
         assert not missing, f"{modname} queries outside window: {missing}"
-    assert R10_DEP_AFFECTED <= window
+    assert R11_DEP_AFFECTED <= window
 
 
 def test_window_reverifies_everything_due():
     window = set(list(registry.queries())[:50])
-    assert set(R10_FRONT) <= window
+    assert set(R11_FRONT) <= window
     assert SPARE <= window
+    assert R11_STALE_REVERIFY <= window
 
 
 def test_every_query_has_a_row_or_a_window_slot():
-    """No query may be unverifiable: each is either in the r10 window
-    or already holds a driver row from r01-r09 (and, by the
+    """No query may be unverifiable: each is either in the r11 window
+    or already holds a driver row from r01-r10 (and, by the
     changed-module test above, that row still covers current code).
-    Round 10 declares NO late-addition queue."""
+    Round 11 declares NO late-addition queue."""
     checked = _driver_checked_rounds()
     if not checked:  # artifacts absent (e.g. fresh clone)
         return
