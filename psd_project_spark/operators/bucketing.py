@@ -177,22 +177,36 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 MAX_FILES_PER_BUCKET = 8
 
 
-def bucket_file_counts(spark: SparkSession, name: str) -> dict[int, int]:
-    """bucket id → committed data-file count for a bucketed catalog
-    table (bucket id parsed from Spark's ``part-*_NNNNN`` file-name
-    convention)."""
-    import glob
-    import os
-    import re
+def _table_location(spark: SparkSession, name: str) -> str:
+    """Filesystem path of a catalog table's location (URI scheme
+    stripped via urlparse, not string surgery — ADVICE r10 #3)."""
+    from urllib.parse import unquote, urlparse
 
     loc = (
         spark.sql(f"DESCRIBE FORMATTED {name}")
         .filter(F.col("col_name") == "Location")
         .collect()[0]["data_type"]
-    ).replace("file:", "")
+    )
+    parsed = urlparse(loc)
+    return unquote(parsed.path) if parsed.scheme else loc
+
+
+def bucket_file_counts(spark: SparkSession, name: str) -> dict[int, int]:
+    """bucket id → committed data-file count for a bucketed catalog
+    table. The bucket id is parsed from Spark's bucketed-file naming
+    (``part-<task>-<uuid>_<bucket:05d>.c<N>…``) with the pattern
+    ANCHORED to the ``.c<N>`` suffix that immediately follows it
+    (ADVICE r10 #3: a floating ``_(\\d{5})(\\.|_)`` can match task or
+    uuid fragments if the scheme drifts, silently miscounting and
+    disabling compaction)."""
+    import glob
+    import os
+    import re
+
+    loc = _table_location(spark, name)
     counts: dict[int, int] = {}
     for f in glob.glob(os.path.join(loc, "part-*")):
-        m = re.search(r"_(\d{5})(?:\.|_)", os.path.basename(f))
+        m = re.search(r"_(\d{5})\.c\d+", os.path.basename(f))
         if m:
             b = int(m.group(1))
             counts[b] = counts.get(b, 0) + 1
@@ -210,34 +224,72 @@ def compact_bucketed_table(
 
     Spark cannot rewrite a single bucket of a bucketed catalog table
     in place (buckets are file-name-encoded, not directory
-    partitions), so compaction here is a GENERATION REWRITE: read the
-    standing table, one bucket-aligned overwrite into the same
-    name/path, republish the completion marker. Triggered only when
-    some bucket exceeds ``max_files`` — the one data-sized shuffle is
-    the amortized price of N cheap delta appends, the same trade the
-    persisted indexes make (there per-bucket, because their buckets
-    ARE directory partitions). Readers in the same session see the
-    refreshed files through the unchanged catalog entry."""
+    partitions), so compaction here is a GENERATION REWRITE into a
+    SIBLING directory, published by directory swap (ADVICE r10 #1 —
+    the prior form rewrote through a localCheckpoint, leaving the
+    only copy of the table in executor block-manager storage between
+    the rmtree and the rewrite; a crash lost the table, and the whole
+    table had to fit in memory). Order of operations:
+
+    1. bucket-aligned write of the standing table into ``<loc>.compact``
+       (reads old files, writes new — two durable copies exist);
+    2. completion marker into the sibling, catalog entries dropped
+       (external tables — files untouched);
+    3. ``rename(loc, loc.old)`` then ``rename(loc.compact, loc)`` —
+       the old files are deleted only AFTER the compacted generation
+       sits at the table's path (a crash between the renames leaves
+       both generations durable on disk, recoverable by hand or by
+       the marker-gated rebuild);
+    4. re-register the catalog entry over the swapped files with the
+       same CLUSTERED BY spec (bucket ids live in the file NAMES, so
+       the rename preserves them), republish the marker, rmtree the
+       old generation.
+
+    Triggered only when some bucket exceeds ``max_files`` — the one
+    data-sized shuffle is the amortized price of N cheap delta
+    appends, the same trade the persisted indexes make (there
+    per-bucket, because their buckets ARE directory partitions)."""
     import os
+    import shutil
 
     if not any(
         n > max_files for n in bucket_file_counts(spark, name).values()
     ):
         return False
-    loc = (
-        spark.sql(f"DESCRIBE FORMATTED {name}")
-        .filter(F.col("col_name") == "Location")
-        .collect()[0]["data_type"]
-    ).replace("file:", "")
-    snapshot = spark.table(name).localCheckpoint()  # detach from files
-    os.remove(os.path.join(loc, _COMPLETE))  # gate closed during rewrite
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    import shutil
-
-    shutil.rmtree(loc, ignore_errors=True)
-    _write_bucketed(snapshot, name, loc, bkey, "overwrite")
-    with open(os.path.join(loc, _COMPLETE), "w") as fh:
+    loc = _table_location(spark, name)
+    # read the standing files BY PATH, not via spark.table(name): the
+    # catalog read advertises the table's hash-partitioning, which
+    # lets the optimizer elide _write_bucketed's aligning repartition
+    # while auto-bucketed-scan independently plans a size-coalesced
+    # (non-bucket-aligned) scan — one task then writes slivers of many
+    # buckets (measured: 3-4 files/bucket AFTER "compaction"). The
+    # path read carries no partitioning claim, so the aligning
+    # exchange survives and each bucket lands as one file.
+    src = spark.read.parquet(loc)
+    schema = src.schema
+    tmp_name = f"{name}_compacting"
+    tmp_loc = f"{loc.rstrip('/')}.compact"
+    old_loc = f"{loc.rstrip('/')}.old"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    shutil.rmtree(tmp_loc, ignore_errors=True)  # crashed prior attempt
+    shutil.rmtree(old_loc, ignore_errors=True)
+    _write_bucketed(src, tmp_name, tmp_loc, bkey, "overwrite")
+    with open(os.path.join(tmp_loc, _COMPLETE), "w") as fh:
         fh.write("ok")
+    # both generations durable on disk from here on
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")  # external: files stay
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    os.rename(loc, old_loc)
+    os.rename(tmp_loc, loc)
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING PARQUET "
+        f"CLUSTERED BY (`{bkey}`) SORTED BY (`{bkey}`) "
+        f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'"
+    )
+    shutil.rmtree(old_loc, ignore_errors=True)  # old files deleted LAST
     return True
 
 

@@ -198,11 +198,14 @@ def scd2_merge(
 
     Epoch cost is O(|delta| + |history of affected users|), never
     state-sized: the anti/semi joins prune to affected users before
-    any window runs (AQE broadcasts the small delta-user side). At
-    100 TB the state table is bucketed by user_id and the version
-    write rewrites only affected buckets (the base-plus-delta
-    discipline of operators/index_compact.py); the merge plan itself
-    is unchanged."""
+    any window runs (AQE broadcasts the small delta-user side), and
+    the maintenance runner executes BUCKET-ALIGNED on user_id
+    (streaming/foreach_sink.py) — ``current`` here is only the
+    affected buckets' state, and the version write rewrites only
+    those buckets (untouched buckets' files pinned byte-identical by
+    tests/test_round11_ops.py). The merge is key-local over user_id
+    by construction: every output row's user comes from ``current``
+    ∪ ``delta``, so the bucket-aligned contract holds."""
     if current is None:
         return _scd2_intervals(delta)
     affected = delta.select("user_id").distinct()
@@ -223,7 +226,9 @@ def run_scd2_maintenance(arriving: DataFrame, out_dir: str, ckpt: str) -> None:
         run_foreachbatch_versioned,
     )
 
-    run_foreachbatch_versioned(arriving, out_dir, ckpt, scd2_merge)
+    run_foreachbatch_versioned(
+        arriving, out_dir, ckpt, scd2_merge, bucket_by=["user_id"]
+    )
 
 
 def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,10 +262,10 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     run_scd2_maintenance(arriving, out_dir, ckpt)
-    import os
+    from psd_project_spark.streaming.foreach_sink import read_versioned
 
     return (
-        spark.read.parquet(os.path.join(out_dir, "current"))
+        read_versioned(spark, out_dir)
         .select(
             "user_id", "event_id", "valid_from", "valid_to", "value",
             "is_current",
