@@ -41,8 +41,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # or re-earns a current-bytes driver row
 # (tests/test_registry_order.py).
 _PRIORITY = (
-    # -- round-11 re-entering (front: day-one driver rows; the two new
-    #    round-11 queries join here on their landing commits) ----------
+    # -- round-11 new + re-entering (front: day-one driver rows;
+    #    stream_bucketed_ingest joins here on its landing commit) ------
+    "stream_scd2_serve",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -74,7 +75,9 @@ _PRIORITY = (
     "nation_set_ops",
     "order_value_deciles",
     "pivot_status_totals",
-    "purchases_asof_views",
+    # (purchases_asof_views yielded its slot to stream_scd2_serve on
+    # that query's landing commit, per the rotation's staged yields —
+    # it holds its green r1 row over bytes untouched since)
     "q10_returned_items",
     "q11_important_parts",
     "q13_order_count_distribution",

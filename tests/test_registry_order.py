@@ -33,6 +33,7 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 #: slot so it earns a current-bytes driver row this round. The two
 #: new queries are appended here by their landing commits.
 R11_FRONT = [
+    "stream_scd2_serve",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -94,6 +95,7 @@ R11_STALE_REVERIFY = {
     "nation_set_ops",
     "order_value_deciles",
     "pivot_status_totals",
+    # purchases_asof_views yielded to stream_scd2_serve on landing
     "q10_returned_items",
     "q11_important_parts",
     "q13_order_count_distribution",

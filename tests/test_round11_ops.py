@@ -171,6 +171,40 @@ def test_bucketed_sink_retention_prunes_unreferenced_generations(
     assert got[0] == 4 and len(got) == 400
 
 
+def test_stream_scd2_serve_matches_batch_asof(spark, tmp_path):
+    """Read-while-maintain: probe epochs answered against the
+    maintained table mid-maintenance must union to the one-shot batch
+    as-of join (event-time alignment makes each epoch's answers
+    final), and both streams must have run REAL multi-epoch: three
+    serving epoch dirs, and the maintained state advanced through
+    multiple published versions while being read."""
+    from psd_project_spark.operators.scd import (
+        asof_feature_join,
+        run_read_while_maintain,
+    )
+
+    out_dir = str(tmp_path / "answers")
+    state_dir = str(tmp_path / "state")
+    got_df = run_read_while_maintain(
+        spark,
+        SF_DIR,
+        src_f=str(tmp_path / "feat"),
+        src_p=str(tmp_path / "probe"),
+        state_dir=state_dir,
+        out_dir=out_dir,
+        ckpt_m=str(tmp_path / "ckm"),
+        ckpt_s=str(tmp_path / "cks"),
+    )
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(map(tuple, asof_feature_join(spark, SF_DIR).collect()))
+    assert got == want
+    # three real serving epochs landed in the idempotent epoch layout
+    assert len(glob.glob(os.path.join(out_dir, "batch_id=*"))) == 3
+    # the maintained table went through 3 merge epochs (retention
+    # keeps the last 2 version manifests; the newest is epoch 2)
+    assert os.readlink(os.path.join(state_dir, "current")) == "v2"
+
+
 def test_bucketed_sink_rejects_non_key_local_merge(spark, tmp_path):
     """The key-locality contract is ENFORCED, not assumed: a merge_fn
     that invents keys outside the delta's bucket set fails the epoch
