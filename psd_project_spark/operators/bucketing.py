@@ -293,21 +293,16 @@ def compact_bucketed_table(
     return True
 
 
-def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-orderstatus revenue over the co-located pair: the
-    lineitem⋈orders equi-join runs exchange-free (bucketing already
-    co-located both sides on the join key); the only shuffle in the
-    plan is the 3-row groupBy(o_orderstatus) AFTER the join. Oracle:
-    the same join/rollup over the raw parquet — a hash-match proves
-    bucketed write + catalog round-trip + exchange-free join ≡ the
-    straightforward shuffle join, and the plan test proves the
-    exchanges are actually gone."""
-    orders_t, lineitem_t = _bucketed_pair(spark, sf_dir)
-    # merge hint: at test SFs Catalyst would broadcast the tiny orders
-    # side, which hides the property this query demonstrates; at the
-    # 100 TB target both sides are fact-sized and sort-merge is the
-    # strategy Catalyst picks unhinted — the hint makes the showcased
-    # plan SF-independent (it never changes results)
+def _co_located_revenue(
+    spark: SparkSession, orders_t: str, lineitem_t: str
+) -> DataFrame:
+    """Per-orderstatus revenue over a co-located bucketed pair — the
+    showcase join both the batch round-trip and the streaming ingest
+    share. merge hint: at test SFs Catalyst would broadcast the tiny
+    orders side, which hides the property this query demonstrates; at
+    the 100 TB target both sides are fact-sized and sort-merge is the
+    strategy Catalyst picks unhinted — the hint makes the showcased
+    plan SF-independent (it never changes results)."""
     ob = spark.table(orders_t).hint("merge")
     lb = spark.table(lineitem_t)
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
@@ -324,6 +319,136 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-orderstatus revenue over the co-located pair: the
+    lineitem⋈orders equi-join runs exchange-free (bucketing already
+    co-located both sides on the join key); the only shuffle in the
+    plan is the 3-row groupBy(o_orderstatus) AFTER the join. Oracle:
+    the same join/rollup over the raw parquet — a hash-match proves
+    bucketed write + catalog round-trip + exchange-free join ≡ the
+    straightforward shuffle join, and the plan test proves the
+    exchanges are actually gone."""
+    orders_t, lineitem_t = _bucketed_pair(spark, sf_dir)
+    return _co_located_revenue(spark, orders_t, lineitem_t)
+
+
+def run_bucketed_fact_ingest(
+    arriving: DataFrame,
+    name: str,
+    tpath: str,
+    ctrl_dir: str,
+    ckpt: str,
+    bkey: str,
+    max_files: int = MAX_FILES_PER_BUCKET,
+) -> None:
+    """ONLINE half of the bucketed-snapshot lifecycle (VERDICT r10
+    "Next round" #4): each arriving micro-batch lands as a
+    bucket-aligned APPEND into the standing bucketed catalog table
+    (one new file per touched bucket, spec-validated by Spark against
+    the existing table's bucket spec), and when any bucket
+    accumulates past ``max_files`` the epoch triggers
+    :func:`compact_bucketed_table`'s durable generation rewrite —
+    appends stay delta-sized, compaction amortizes, and the
+    co-located join stays exchange-free throughout (multi-file
+    buckets re-sort per bucket, they never re-shuffle).
+
+    Replay idempotency: a bucketed APPEND is not naturally
+    idempotent (a replayed epoch would double its rows), so the last
+    APPLIED epoch id is recorded in ``ctrl_dir/_APPLIED`` — outside
+    the table directory, which compaction renames — and an epoch ≤
+    the applied id is skipped, the same guard discipline as the
+    versioned MERGE sink. Compactions are journaled to
+    ``ctrl_dir/compactions.log`` (one epoch id per line) so tests
+    and operators can see when the amortized rewrite fired."""
+    import os
+
+    from psd_project_spark.streaming.foreach_sink import run_stream
+
+    applied_f = os.path.join(ctrl_dir, "_APPLIED")
+
+    def ingest(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        applied = -1
+        if os.path.exists(applied_f):
+            with open(applied_f) as fh:
+                applied = int(fh.read())
+        if batch_id <= applied:
+            return
+        spark = df.sparkSession
+        mode = (
+            "append"
+            if spark.catalog.tableExists(name) and os.path.isdir(tpath)
+            else "overwrite"
+        )
+        _write_bucketed(df, name, tpath, bkey, mode)
+        tmp = applied_f + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, applied_f)
+        if compact_bucketed_table(spark, name, bkey, max_files):
+            with open(os.path.join(ctrl_dir, "compactions.log"), "a") as fh:
+                fh.write(f"{batch_id}\n")
+
+    run_stream(arriving, ingest, ckpt, state_partitions=None)
+
+
+def stream_bucketed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bucketed-fact ingestion end-to-end: lineitem arrives
+    in 5 epochs (source split on ``l_orderkey % 5``,
+    ``maxFilesPerTrigger=1``), each epoch appends bucket-aligned into
+    the standing lineitem table, a mid-stream compaction fires when a
+    bucket passes the query-scoped threshold of 3 files (epoch 0
+    creates the table, so epochs ≥3 push past it — the lifecycle
+    demonstrably includes the amortized rewrite, journaled and pinned
+    by test), and the final co-located join against the bucketed
+    orders table runs exchange-free. Oracle:
+    :data:`BUCKETED_JOIN_ORACLE` VERBATIM — the ingested table must
+    be indistinguishable from the batch-built snapshot.
+
+    The full lifecycle (orders build + 5 ingest epochs + compaction)
+    re-runs each invocation — rebuilding IS the query, so no marker
+    gate can hide the ingest cost. At 100 TB each epoch's cost is one
+    delta-sized shuffle into standing buckets; compaction is the one
+    amortized data-sized rewrite per ``max_files`` deltas."""
+    import os
+
+    from psd_project_spark.functions.caching import scratch_dir
+
+    key = _pair_key(sf_dir)
+    root = scratch_dir("psd_bkt_ingest_")
+    o_name, l_name = f"ing_orders_{key}", f"ing_lineitem_{key}"
+    for n in (o_name, l_name):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    _write_bucketed(orders, o_name, f"{root}/{o_name}", "o_orderkey",
+                    "overwrite")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    src = f"{root}/src"
+    from psd_project_spark.streaming.foreach_sink import (
+        stage_stream_splits,
+    )
+
+    stage_stream_splits(lineitem, F.col("l_orderkey") % 5, src, n=5)
+    arriving = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/p0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    ctrl = f"{root}/ctrl"
+    os.makedirs(ctrl, exist_ok=True)
+    run_bucketed_fact_ingest(
+        arriving, l_name, f"{root}/{l_name}", ctrl, f"{root}/ckpt",
+        "l_orderkey", max_files=3,
+    )
+    return _co_located_revenue(spark, o_name, l_name)
+
+
 BUCKETED_JOIN_ORACLE = """
 SELECT o_orderstatus,
        CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue,
@@ -337,4 +462,5 @@ ORDER BY o_orderstatus
 
 QUERIES = {
     "bucketed_join_roundtrip": (bucketed_join_roundtrip, BUCKETED_JOIN_ORACLE),
+    "stream_bucketed_ingest": (stream_bucketed_ingest, BUCKETED_JOIN_ORACLE),
 }

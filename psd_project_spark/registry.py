@@ -41,9 +41,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # or re-earns a current-bytes driver row
 # (tests/test_registry_order.py).
 _PRIORITY = (
-    # -- round-11 new + re-entering (front: day-one driver rows;
-    #    stream_bucketed_ingest joins here on its landing commit) ------
+    # -- round-11 new + re-entering (front: day-one driver rows) -------
     "stream_scd2_serve",
+    "stream_bucketed_ingest",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -99,7 +99,9 @@ _PRIORITY = (
     "top3_cheapest_per_flag",
     "top_orders_by_revenue",
     "trailing_hour_user_value",
-    "views_before_purchase",
+    # (views_before_purchase yielded its slot to stream_bucketed_ingest
+    # on that query's landing commit, per the rotation's staged yields —
+    # it holds its green r1 row over bytes untouched since)
 )
 
 _MODULES = (

@@ -34,6 +34,7 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 #: new queries are appended here by their landing commits.
 R11_FRONT = [
     "stream_scd2_serve",
+    "stream_bucketed_ingest",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -117,6 +118,7 @@ R11_STALE_REVERIFY = {
     "top3_cheapest_per_flag",
     "top_orders_by_revenue",
     "trailing_hour_user_value",
+    # views_before_purchase yielded to stream_bucketed_ingest on landing
 }
 
 
