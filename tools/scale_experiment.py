@@ -159,6 +159,16 @@ QUERIES = [
     # the pair now builds base + bucket-aligned delta append — rep 1
     # pays both phases, rep 2 is the exchange-free steady state over
     # multi-file buckets)
+    # round-10: the keyed MERGE sink (re-measured in r11 after the
+    # runner went bucket-aligned: per-epoch writes now rewrite only
+    # affected key-buckets, never the full state)
+    "stream_upsert_latest",
+    # round-11: read-while-maintain (six interleaved availableNow
+    # runs; per-epoch cost = affected-bucket merges + pruned as-of
+    # answers) and the streaming bucketed-fact ingest (5 delta-sized
+    # appends + one amortized compaction + the exchange-free join)
+    "stream_scd2_serve",
+    "stream_bucketed_ingest",
 ]
 
 
