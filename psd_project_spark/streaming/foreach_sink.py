@@ -268,10 +268,15 @@ def run_foreachbatch_versioned(
     def write_bucketed(df: DataFrame, batch_id: int, current) -> None:
         spark = df.sparkSession
         bexpr = _bucket_expr(bucket_by, n_buckets)
+        # this collect doubles as the empty-batch check (≤ n_buckets
+        # ints — bounded), so bucketed mode pays ONE job here, not an
+        # isEmpty() job plus a distinct job
         affected = sorted(
             r["_bucket"]
             for r in df.select(bexpr.alias("_bucket")).distinct().collect()
         )
+        if not affected:
+            return
         prev: dict[str, str] = {}
         if os.path.lexists(current):
             with open(os.path.join(current, _MANIFEST)) as fh:
@@ -318,11 +323,12 @@ def run_foreachbatch_versioned(
         _publish(batch_id, current)
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        if df.isEmpty():
-            # an empty micro-batch changes nothing — skip the version
-            # write entirely (the symlink simply stays at the last
-            # data epoch; a replay of the empty epoch skips again, so
-            # the guard semantics are unchanged)
+        # an empty micro-batch changes nothing — skip the version
+        # write entirely (the symlink simply stays at the last data
+        # epoch; a replay of the empty epoch skips again, so the
+        # guard semantics are unchanged). Bucketed mode folds this
+        # check into its affected-buckets collect.
+        if bucket_by is None and df.isEmpty():
             return
         current = os.path.join(out_dir, "current")
         cur_df = None
