@@ -44,6 +44,7 @@ _PRIORITY = (
     # -- round-11 new + re-entering (front: day-one driver rows) -------
     "stream_scd2_serve",
     "stream_bucketed_ingest",
+    "minhash_index_delete",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -64,8 +65,10 @@ _PRIORITY = (
     "measures_window_stream",
     "stream_ingest_dedup",
     # -- spares: stalest row-holders (newest driver row = r01, bytes
-    #    untouched since; 31 of 39 — the 8 deferred by name above) ----
-    "big_spenders_semi",
+    #    untouched since; the members deferred by name above, plus
+    #    big_spenders_semi, which yielded its slot to the
+    #    minhash_index_delete landing — it holds its green r1 row
+    #    over bytes untouched since) -----------------------------------
     "cube_orders",
     "customer_order_gaps",
     "customers_without_orders",
@@ -117,6 +120,7 @@ _MODULES = (
     "psd_project_spark.operators.text_analysis",
     "psd_project_spark.operators.text_curation",
     "psd_project_spark.operators.dedup",
+    "psd_project_spark.operators.index_delete",
     "psd_project_spark.operators.minhash_stream",
     "psd_project_spark.operators.bucketing",
     "psd_project_spark.operators.range_join",

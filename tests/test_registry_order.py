@@ -35,6 +35,7 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 R11_FRONT = [
     "stream_scd2_serve",
     "stream_bucketed_ingest",
+    "minhash_index_delete",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -49,6 +50,9 @@ R11_FRONT = [
 R11_CHANGED_MODULES = (
     "psd_project_spark.operators.scd",
     "psd_project_spark.operators.bucketing",
+    # new in round 11 (the index DELETE verb; depends on dedup.py's
+    # unchanged helpers, so dedup's own queries keep their rows)
+    "psd_project_spark.operators.index_delete",
 )
 
 #: streaming/foreach_sink.py's versioned MERGE runner gains the
@@ -86,7 +90,7 @@ SPARE = {
 #: heaviest multi-join TPC-H members (q2, q8, q9, q20, q21, q22) are
 #: deferred by name to r12 slots.
 R11_STALE_REVERIFY = {
-    "big_spenders_semi",
+    # big_spenders_semi yielded to minhash_index_delete on landing
     "cube_orders",
     "customer_order_gaps",
     "customers_without_orders",

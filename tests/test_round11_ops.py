@@ -278,6 +278,103 @@ def test_stream_bucketed_ingest_lifecycle(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {n}")
 
 
+def test_minhash_index_delete_equals_rebuild(spark, tmp_path):
+    """The GDPR guarantee, pinned directly (the driver pins it via the
+    reduced-corpus oracle): build + delete ≡ rebuild-without-the-
+    deleted — identical probe results, no deleted id left anywhere in
+    the index files, and the manifest only names live partitions."""
+    from psd_project_spark.functions.caching import transient_cache
+    from psd_project_spark.operators.dedup import (
+        _probe_minhash_index,
+        _with_signatures,
+        _write_minhash_index,
+    )
+    from psd_project_spark.operators.index_compact import (
+        list_partitions,
+        write_partition_manifest,
+    )
+    from psd_project_spark.operators.index_delete import (
+        delete_from_minhash_index,
+    )
+    from psd_project_spark.sources.registry import load_table
+
+    sigs = transient_cache(
+        _with_signatures(load_table(spark, SF_DIR, "documents"), spark)
+    )
+    is_eval = F.col("doc_id") % 50 == 0
+    is_del = (~is_eval) & (F.col("doc_id") % 7 == 3)
+
+    deleted = str(tmp_path / "idx_del")
+    _write_minhash_index(sigs.filter(~is_eval), deleted, "overwrite")
+    write_partition_manifest(deleted)
+    n = delete_from_minhash_index(spark, deleted, sigs.filter(is_del))
+    assert n > 0
+
+    rebuilt = str(tmp_path / "idx_rebuild")
+    _write_minhash_index(sigs.filter(~is_eval & ~is_del), rebuilt,
+                         "overwrite")
+    write_partition_manifest(rebuilt)
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(
+        _probe_minhash_index(spark, SF_DIR, sigs, deleted)
+    ) == key(_probe_minhash_index(spark, SF_DIR, sigs, rebuilt))
+    # no deleted id survives anywhere in the index files
+    del_ids = {
+        r["doc_id"] for r in sigs.filter(is_del).select("doc_id").collect()
+    }
+    left = {
+        r["doc_train"]
+        for r in spark.read.option("basePath", deleted)
+        .parquet(deleted)
+        .select("doc_train")
+        .distinct()
+        .collect()
+    }
+    assert not (left & del_ids)
+    # the manifest names exactly the partitions that still exist
+    live = list_partitions(deleted)
+    for rel in live:
+        assert os.path.isdir(os.path.join(deleted, rel)), rel
+
+
+def test_minhash_index_delete_empties_buckets(spark, tmp_path):
+    """Deleting EVERY indexed document exercises the emptied-partition
+    path: dynamic overwrite cannot touch a partition with no surviving
+    rows, so the delete must remove those dirs explicitly and the
+    manifest-pruned probe must then see an empty index (all-zero
+    report), not stale pre-delete files."""
+    from psd_project_spark.functions.caching import transient_cache
+    from psd_project_spark.operators.dedup import (
+        _probe_minhash_index,
+        _with_signatures,
+        _write_minhash_index,
+    )
+    from psd_project_spark.operators.index_compact import (
+        list_partitions,
+        write_partition_manifest,
+    )
+    from psd_project_spark.operators.index_delete import (
+        delete_from_minhash_index,
+    )
+    from psd_project_spark.sources.registry import load_table
+
+    sigs = transient_cache(
+        _with_signatures(load_table(spark, SF_DIR, "documents"), spark)
+    )
+    is_eval = F.col("doc_id") % 50 == 0
+    path = str(tmp_path / "idx_all")
+    _write_minhash_index(sigs.filter(~is_eval), path, "overwrite")
+    write_partition_manifest(path)
+    assert list_partitions(path)
+    delete_from_minhash_index(spark, path, sigs.filter(~is_eval))
+    assert not list_partitions(path)
+    got = _probe_minhash_index(spark, SF_DIR, sigs, path).collect()
+    assert got and all(
+        r["n_candidates"] == 0 and r["max_jaccard"] == 0.0 for r in got
+    )
+
+
 def test_bucketed_sink_rejects_non_key_local_merge(spark, tmp_path):
     """The key-locality contract is ENFORCED, not assumed: a merge_fn
     that invents keys outside the delta's bucket set fails the epoch
