@@ -40,23 +40,23 @@ from psd_project_spark.operators.dedup import (
 from psd_project_spark.sources.registry import load_table
 
 
-def delete_from_minhash_index(
-    spark: SparkSession, path: str, del_docs: DataFrame
+def _delete_partitions(
+    spark: SparkSession,
+    path: str,
+    dirs: list[str],
+    schema: str,
+    del_ids: DataFrame,
+    id_col: str,
+    partition_cols: list[str],
 ) -> int:
-    """Remove ``del_docs`` (rows with ``doc_id``, ``_sh`` — the
-    signature frame slice for the deletion set) from the persisted
-    band index at ``path``. Returns the number of affected partitions.
-
-    Per-partition rewrite via dynamic partition overwrite: the
-    deleted docs' bands name the affected ``(band_id, bucket)`` dirs
-    (distinct-collect, bounded by |delete set| × LSH_BANDS and by the
-    manifest intersection); those dirs are read back, the deleted ids
-    anti-joined away (broadcast — the delete set is small by nature),
-    and survivors rewritten in place. A partition whose EVERY row
-    belonged to deleted docs produces no output rows — dynamic
-    overwrite never touches it — so emptied dirs are removed
-    explicitly and the partition manifest refreshed, keeping
-    manifest-pruned probes truthful.
+    """The shared per-partition delete core: read ONLY the affected
+    partition dirs back, anti-join the deleted ids away (broadcast —
+    a deletion set is small by nature), rewrite survivors in place
+    via dynamic partition overwrite, and remove the dirs the delete
+    EMPTIED (a no-surviving-rows partition is invisible to dynamic
+    overwrite — it would otherwise keep serving the deleted rows),
+    then refresh the partition manifest so manifest-pruned probes
+    stay truthful. Returns the number of affected partitions.
 
     Durability: callers run this inside the shared
     ``build_base_plus_delta`` protocol (marker strictly last), so a
@@ -67,9 +67,47 @@ def delete_from_minhash_index(
 
     from psd_project_spark.operators.index_compact import (
         _rewrite,
-        list_partitions,
         write_partition_manifest,
     )
+
+    if not dirs:
+        return 0
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        back = (
+            spark.read.option("basePath", path)
+            .schema(schema)
+            .parquet(*[f"{path}/{d}" for d in dirs])
+        )
+        survivors = back.join(F.broadcast(del_ids), id_col, "left_anti")
+        # partitions that keep at least one row (bounded collect:
+        # ≤ |dirs|) — the rest were emptied by the delete
+        kept = {
+            "/".join(f"{c}={int(r[c])}" for c in partition_cols)
+            for r in survivors.select(*partition_cols).distinct().collect()
+        }
+        if kept:
+            _rewrite(survivors, path, partition_cols, max(1, len(kept) // 4))
+        for d in dirs:
+            if d not in kept:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    write_partition_manifest(path)
+    return len(dirs)
+
+
+def delete_from_minhash_index(
+    spark: SparkSession, path: str, del_docs: DataFrame
+) -> int:
+    """Remove ``del_docs`` (rows with ``doc_id``, ``_sh`` — the
+    signature frame slice for the deletion set) from the persisted
+    band index at ``path``. The deleted docs' bands name the affected
+    ``(band_id, bucket)`` dirs (distinct-collect, bounded by
+    |delete set| × LSH_BANDS and by the manifest intersection); cost
+    tracks the deletion's band volume, never the index size."""
+    from psd_project_spark.operators.index_compact import list_partitions
 
     del_bands = _with_bucket(_band_frame(del_docs))
     affected = sorted(
@@ -86,40 +124,16 @@ def delete_from_minhash_index(
         for b, k in affected
         if f"band_id={b}/bucket={k}" in present
     ]
-    if not dirs:
-        return 0
     del_ids = del_docs.select(F.col("doc_id").alias("doc_train")).distinct()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        back = (
-            spark.read.option("basePath", path)
-            .schema("doc_train long, band_key string, band_id int, bucket int")
-            .parquet(*[f"{path}/{d}" for d in dirs])
-        )
-        survivors = back.join(F.broadcast(del_ids), "doc_train", "left_anti")
-        # partitions that keep at least one row (bounded collect:
-        # ≤ |dirs|) — the rest were emptied by the delete
-        kept = {
-            f"band_id={int(r['band_id'])}/bucket={int(r['bucket'])}"
-            for r in survivors.select("band_id", "bucket")
-            .distinct()
-            .collect()
-        }
-        if kept:
-            _rewrite(
-                survivors,
-                path,
-                ["band_id", "bucket"],
-                max(1, len(kept) // 4),
-            )
-        for d in dirs:
-            if d not in kept:
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    write_partition_manifest(path)
-    return len(dirs)
+    return _delete_partitions(
+        spark,
+        path,
+        dirs,
+        "doc_train long, band_key string, band_id int, bucket int",
+        del_ids,
+        "doc_train",
+        ["band_id", "bucket"],
+    )
 
 
 def minhash_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,6 +205,98 @@ LEFT JOIN per_eval p USING (doc_eval)
 """
 
 
+# --- IVF (embedding) deletion -------------------------------------------------
+
+def delete_from_ivf_index(
+    spark: SparkSession, path: str, del_vecs: DataFrame
+) -> int:
+    """Remove ``del_vecs`` (rows with ``vec_id``, ``_v``) from the
+    persisted cell-partitioned IVF index at ``path``. The PERSISTED
+    quantizer assigns the deletion set to cells (the same kernel that
+    placed them — assignment and deletion cannot disagree), naming
+    the affected ``cell=N`` dirs; the shared per-partition core does
+    the rest. The quantizer itself is untouched: it is O(K·d) MODEL
+    state (like a trained model's weights), and deletion removes the
+    DATA — a deleted vector can no longer surface as a neighbor, even
+    when its values once seeded a centroid."""
+    from psd_project_spark.functions import vectors as V
+    from psd_project_spark.operators.index_compact import list_partitions
+    from psd_project_spark.operators.similarity import (
+        _read_ivf_quantizer,
+    )
+
+    codebook, cb_ids = _read_ivf_quantizer(spark, path)
+    assigned = del_vecs.select("vec_id", "_v").mapInPandas(
+        V.make_cell_assign_kernel(codebook, cb_ids),
+        schema="vec_id long, cell long, _v array<double>",
+    )
+    affected = sorted(
+        int(r["cell"]) for r in assigned.select("cell").distinct().collect()
+    )
+    present = list_partitions(path)
+    dirs = [f"cell={c}" for c in affected if f"cell={c}" in present]
+    del_ids = del_vecs.select("vec_id").distinct()
+    return _delete_partitions(
+        spark,
+        path,
+        dirs,
+        "vec_id long, _v array<double>, cell long",
+        del_ids,
+        "vec_id",
+        ["cell"],
+    )
+
+
+def ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding right-to-be-forgotten: build the full IVF index
+    (``overwrite`` + quantizer persist), DELETE the takedown set
+    (``vec_id % 7 == 3``) via per-cell rewrites, then probe. Oracle:
+    the in-memory IVF query over the REDUCED corpus — centroids and
+    query vectors unchanged (both are model-state inputs, not index
+    rows), candidates drawn only from surviving vectors — so a
+    hash-match proves **build + delete + probe ≡
+    rebuild-without-the-deleted** at the driver."""
+    from psd_project_spark.operators.index_compact import (
+        build_base_plus_delta,
+    )
+    from psd_project_spark.operators.similarity import (
+        _embeddings,
+        _ivf_codebook,
+        _ivf_index_dir,
+        _probe_ivf_index,
+        _write_ivf_index,
+    )
+
+    e = _embeddings(spark, sf_dir)
+    path = _ivf_index_dir(sf_dir) + "_gdpr"
+    is_del = F.col("vec_id") % 7 == 3
+    codebook, cb_ids = _ivf_codebook(e)
+    build_base_plus_delta(
+        path,
+        lambda: _write_ivf_index(
+            spark, e, path, "overwrite", codebook, cb_ids
+        ),
+        lambda: delete_from_ivf_index(spark, path, e.filter(is_del)),
+    )
+    return _probe_ivf_index(spark, e, path)
+
+
+def _ivf_delete_oracle() -> str:
+    """``IVF_ORACLE`` over the reduced corpus: the ``cells``
+    (candidate) side excludes the deleted split; centroid pick and
+    probe set are unchanged (model state)."""
+    from psd_project_spark.operators.similarity import IVF_ORACLE
+
+    needle = "  SELECT vec_id, v, cid FROM ranked WHERE crank = 1\n"
+    assert needle in IVF_ORACLE
+    return IVF_ORACLE.replace(
+        needle,
+        "  SELECT vec_id, v, cid FROM ranked\n"
+        "  WHERE crank = 1 AND vec_id % 7 <> 3\n",
+    )
+
+
 QUERIES = {
     "minhash_index_delete": (minhash_index_delete, MINHASH_DELETE_ORACLE),
+    "ivf_index_delete": (ivf_index_delete, _ivf_delete_oracle()),
 }

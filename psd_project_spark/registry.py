@@ -45,6 +45,7 @@ _PRIORITY = (
     "stream_scd2_serve",
     "stream_bucketed_ingest",
     "minhash_index_delete",
+    "ivf_index_delete",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -65,11 +66,10 @@ _PRIORITY = (
     "measures_window_stream",
     "stream_ingest_dedup",
     # -- spares: stalest row-holders (newest driver row = r01, bytes
-    #    untouched since; the members deferred by name above, plus
-    #    big_spenders_semi, which yielded its slot to the
-    #    minhash_index_delete landing — it holds its green r1 row
-    #    over bytes untouched since) -----------------------------------
-    "cube_orders",
+    #    untouched since; the members deferred by name above, plus the
+    #    landing-commit yielders big_spenders_semi →
+    #    minhash_index_delete and cube_orders → ivf_index_delete —
+    #    each holds its green r1 row over bytes untouched since) -------
     "customer_order_gaps",
     "customers_without_orders",
     "grouping_sets_orders",

@@ -36,6 +36,7 @@ R11_FRONT = [
     "stream_scd2_serve",
     "stream_bucketed_ingest",
     "minhash_index_delete",
+    "ivf_index_delete",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -90,8 +91,8 @@ SPARE = {
 #: heaviest multi-join TPC-H members (q2, q8, q9, q20, q21, q22) are
 #: deferred by name to r12 slots.
 R11_STALE_REVERIFY = {
-    # big_spenders_semi yielded to minhash_index_delete on landing
-    "cube_orders",
+    # big_spenders_semi yielded to minhash_index_delete on landing;
+    # cube_orders yielded to ivf_index_delete on landing
     "customer_order_gaps",
     "customers_without_orders",
     "grouping_sets_orders",

@@ -375,6 +375,59 @@ def test_minhash_index_delete_empties_buckets(spark, tmp_path):
     )
 
 
+def test_ivf_index_delete_equals_rebuild(spark, tmp_path):
+    """The embedding right-to-be-forgotten, pinned directly: delete ≡
+    rebuild-without-the-deleted (identical probe results from the
+    same persisted quantizer), no deleted vec_id anywhere in the
+    index files, manifest truthful."""
+    from psd_project_spark.operators.index_compact import (
+        list_partitions,
+        write_partition_manifest,
+    )
+    from psd_project_spark.operators.index_delete import (
+        delete_from_ivf_index,
+    )
+    from psd_project_spark.operators.similarity import (
+        _embeddings,
+        _ivf_codebook,
+        _probe_ivf_index,
+        _write_ivf_index,
+    )
+
+    e = _embeddings(spark, SF_DIR)
+    codebook, cb_ids = _ivf_codebook(e)
+    is_del = F.col("vec_id") % 7 == 3
+
+    deleted = str(tmp_path / "ivf_del")
+    _write_ivf_index(spark, e, deleted, "overwrite", codebook, cb_ids)
+    write_partition_manifest(deleted)
+    assert delete_from_ivf_index(spark, deleted, e.filter(is_del)) > 0
+
+    rebuilt = str(tmp_path / "ivf_rebuild")
+    _write_ivf_index(
+        spark, e, rebuilt, "overwrite", codebook, cb_ids, flt=~is_del
+    )
+    write_partition_manifest(rebuilt)
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(_probe_ivf_index(spark, e, deleted)) == key(
+        _probe_ivf_index(spark, e, rebuilt)
+    )
+    del_ids = {
+        r["vec_id"] for r in e.filter(is_del).select("vec_id").collect()
+    }
+    live = list_partitions(deleted)
+    left = {
+        r["vec_id"]
+        for r in spark.read.option("basePath", deleted)
+        .schema("vec_id long, _v array<double>, cell long")
+        .parquet(*[f"{deleted}/{d}" for d in sorted(live)])
+        .select("vec_id")
+        .collect()
+    }
+    assert not (left & del_ids)
+
+
 def test_bucketed_sink_rejects_non_key_local_merge(spark, tmp_path):
     """The key-locality contract is ENFORCED, not assumed: a merge_fn
     that invents keys outside the delta's bucket set fails the epoch
