@@ -27,19 +27,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # anyway), stream_upsert_latest, stream_value_quantiles_sink.
 # run_stream / write_epoch / stage_stream_splits stay byte-identical,
 # so the foreachBatch streams that only run through those keep their
-# r10 rows. The round-11 additions join the front on their landing
+# r10 rows. The round-11 additions joined the front on their landing
 # commits with staged by-name yields: purchases_asof_views →
-# stream_scd2_serve, views_before_purchase → stream_bucketed_ingest.
-# Spares: the six r10 yielders re-enter first (per VERDICT r10 #1 —
-# each holds a green r9 row over bytes untouched since), then the
-# 4-query reference-risk/streaming signature set, then the STALEST
-# row-holders — 33 of the 39 queries whose newest driver row is r01
+# stream_scd2_serve, views_before_purchase → stream_bucketed_ingest,
+# big_spenders_semi → minhash_index_delete, cube_orders →
+# ivf_index_delete (the new index_delete module depends only on
+# UNCHANGED dedup.py / similarity.py helpers, so those modules'
+# queries keep their rows — the changed-dependency precedent cuts
+# both ways). Spares: the six r10 yielders re-enter first (per
+# VERDICT r10 #1 — each holds a green r9 row over bytes untouched
+# since), then the 4-query reference-risk/streaming signature set,
+# then the STALEST row-holders — the remaining r01-row queries
 # (relational / tpch / analytics_extra / timeseries / behavior, all
 # over bytes untouched since r1) re-earn current-round rows; the 6
-# heaviest multi-join TPC-H members (q2, q8, q9, q20, q21, q22) are
-# first in line for r12 slots. NO queue: every registry query holds
-# or re-earns a current-bytes driver row
-# (tests/test_registry_order.py).
+# heaviest multi-join TPC-H members (q2, q8, q9, q20, q21, q22) and
+# the 4 landing-commit yielders are first in line for r12 slots. NO
+# queue: every registry query holds or re-earns a current-bytes
+# driver row (tests/test_registry_order.py).
 _PRIORITY = (
     # -- round-11 new + re-entering (front: day-one driver rows) -------
     "stream_scd2_serve",
