@@ -239,6 +239,24 @@ SHOWCASE = [
         "(the non-equi BETWEEN alternative plans as "
         "BroadcastNestedLoopJoin).",
     ),
+    (
+        "stream_bucketed_ingest",
+        "The co-located join over the STREAM-INGESTED fact table: "
+        "after five bucket-aligned epoch appends and a mid-stream "
+        "compaction, both scans still show SelectedBucketsCount and "
+        "the SortMergeJoin has NO exchange below it — online "
+        "ingestion preserved the write-once shuffle contract; the "
+        "only exchange is the 3-row post-join rollup.",
+    ),
+    (
+        "minhash_index_delete",
+        "The post-deletion probe: the index scan reads ONLY the "
+        "manifest-intersected explicit bucket paths (the band index's "
+        "literal-path file pruning) — per-partition deletion preserved "
+        "the pruned probe shape, and the partitions the delete emptied "
+        "are simply absent from the manifest (removed explicitly; "
+        "dynamic overwrite cannot touch a no-survivors partition).",
+    ),
 ]
 
 
