@@ -169,6 +169,13 @@ QUERIES = [
     # appends + one amortized compaction + the exchange-free join)
     "stream_scd2_serve",
     "stream_bucketed_ingest",
+    # round-11: the index DELETE verb — build is data-sized (once,
+    # pruned before each rep); the delete rewrites only the dirs the
+    # deletion set's bands/cells name (under 10× exact replication
+    # the %7 slice replicates too, so the affected-dir set is the
+    # adversarial maximum)
+    "minhash_index_delete",
+    "ivf_index_delete",
 ]
 
 
@@ -190,6 +197,12 @@ def _prune_sinks(name: str, sf_dir: str) -> None:
         "stream_minhash_screen": lambda d: [dedup._minhash_index_dir(d)],
         "ivf_index_compaction": lambda d: [
             similarity._ivf_index_dir(d) + "_cmp"
+        ],
+        "minhash_index_delete": lambda d: [
+            dedup._minhash_index_dir(d) + "_del"
+        ],
+        "ivf_index_delete": lambda d: [
+            similarity._ivf_index_dir(d) + "_gdpr"
         ],
     }.get(name)
     if dirs:
