@@ -296,7 +296,108 @@ def _ivf_delete_oracle() -> str:
     )
 
 
+# --- streaming deletion (the online right-to-be-forgotten) -------------------
+
+def _delete_batch_fn(path: str):
+    """The per-epoch deletion as a ``foreachBatch`` callable (factored
+    so tests can replay an epoch — crash-recovery's double-delivery —
+    through the identical code the registry query runs). Each epoch
+    re-enters the index writer lock (the wrapping lifecycle already
+    holds it), recomputes the arriving documents' signatures (cost
+    tracks the epoch, not the index), and applies the shared
+    per-partition delete core.
+
+    Deletion needs NO epoch-staging machinery (the append stream's
+    ``epoch={N}`` overwrite layout, exact_substr.py:855): it is
+    idempotent BY SEMANTICS. A replayed epoch re-derives the same
+    affected ``(band_id, bucket)`` set, intersects it with the live
+    manifest (dirs its first delivery emptied are simply absent), and
+    anti-joins ids that are already gone — a no-op rewrite of the
+    surviving rows. Double delivery cannot over-delete (the delete set
+    is explicit ids, not a predicate over state) or resurrect rows."""
+
+    def delete_batch(batch: DataFrame, batch_id: int) -> None:
+        from psd_project_spark.operators.index_compact import single_writer
+
+        sigs_b = _with_signatures(batch, batch.sparkSession)
+        with single_writer(path):
+            delete_from_minhash_index(batch.sparkSession, path, sigs_b)
+
+    return delete_batch
+
+
+def stream_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delete verb's ONLINE half — takedown requests arriving as a
+    stream: build the full train index, then consume the takedown set
+    (train docs with ``doc_id % 7 == 3``, split into 3 real epochs) in
+    ``foreachBatch``, each epoch deleting its documents' rows via
+    per-partition rewrites, then probe with the eval split. The oracle
+    is :data:`MINHASH_DELETE_ORACLE` VERBATIM — the screen over the
+    reduced corpus — so a hash-match proves **streamed deletion epochs
+    ≡ one-shot rebuild-without-the-deleted**: with this, every index
+    lifecycle verb (build, append, compact, probe, delete) has both a
+    batch and a streaming form.
+
+    Durability rides the shared :func:`build_base_plus_delta` protocol
+    with the WHOLE stream as the delta phase: the completion marker
+    lands strictly after the last epoch commits, so a crash mid-stream
+    leaves a directory that fails the gate and rebuilds — a
+    half-applied takedown can never serve. Within the stream,
+    checkpointed offsets + semantic idempotency (see
+    :func:`_delete_batch_fn`) make epoch replay safe.
+
+    At 100 TB: per-epoch cost is the epoch's band volume (|epoch| ×
+    LSH_BANDS dirs at most, manifest-intersected) — takedown
+    throughput tracks the request rate, never the index size."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.operators.index_compact import (
+        build_base_plus_delta,
+    )
+    from psd_project_spark.streaming.foreach_sink import (
+        run_stream,
+        stage_stream_splits,
+    )
+
+    path = _minhash_index_dir(sf_dir) + "_sdel"
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = transient_cache(_with_signatures(docs, spark))
+    is_eval = F.col("doc_id") % 50 == 0
+    is_del = (~is_eval) & (F.col("doc_id") % 7 == 3)
+
+    def run_deletion_stream() -> None:
+        src = scratch_dir("minhash_sdel_src_")
+        # 3 REAL takedown epochs: ids are 7k+3, so ((id-3) % 21) DIV 7
+        # = k % 3 walks 0,1,2 across consecutive takedown docs
+        # (stage_stream_splits's explicit filtered writes — hash
+        # repartition would collide the 3-residue domain)
+        stage_stream_splits(
+            docs.filter(is_del).select("doc_id", "text"),
+            F.expr("((doc_id - 3) % 21) DIV 7"),
+            src,
+        )
+        arriving = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_stream(
+            arriving,
+            _delete_batch_fn(path),
+            scratch_dir("minhash_sdel_ckpt_"),
+            state_partitions=None,
+        )
+
+    build_base_plus_delta(
+        path,
+        lambda: _write_minhash_index(sigs.filter(~is_eval), path, "overwrite"),
+        run_deletion_stream,
+    )
+    return _probe_minhash_index(spark, sf_dir, sigs, path)
+
+
 QUERIES = {
     "minhash_index_delete": (minhash_index_delete, MINHASH_DELETE_ORACLE),
     "ivf_index_delete": (ivf_index_delete, _ivf_delete_oracle()),
+    "stream_index_delete": (stream_index_delete, MINHASH_DELETE_ORACLE),
 }

@@ -50,6 +50,7 @@ _PRIORITY = (
     "stream_bucketed_ingest",
     "minhash_index_delete",
     "ivf_index_delete",
+    "stream_index_delete",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -105,10 +106,10 @@ _PRIORITY = (
     "sessionize_events",
     "top3_cheapest_per_flag",
     "top_orders_by_revenue",
-    "trailing_hour_user_value",
     # (views_before_purchase yielded its slot to stream_bucketed_ingest
-    # on that query's landing commit, per the rotation's staged yields —
-    # it holds its green r1 row over bytes untouched since)
+    # and trailing_hour_user_value to stream_index_delete, each on that
+    # query's landing commit, per the rotation's staged yields — both
+    # hold green r1 rows over bytes untouched since)
 )
 
 _MODULES = (

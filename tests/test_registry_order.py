@@ -37,6 +37,7 @@ R11_FRONT = [
     "stream_bucketed_ingest",
     "minhash_index_delete",
     "ivf_index_delete",
+    "stream_index_delete",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -122,8 +123,8 @@ R11_STALE_REVERIFY = {
     "sessionize_events",
     "top3_cheapest_per_flag",
     "top_orders_by_revenue",
-    "trailing_hour_user_value",
-    # views_before_purchase yielded to stream_bucketed_ingest on landing
+    # views_before_purchase yielded to stream_bucketed_ingest and
+    # trailing_hour_user_value to stream_index_delete on landing
 }
 
 

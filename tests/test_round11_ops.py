@@ -466,3 +466,62 @@ def test_bucketed_sink_rejects_non_key_local_merge(spark, tmp_path):
             bad_merge,
             bucket_by=["k"],
         )
+
+
+def test_stream_index_delete_matches_batch_delete(spark):
+    """The online takedown path ≡ the batch delete verb: both registry
+    queries share MINHASH_DELETE_ORACLE, so their probe reports must be
+    identical row-for-row — streamed deletion epochs lose nothing and
+    leak nothing relative to the one-shot delete (which the sibling
+    test pins against a full rebuild)."""
+    from psd_project_spark.operators.index_delete import (
+        minhash_index_delete,
+        stream_index_delete,
+    )
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(stream_index_delete(spark, SF_DIR)) == key(
+        minhash_index_delete(spark, SF_DIR)
+    )
+
+
+def test_stream_index_delete_epoch_replay_idempotent(spark, tmp_path):
+    """Crash-recovery's double delivery, through the IDENTICAL code the
+    registry query runs (_delete_batch_fn): replaying a deletion epoch
+    verbatim leaves the index exactly where the first delivery left it
+    — same probe report as a rebuild-without-the-deleted, no
+    over-deletion, no resurrection."""
+    from psd_project_spark.functions.caching import transient_cache
+    from psd_project_spark.operators.dedup import (
+        _probe_minhash_index,
+        _with_signatures,
+        _write_minhash_index,
+    )
+    from psd_project_spark.operators.index_compact import (
+        write_partition_manifest,
+    )
+    from psd_project_spark.operators.index_delete import _delete_batch_fn
+    from psd_project_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = transient_cache(_with_signatures(docs, spark))
+    is_eval = F.col("doc_id") % 50 == 0
+    is_del = (~is_eval) & (F.col("doc_id") % 7 == 3)
+
+    path = str(tmp_path / "idx_replay")
+    _write_minhash_index(sigs.filter(~is_eval), path, "overwrite")
+    write_partition_manifest(path)
+
+    epoch = docs.filter(is_del).select("doc_id", "text")
+    fn = _delete_batch_fn(path)
+    fn(epoch, 0)
+    fn(epoch, 0)  # replayed delivery
+
+    rebuilt = str(tmp_path / "idx_rebuilt")
+    _write_minhash_index(sigs.filter(~is_eval & ~is_del), rebuilt,
+                         "overwrite")
+    write_partition_manifest(rebuilt)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(_probe_minhash_index(spark, SF_DIR, sigs, path)) == key(
+        _probe_minhash_index(spark, SF_DIR, sigs, rebuilt)
+    )
