@@ -296,6 +296,109 @@ def _ivf_delete_oracle() -> str:
     )
 
 
+# --- anchor-index (ExactSubstr) deletion --------------------------------------
+
+def delete_from_substr_index(
+    spark: SparkSession, path: str, del_docs: DataFrame
+) -> int:
+    """Remove ``del_docs`` (rows with ``doc_id``, ``text``) from the
+    persisted k-gram anchor index at ``path``
+    (operators/exact_substr.py's bucket-partitioned layout). The
+    deleted docs' own anchors name the affected ``bucket=B`` dirs —
+    recomputed with the index's hash, exactly as the build placed them
+    — and the shared per-partition core anti-joins the doc ids away.
+    Anchors SHARED with surviving documents survive (deletion is by
+    doc_id, not by anchor string): the takedown removes the document's
+    rows, never other documents' evidence."""
+    from psd_project_spark.operators.exact_substr import (
+        _SUBSTR_INDEX_SCHEMA,
+        _anchor_positions,
+        _with_anchor_bucket,
+    )
+    from psd_project_spark.operators.index_compact import list_partitions
+
+    del_anchors = _with_anchor_bucket(_anchor_positions(del_docs))
+    affected = sorted(
+        int(r["bucket"])
+        for r in del_anchors.select("bucket").distinct().collect()
+    )
+    present = list_partitions(path)
+    dirs = [f"bucket={b}" for b in affected if f"bucket={b}" in present]
+    del_ids = del_docs.select("doc_id").distinct()
+    return _delete_partitions(
+        spark,
+        path,
+        dirs,
+        _SUBSTR_INDEX_SCHEMA,
+        del_ids,
+        "doc_id",
+        ["bucket"],
+    )
+
+
+def substr_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchor index's right-to-be-forgotten — the last persisted
+    index kind without the delete verb: build the full train anchor
+    index, DELETE the takedown set (train docs with ``doc_id % 7 ==
+    3``) via per-bucket rewrites, then run the manifest-pruned eval
+    probe over the reduced roster. Oracle: the substring
+    decontamination screen over the REDUCED corpus (train side
+    excludes the takedown split in both the hit join and the roster),
+    so a hash-match proves **build + delete + probe ≡
+    rebuild-without-the-deleted** — no deleted document can be
+    reported as contaminated (it is gone), and surviving documents'
+    spans are untouched.
+
+    Durability rides :func:`build_base_plus_delta` with the deletion
+    as the second mutation (marker strictly last). At 100 TB: deletion
+    cost tracks the deleted docs' anchor volume (≤ |delete set| ×
+    anchors-per-doc rows naming ≤ SUBSTR_INDEX_BUCKETS dirs), never
+    the index size."""
+    from psd_project_spark.operators.exact_substr import (
+        _anchor_positions,
+        _probe_substr_index,
+        _substr_index_dir,
+        _write_substr_index,
+        spread_small,
+    )
+    from psd_project_spark.operators.index_compact import (
+        build_base_plus_delta,
+    )
+
+    docs = spread_small(load_table(spark, sf_dir, "documents"), spark)
+    path = _substr_index_dir(sf_dir) + "_del"
+    is_eval = F.col("doc_id") % 50 == 0
+    is_del = (~is_eval) & (F.col("doc_id") % 7 == 3)
+    anchors = _anchor_positions(docs)
+    build_base_plus_delta(
+        path,
+        lambda: _write_substr_index(
+            anchors.filter(~is_eval), path, "overwrite"
+        ),
+        lambda: delete_from_substr_index(spark, path, docs.filter(is_del)),
+    )
+    # the reduced roster: evals untouched (is_del excludes them), the
+    # takedown split gone from both the report and the zero rows
+    return _probe_substr_index(spark, docs.filter(~is_del), path)
+
+
+def _substr_delete_oracle() -> str:
+    """``DECONTAMINATE_SUBSTR_ORACLE`` over the reduced corpus: the
+    takedown split leaves the hit join's train side AND the per-doc
+    roster; the eval anchor set is unchanged."""
+    from psd_project_spark.operators.exact_substr import (
+        DECONTAMINATE_SUBSTR_ORACLE,
+    )
+
+    hit = "  WHERE a.doc_id % 50 <> 0\n"
+    roster = "WHERE d.doc_id % 50 <> 0\n"
+    assert hit in DECONTAMINATE_SUBSTR_ORACLE
+    assert roster in DECONTAMINATE_SUBSTR_ORACLE
+    return DECONTAMINATE_SUBSTR_ORACLE.replace(
+        hit, "  WHERE a.doc_id % 50 <> 0 AND a.doc_id % 7 <> 3\n"
+    ).replace(roster, "WHERE d.doc_id % 50 <> 0 AND d.doc_id % 7 <> 3\n")
+
+
 # --- streaming deletion (the online right-to-be-forgotten) -------------------
 
 def _delete_batch_fn(path: str):
@@ -399,5 +502,6 @@ def stream_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "minhash_index_delete": (minhash_index_delete, MINHASH_DELETE_ORACLE),
     "ivf_index_delete": (ivf_index_delete, _ivf_delete_oracle()),
+    "substr_index_delete": (substr_index_delete, _substr_delete_oracle()),
     "stream_index_delete": (stream_index_delete, MINHASH_DELETE_ORACLE),
 }

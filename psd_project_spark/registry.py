@@ -50,6 +50,7 @@ _PRIORITY = (
     "stream_bucketed_ingest",
     "minhash_index_delete",
     "ivf_index_delete",
+    "substr_index_delete",
     "stream_index_delete",
     "stream_scd2_maintain",
     "stream_upsert_latest",
@@ -105,10 +106,10 @@ _PRIORITY = (
     "running_user_spend",
     "sessionize_events",
     "top3_cheapest_per_flag",
-    "top_orders_by_revenue",
-    # (views_before_purchase yielded its slot to stream_bucketed_ingest
-    # and trailing_hour_user_value to stream_index_delete, each on that
-    # query's landing commit, per the rotation's staged yields — both
+    # (views_before_purchase yielded its slot to stream_bucketed_ingest,
+    # trailing_hour_user_value to stream_index_delete, and
+    # top_orders_by_revenue to substr_index_delete, each on that
+    # query's landing commit, per the rotation's staged yields — all
     # hold green r1 rows over bytes untouched since)
 )
 

@@ -37,6 +37,7 @@ R11_FRONT = [
     "stream_bucketed_ingest",
     "minhash_index_delete",
     "ivf_index_delete",
+    "substr_index_delete",
     "stream_index_delete",
     "stream_scd2_maintain",
     "stream_upsert_latest",
@@ -122,9 +123,9 @@ R11_STALE_REVERIFY = {
     "running_user_spend",
     "sessionize_events",
     "top3_cheapest_per_flag",
-    "top_orders_by_revenue",
-    # views_before_purchase yielded to stream_bucketed_ingest and
-    # trailing_hour_user_value to stream_index_delete on landing
+    # views_before_purchase yielded to stream_bucketed_ingest,
+    # trailing_hour_user_value to stream_index_delete, and
+    # top_orders_by_revenue to substr_index_delete on landing
 }
 
 

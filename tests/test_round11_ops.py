@@ -525,3 +525,51 @@ def test_stream_index_delete_epoch_replay_idempotent(spark, tmp_path):
     assert key(_probe_minhash_index(spark, SF_DIR, sigs, path)) == key(
         _probe_minhash_index(spark, SF_DIR, sigs, rebuilt)
     )
+
+
+def test_substr_index_delete_equals_rebuild(spark, tmp_path):
+    """The anchor index's GDPR guarantee, pinned directly: build +
+    delete ≡ rebuild-without-the-deleted — identical probe reports over
+    the reduced roster, no deleted doc_id left anywhere in the index
+    files, anchors SHARED with surviving docs still present."""
+    from psd_project_spark.operators.exact_substr import (
+        _anchor_positions,
+        _probe_substr_index,
+        _write_substr_index,
+        spread_small,
+    )
+    from psd_project_spark.operators.index_compact import (
+        write_partition_manifest,
+    )
+    from psd_project_spark.operators.index_delete import (
+        delete_from_substr_index,
+    )
+    from psd_project_spark.sources.registry import load_table
+
+    docs = spread_small(load_table(spark, SF_DIR, "documents"), spark)
+    anchors = _anchor_positions(docs)
+    is_eval = F.col("doc_id") % 50 == 0
+    is_del = (~is_eval) & (F.col("doc_id") % 7 == 3)
+
+    deleted = str(tmp_path / "anchor_del")
+    _write_substr_index(anchors.filter(~is_eval), deleted, "overwrite")
+    write_partition_manifest(deleted)
+    n = delete_from_substr_index(spark, deleted, docs.filter(is_del))
+    assert n > 0
+
+    rebuilt = str(tmp_path / "anchor_rebuild")
+    _write_substr_index(anchors.filter(~is_eval & ~is_del), rebuilt,
+                        "overwrite")
+    write_partition_manifest(rebuilt)
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    survivors = docs.filter(~is_del)
+    assert key(_probe_substr_index(spark, survivors, deleted)) == key(
+        _probe_substr_index(spark, survivors, rebuilt)
+    )
+    del_ids = {
+        r["doc_id"] for r in docs.filter(is_del).select("doc_id").collect()
+    }
+    back = spark.read.option("basePath", deleted).parquet(deleted)
+    left = {r["doc_id"] for r in back.select("doc_id").distinct().collect()}
+    assert not (left & del_ids)
