@@ -274,6 +274,136 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_merge(
+    current: DataFrame | None, delta: DataFrame, batch_id: int
+) -> DataFrame:
+    """CDC apply with DELETES: the per-epoch merge for a change stream
+    whose rows carry an ``op`` code — ``I`` rows are events merged via
+    :func:`scd2_merge` (late-data-correct interval splice), ``D`` rows
+    name users whose ENTIRE history is removed (the GDPR user-erasure
+    verb). Order-faithful within the table's semantics: deletes apply
+    to the state as of their epoch, and an ``I`` row arriving AFTER a
+    user's erasure legitimately re-creates that user's chain from the
+    new event alone (pinned by tests/test_round11_ops.py).
+
+    Key-local over user_id by construction — deleted users come from
+    ``current``, inserted users from ``delta`` — so the bucket-aligned
+    runner rewrites only the epoch's buckets; an erasure epoch's cost
+    is the affected users' buckets, never state-sized. An erasure that
+    empties a bucket's every key drops the bucket from the manifest
+    (the runner's deleted-bucket path)."""
+    dels = delta.filter(F.col("op") == "D").select("user_id").distinct()
+    ins = delta.filter(F.col("op") == "I").select(*_EVENT_COLS)
+    base = (
+        current
+        if current is None
+        else current.join(F.broadcast(dels), "user_id", "left_anti")
+    )
+    return scd2_merge(base, ins, batch_id)
+
+
+def stream_scd2_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User erasure through the MAINTAINED table — the right-to-be-
+    forgotten verb for SCD2 state, completing the round-11 deletion
+    tier (persisted indexes got it in operators/index_delete.py; this
+    is the same verb for the versioned MERGE sink): the events stream
+    arrives as 3 ``op=I`` epochs and is merged exactly as
+    :func:`stream_scd2_maintain` does; then a takedown epoch of
+    ``op=D`` rows (users with ``user_id % 5 == 2``) arrives ON THE
+    SAME CHECKPOINT (a second ``availableNow`` run over the same
+    source dir — the read-while-maintain discipline, so the epoch
+    counter keeps the replay guard truthful) and the merge removes
+    those users' entire interval chains, rewriting ONLY their
+    user-buckets. Oracle: the batch SCD2 history over the REDUCED
+    event log (erased users excluded), so a hash-match proves
+    **maintain + erase ≡ rebuild-without-the-erased** — no erased
+    user's row survives any bucket, every surviving user's chain is
+    byte-identical.
+
+    At 100 TB: erasure cost is O(|erased users' buckets' state|) —
+    the bucket-aligned runner's whole point — and the version-retention
+    GC prunes the pre-erasure generations, so the erased rows leave
+    DISK after ``keep_versions`` more epochs, not just the manifest
+    (the compliance property: retention bounds how long a tombstoned
+    version can linger)."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.streaming.foreach_sink import (
+        read_versioned,
+        run_foreachbatch_versioned,
+        stage_stream_splits,
+    )
+
+    src = scratch_dir("psd_scd2er_src_")
+    out_dir = scratch_dir("psd_scd2er_")
+    ckpt = scratch_dir("psd_scd2er_ckpt_")
+    ev = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    schema = (
+        "user_id long, event_id long, ts timestamp, value double, op string"
+    )
+
+    def arriving() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    def maintain(result: DataFrame) -> None:
+        run_foreachbatch_versioned(
+            result, out_dir, ckpt, cdc_merge, bucket_by=["user_id"]
+        )
+
+    # phase 1: the event stream, 3 real epochs of op=I rows
+    stage_stream_splits(
+        ev.withColumn("op", F.lit("I")), F.col("event_id") % 3, src
+    )
+    maintain(arriving())
+    # phase 2: the takedown epoch — op=D rows land in the SAME source
+    # dir, and the SAME checkpoint continues the epoch numbering
+    (
+        ev.filter(F.col("user_id") % 5 == 2)
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit("D").alias("op"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{src}/erase")
+    )
+    maintain(arriving())
+    return (
+        read_versioned(spark, out_dir)
+        .select(
+            "user_id", "event_id", "valid_from", "valid_to", "value",
+            "is_current",
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+#: The batch SCD2 history over the reduced event log: erased users
+#: (user_id % 5 == 2) excluded — maintain + erase must equal
+#: rebuild-without-the-erased.
+SCD2_ERASE_ORACLE = """
+SELECT user_id, event_id,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       value,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          IS NULL) AS is_current
+FROM events
+WHERE user_id % 5 <> 2
+ORDER BY user_id, valid_from, event_id
+"""
+
+
 def stream_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING stream completing the point-in-time trio (history /
     maintenance / online lookups): probe rows arrive in 3 epochs
@@ -460,6 +590,7 @@ QUERIES = {
     "scd2_history": (scd2_history, SCD2_ORACLE),
     "asof_feature_join": (asof_feature_join, ASOF_ORACLE),
     "stream_scd2_maintain": (stream_scd2_maintain, SCD2_ORACLE),
+    "stream_scd2_erase": (stream_scd2_erase, SCD2_ERASE_ORACLE),
     "stream_asof_lookup": (stream_asof_lookup, ASOF_ORACLE),
     "stream_scd2_serve": (stream_scd2_serve, ASOF_ORACLE),
 }

@@ -52,6 +52,7 @@ _PRIORITY = (
     "ivf_index_delete",
     "substr_index_delete",
     "stream_index_delete",
+    "stream_scd2_erase",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -105,10 +106,10 @@ _PRIORITY = (
     "region_nation_rollup",
     "running_user_spend",
     "sessionize_events",
-    "top3_cheapest_per_flag",
     # (views_before_purchase yielded its slot to stream_bucketed_ingest,
-    # trailing_hour_user_value to stream_index_delete, and
-    # top_orders_by_revenue to substr_index_delete, each on that
+    # trailing_hour_user_value to stream_index_delete,
+    # top_orders_by_revenue to substr_index_delete, and
+    # top3_cheapest_per_flag to stream_scd2_erase, each on that
     # query's landing commit, per the rotation's staged yields — all
     # hold green r1 rows over bytes untouched since)
 )

@@ -39,6 +39,7 @@ R11_FRONT = [
     "ivf_index_delete",
     "substr_index_delete",
     "stream_index_delete",
+    "stream_scd2_erase",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -122,10 +123,10 @@ R11_STALE_REVERIFY = {
     "region_nation_rollup",
     "running_user_spend",
     "sessionize_events",
-    "top3_cheapest_per_flag",
     # views_before_purchase yielded to stream_bucketed_ingest,
-    # trailing_hour_user_value to stream_index_delete, and
-    # top_orders_by_revenue to substr_index_delete on landing
+    # trailing_hour_user_value to stream_index_delete,
+    # top_orders_by_revenue to substr_index_delete, and
+    # top3_cheapest_per_flag to stream_scd2_erase on landing
 }
 
 

@@ -573,3 +573,46 @@ def test_substr_index_delete_equals_rebuild(spark, tmp_path):
     back = spark.read.option("basePath", deleted).parquet(deleted)
     left = {r["doc_id"] for r in back.select("doc_id").distinct().collect()}
     assert not (left & del_ids)
+
+
+def test_stream_scd2_erase_no_erased_row_on_disk(spark):
+    """The compliance property behind the erasure query's oracle: after
+    maintain + erase, no erased user's row is reachable through the
+    published manifest, and every surviving user's chain equals the
+    batch history verbatim."""
+    from psd_project_spark.operators.scd import (
+        scd2_history,
+        stream_scd2_erase,
+    )
+
+    got = stream_scd2_erase(spark, SF_DIR)
+    assert got.filter(F.col("user_id") % 5 == 2).count() == 0
+    key = lambda df: sorted(map(tuple, df.collect()))
+    want = scd2_history(spark, SF_DIR).filter(F.col("user_id") % 5 != 2)
+    assert key(got) == key(want)
+
+
+def test_cdc_merge_insert_after_delete_resurrects_from_new_event(spark):
+    """CDC order-faithfulness: an op=I event arriving AFTER a user's
+    erasure re-creates that user's chain from the new event ALONE —
+    the old (erased) history stays gone, other users untouched."""
+    from psd_project_spark.operators.scd import cdc_merge
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(u, e, f"2024-01-0{d} 00:00:00", float(v), op)
+             for (u, e, d, v, op) in rows],
+            "user_id long, event_id long, ts string, value double, op string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    s0 = cdc_merge(None, ev([(1, 10, 1, 5, "I"), (1, 11, 2, 6, "I"),
+                             (2, 20, 1, 7, "I")]), 0)
+    s1 = cdc_merge(s0, ev([(1, 0, 9, 0, "D")]), 1)
+    assert s1.filter(F.col("user_id") == 1).count() == 0
+    s2 = cdc_merge(s1, ev([(1, 12, 3, 8, "I")]), 2)
+    u1 = s2.filter(F.col("user_id") == 1).collect()
+    assert [(r["event_id"], r["is_current"]) for r in u1] == [(12, True)]
+    u2 = sorted(
+        r["event_id"] for r in s2.filter(F.col("user_id") == 2).collect()
+    )
+    assert u2 == [20]
