@@ -1,0 +1,228 @@
+"""Multi-dimensional data layout: Morton (Z-order) cell partitioning.
+
+One-dimensional layouts already exist here (day-cell directory
+partitions for the streaming range join, hash buckets for co-located
+joins); this module adds the TWO-dimensional layout a warehouse needs
+when queries carve boxes out of two independent columns at once
+(``o_orderdate`` × ``o_custkey`` — "this quarter's orders for this
+customer segment"). Partitioning by either column alone prunes only
+that column; partitioning by both as nested directories explodes the
+directory count multiplicatively and prunes the inner level only
+within the outer. The classic fix (public knowledge — Morton 1966;
+the technique behind Delta Lake's ``OPTIMIZE ZORDER BY`` and
+Databricks' liquid clustering): quantize each dimension into 2^m bins,
+INTERLEAVE the bin bits into a single ``zcell`` id, and partition by
+that one column. Bit interleaving preserves locality in BOTH
+dimensions, so a 2-D box query touches only the cells its bin
+rectangle covers — enumerable driver-side (bounded by the cell grid,
+never data-sized) and pushed down as a ``zcell IN (...)`` partition
+filter that prunes at file-listing time.
+
+At 100 TB: size the grid so one cell is a few GB (more bits per
+dimension as the table grows — the cell count is the knob, exactly
+like ``N_STATE_BUCKETS``); a box query then reads
+O(query-selectivity) bytes instead of a full scan, with the exact
+predicate as a residual filter inside the pruned cells. The layout is
+built once per corpus snapshot behind the same fingerprint-gated,
+writer-locked lifecycle as the persisted indexes.
+
+The reference has no layout story at all (its pipeline reads one CSV
+stream end-to-end, StreamingJob.java:433-437); this extends the
+repo's warehouse-layout tier.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psd_project_spark.sources.registry import load_table
+
+#: Bits per dimension: 8 bins × 8 bins = 64 z-cells. Test-scale sizing
+#: of the same knob a 100 TB table would raise (cells should hold a
+#: few GB each); the enumeration/probe code is bit-count-agnostic.
+ZORDER_BITS = 3
+_BINS = 1 << ZORDER_BITS
+
+#: Morton spread table for a ZORDER_BITS-wide int: bit j of i moves to
+#: bit 2j. zcell = spread[a] + 2 * spread[b] interleaves a and b.
+_SPREAD = [
+    sum(((i >> j) & 1) << (2 * j) for j in range(ZORDER_BITS))
+    for i in range(_BINS)
+]
+
+#: Day-number epoch for the date dimension (TPC-H's earliest date).
+_EPOCH = _dt.date(1992, 1, 1)
+
+_PARAMS = "_ZPARAMS.json"
+
+
+def _zorder_dir(sf_dir: str) -> str:
+    import hashlib
+
+    from psd_project_spark.sources.registry import source_fingerprint
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    fp = source_fingerprint(sf_dir, "orders")
+    return (
+        f"/tmp/psd_spark_sink/{key}/zorder_orders_{ZORDER_BITS}b_{fp}"
+    )
+
+
+def _day_expr() -> F.Column:
+    return F.datediff(F.col("o_orderdate"), F.lit(_EPOCH.isoformat()))
+
+
+def _bin_width(lo: int, hi: int) -> int:
+    """Integer bin width covering [lo, hi] with exactly ≤ _BINS bins:
+    ceil(range / _BINS), so ``(x - lo) DIV w`` lands in 0.._BINS-1 for
+    every in-range x — deterministic integer arithmetic, no float
+    rounding at bin edges."""
+    rng = hi - lo + 1
+    return max(1, -(-rng // _BINS))
+
+
+def build_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write ``orders`` under ``zcell=N`` directory partitions (Morton
+    interleave of the binned ``o_orderdate`` day number and
+    ``o_custkey``), gated + writer-locked like every persisted layout
+    here. The quantization params (per-dimension min and bin width —
+    the layout's tiny model state, like the IVF quantizer) are
+    persisted NEXT to the data and written STRICTLY LAST, so a crashed
+    build fails the gate and rebuilds. Returns the layout path."""
+    from psd_project_spark.operators.index_compact import (
+        prune_siblings_of,
+        single_writer,
+    )
+
+    path = _zorder_dir(sf_dir)
+    params_path = os.path.join(path, _PARAMS)
+    if os.path.exists(params_path):
+        return path
+    prune_siblings_of(path)
+    with single_writer(path):
+        if os.path.exists(params_path):  # raced build finished first
+            return path
+        o = load_table(spark, sf_dir, "orders")
+        # ONE 4-value driver row: the two dimensions' bounds
+        b = o.select(
+            F.min(_day_expr()).alias("amin"),
+            F.max(_day_expr()).alias("amax"),
+            F.min("o_custkey").alias("bmin"),
+            F.max("o_custkey").alias("bmax"),
+        ).first()
+        params = {
+            "amin": int(b["amin"]),
+            "aw": _bin_width(int(b["amin"]), int(b["amax"])),
+            "bmin": int(b["bmin"]),
+            "bw": _bin_width(int(b["bmin"]), int(b["bmax"])),
+        }
+        spread = F.lit(_SPREAD)
+        abin = F.expr(
+            f"(datediff(o_orderdate, DATE '{_EPOCH.isoformat()}')"
+            f" - {params['amin']}) DIV {params['aw']}"
+        )
+        bbin = F.expr(f"(o_custkey - {params['bmin']}) DIV {params['bw']}")
+        zcell = (
+            F.element_at(spread, abin.cast("int") + 1)
+            + 2 * F.element_at(spread, bbin.cast("int") + 1)
+        ).alias("zcell")
+        (
+            o.withColumn("zcell", zcell)
+            # co-locate each cell before the partitioned write (the
+            # smallfile trap — see ann_index_export)
+            .repartition(8, "zcell")
+            .write.mode("overwrite")
+            .partitionBy("zcell")
+            .parquet(path)
+        )
+        tmp = params_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(params, fh)
+        os.replace(tmp, params_path)  # the gate, strictly last
+    return path
+
+
+def zcells_for_box(
+    params: dict, d1: _dt.date, d2: _dt.date, c1: int, c2: int
+) -> list[int]:
+    """The z-cell ids a box query must read: clamp the box corners
+    into the layout's bin grid (binning is monotonic per dimension, so
+    the covered bins form a rectangle) and Morton-interleave every
+    (abin, bbin) pair in it. Driver-side and bounded by the grid size
+    — a SUPERSET of the matching rows' cells; the exact predicate runs
+    as a residual inside them."""
+    a1 = max(0, ((d1 - _EPOCH).days - params["amin"]) // params["aw"])
+    a2 = ((d2 - _EPOCH).days - params["amin"]) // params["aw"]
+    b1 = max(0, (c1 - params["bmin"]) // params["bw"])
+    b2 = (c2 - params["bmin"]) // params["bw"]
+    return sorted(
+        _SPREAD[a] + 2 * _SPREAD[b]
+        for a in range(a1, min(a2, _BINS - 1) + 1)
+        for b in range(b1, min(b2, _BINS - 1) + 1)
+    )
+
+
+#: The registry query's 2-D box (data-independent constants shared
+#: with the oracle): two and a half years of dates × a custkey band
+#: (the testdata's orders span 1995-2001 with custkeys from 0, so the
+#: box sits mid-range at every SF and thins — prunes harder — as the
+#: custkey domain grows with SF).
+_D1, _D2 = _dt.date(1996, 3, 1), _dt.date(1998, 9, 30)
+_C1, _C2 = 20, 95
+
+
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout's read path: a 2-D box aggregate (order counts and
+    revenue per priority for a date range × customer band) over the
+    z-ordered table. The box's bin rectangle names its z-cells
+    driver-side; the scan carries ``zcell IN (...)`` — pruned at
+    file-listing time, visible as ``PartitionFilters`` in the plan and
+    pinned by test — plus the exact box predicate as the residual.
+    Oracle: the same aggregate over the raw ``orders`` table, so a
+    hash-match proves layout + cell enumeration + residual lose and
+    invent nothing."""
+    path = build_zorder_layout(spark, sf_dir)
+    with open(os.path.join(path, _PARAMS)) as fh:
+        params = json.load(fh)
+    cells = zcells_for_box(params, _D1, _D2, _C1, _C2)
+    dec = "decimal(27,15)"
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("zcell").isin(cells))
+        .filter(
+            F.col("o_orderdate").between(_D1.isoformat(), _D2.isoformat())
+            & F.col("o_custkey").between(_C1, _C2)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 6
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ZORDER_ORACLE = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(o_totalprice
+         AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING)
+         AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '{_D1.isoformat()} 00:00:00'
+                      AND TIMESTAMP '{_D2.isoformat()} 00:00:00'
+  AND o_custkey BETWEEN {_C1} AND {_C2}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "zorder_pruned_scan": (zorder_pruned_scan, ZORDER_ORACLE),
+}

@@ -53,6 +53,7 @@ _PRIORITY = (
     "substr_index_delete",
     "stream_index_delete",
     "stream_scd2_erase",
+    "zorder_pruned_scan",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -105,11 +106,11 @@ _PRIORITY = (
     "q7_trade_volume",
     "region_nation_rollup",
     "running_user_spend",
-    "sessionize_events",
     # (views_before_purchase yielded its slot to stream_bucketed_ingest,
     # trailing_hour_user_value to stream_index_delete,
-    # top_orders_by_revenue to substr_index_delete, and
-    # top3_cheapest_per_flag to stream_scd2_erase, each on that
+    # top_orders_by_revenue to substr_index_delete,
+    # top3_cheapest_per_flag to stream_scd2_erase, and
+    # sessionize_events to zorder_pruned_scan, each on that
     # query's landing commit, per the rotation's staged yields — all
     # hold green r1 rows over bytes untouched since)
 )
@@ -128,6 +129,7 @@ _MODULES = (
     "psd_project_spark.operators.text_curation",
     "psd_project_spark.operators.dedup",
     "psd_project_spark.operators.index_delete",
+    "psd_project_spark.operators.zorder",
     "psd_project_spark.operators.minhash_stream",
     "psd_project_spark.operators.bucketing",
     "psd_project_spark.operators.range_join",

@@ -40,6 +40,7 @@ R11_FRONT = [
     "substr_index_delete",
     "stream_index_delete",
     "stream_scd2_erase",
+    "zorder_pruned_scan",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -57,6 +58,8 @@ R11_CHANGED_MODULES = (
     # new in round 11 (the index DELETE verb; depends on dedup.py's
     # unchanged helpers, so dedup's own queries keep their rows)
     "psd_project_spark.operators.index_delete",
+    # new in round 11 (the Morton-cell warehouse layout)
+    "psd_project_spark.operators.zorder",
 )
 
 #: streaming/foreach_sink.py's versioned MERGE runner gains the
@@ -122,11 +125,11 @@ R11_STALE_REVERIFY = {
     "q7_trade_volume",
     "region_nation_rollup",
     "running_user_spend",
-    "sessionize_events",
     # views_before_purchase yielded to stream_bucketed_ingest,
     # trailing_hour_user_value to stream_index_delete,
-    # top_orders_by_revenue to substr_index_delete, and
-    # top3_cheapest_per_flag to stream_scd2_erase on landing
+    # top_orders_by_revenue to substr_index_delete,
+    # top3_cheapest_per_flag to stream_scd2_erase, and
+    # sessionize_events to zorder_pruned_scan on landing
 }
 
 

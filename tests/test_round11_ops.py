@@ -616,3 +616,86 @@ def test_cdc_merge_insert_after_delete_resurrects_from_new_event(spark):
         r["event_id"] for r in s2.filter(F.col("user_id") == 2).collect()
     )
     assert u2 == [20]
+
+
+def test_zorder_pruned_scan_correct_and_pruned(spark):
+    """The Morton layout's two promises at once: (a) the pruned scan
+    equals the raw-table aggregate verbatim (cell enumeration +
+    residual lose and invent nothing), and (b) the zcell IN list is a
+    real PartitionFilter selecting a strict subset of the grid."""
+    import re
+
+    from psd_project_spark.operators.zorder import (
+        _C1,
+        _C2,
+        _D1,
+        _D2,
+        _PARAMS,
+        build_zorder_layout,
+        zcells_for_box,
+        zorder_pruned_scan,
+    )
+    from psd_project_spark.plans.inspect import formatted_plan
+    from psd_project_spark.sources.registry import load_table
+
+    got = zorder_pruned_scan(spark, SF_DIR)
+    raw = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(
+            F.col("o_orderdate").between(_D1.isoformat(), _D2.isoformat())
+            & F.col("o_custkey").between(_C1, _C2)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(27,15)"))
+                .cast("double"), 6,
+            ).alias("revenue"),
+        )
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(got) == key(raw) and got.count() > 0
+
+    path = build_zorder_layout(spark, SF_DIR)
+    with open(os.path.join(path, _PARAMS)) as fh:
+        params = json.load(fh)
+    cells = zcells_for_box(params, _D1, _D2, _C1, _C2)
+    n_all = (
+        spark.read.parquet(path).select("zcell").distinct().count()
+    )
+    assert 0 < len(cells) < n_all  # the box prunes a strict subset
+    pruned = spark.read.parquet(path).filter(F.col("zcell").isin(cells))
+    plan = formatted_plan(pruned)
+    assert re.search(r"PartitionFilters: \[.*zcell.*", plan), plan
+
+
+def test_zorder_cells_cover_every_matching_row(spark):
+    """The superset invariant pruning correctness rests on: every row
+    matching the exact box predicate lives in an enumerated cell —
+    checked for the registry box and a deliberately clamped box whose
+    corners fall outside the data domain."""
+    import datetime as dt
+
+    from psd_project_spark.operators.zorder import (
+        _PARAMS,
+        build_zorder_layout,
+        zcells_for_box,
+    )
+
+    path = build_zorder_layout(spark, SF_DIR)
+    with open(os.path.join(path, _PARAMS)) as fh:
+        params = json.load(fh)
+    table = spark.read.parquet(path)
+    for d1, d2, c1, c2 in [
+        (dt.date(1996, 3, 1), dt.date(1998, 9, 30), 20, 95),
+        (dt.date(1990, 1, 1), dt.date(2050, 1, 1), -5, 10**9),
+        (dt.date(1997, 1, 1), dt.date(1997, 1, 31), 0, 3),
+    ]:
+        cells = set(zcells_for_box(params, d1, d2, c1, c2))
+        outside = table.filter(
+            F.col("o_orderdate").between(d1.isoformat(), d2.isoformat())
+            & F.col("o_custkey").between(c1, c2)
+            & ~F.col("zcell").isin(list(cells))
+        )
+        assert outside.count() == 0, (d1, d2, c1, c2)
