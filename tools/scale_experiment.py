@@ -176,6 +176,20 @@ QUERIES = [
     # adversarial maximum)
     "minhash_index_delete",
     "ivf_index_delete",
+    # round-11 continued: the delete verb's remaining surfaces — the
+    # anchor index (per-bucket rewrites named by the takedown docs'
+    # own anchors), the STREAMED takedown (3 deletion epochs, each
+    # tracking its epoch's band volume), and SCD2 user erasure through
+    # the bucket-aligned MERGE sink (erasure epoch rewrites only the
+    # erased users' buckets)
+    "substr_index_delete",
+    "stream_index_delete",
+    "stream_scd2_erase",
+    # round-11 continued: the Morton-cell layout — rep 1 pays the
+    # data-sized layout build (fingerprint-gated, fresh per corpus),
+    # rep 2 is the steady state: the pruned 2-D box scan, whose cost
+    # tracks the box's cells, not the table
+    "zorder_pruned_scan",
 ]
 
 
@@ -203,6 +217,12 @@ def _prune_sinks(name: str, sf_dir: str) -> None:
         ],
         "ivf_index_delete": lambda d: [
             similarity._ivf_index_dir(d) + "_gdpr"
+        ],
+        "substr_index_delete": lambda d: [
+            exact_substr._substr_index_dir(d) + "_del"
+        ],
+        "stream_index_delete": lambda d: [
+            dedup._minhash_index_dir(d) + "_sdel"
         ],
     }.get(name)
     if dirs:
