@@ -404,6 +404,109 @@ ORDER BY user_id, valid_from, event_id
 """
 
 
+#: Constant event-time cuts for the time-travel query (the events
+#: table spans 2024-01-01..2024-01-30 at every SF, so the cuts are
+#: data-independent and shared verbatim with the oracle).
+_TT_T1 = "2024-01-11 00:00:00"
+_TT_T2 = "2024-01-21 00:00:00"
+
+
+def scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the maintained table — the snapshot-isolation
+    read the versioned sink's immutable-version layout exists for:
+    three sequential maintenance runs merge the event stream in
+    constant event-time slices (ts ≤ T1, T1 < ts ≤ T2, ts > T2); the
+    version id published after the SECOND run is captured; the third
+    run moves ``current`` past it; and the query reads the CAPTURED
+    version — the table exactly as of T2 — while the newest state
+    already contains the full log. Oracle: the batch SCD2 history
+    over ``events WHERE ts <= T2``, so a hash-match proves an old
+    snapshot inside the retention window serves bit-exact state even
+    after maintenance has moved on (its manifest pins its generation
+    dirs; retention keeps every generation a retained manifest
+    references — the Delta/Iceberg ``VERSION AS OF`` contract on
+    plain parquet).
+
+    The retention BOUND is part of the story: ``keep_versions=2``
+    keeps exactly the captured version and the new current — the
+    first run's version is GC'd (pinned by test), so time travel
+    reaches back precisely as far as retention pays for, no further.
+
+    At 100 TB: a snapshot read costs the same as a current read (one
+    manifest + the pinned generation dirs — no copy, no log replay),
+    and the bucket-aligned layout means consecutive versions SHARE
+    every untouched bucket's files, so N retained versions cost far
+    less than N full copies."""
+    from psd_project_spark.functions.caching import scratch_dir
+
+    return run_time_travel(
+        spark,
+        sf_dir,
+        src=scratch_dir("psd_scd2tt_src_"),
+        out_dir=scratch_dir("psd_scd2tt_"),
+        ckpt=scratch_dir("psd_scd2tt_ckpt_"),
+    )
+
+
+def run_time_travel(
+    spark: SparkSession, sf_dir: str, src: str, out_dir: str, ckpt: str
+) -> DataFrame:
+    """The injectable half of :func:`scd2_time_travel` (dirs supplied
+    so the version/retention structure is testable)."""
+    import os
+
+    from psd_project_spark.streaming.foreach_sink import read_versioned
+
+    ev = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    cuts = [
+        F.col("ts") <= _TT_T1,
+        (F.col("ts") > _TT_T1) & (F.col("ts") <= _TT_T2),
+        F.col("ts") > _TT_T2,
+    ]
+    pinned = None
+    for i, pred in enumerate(cuts):
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/f{i}"
+        )
+        run_scd2_maintenance(
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, value double"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            out_dir,
+            ckpt,
+        )
+        if i == 1:  # the snapshot as of T2
+            pinned = int(
+                os.readlink(os.path.join(out_dir, "current")).lstrip("v")
+            )
+    return (
+        read_versioned(spark, out_dir, version=pinned)
+        .select(
+            "user_id", "event_id", "valid_from", "valid_to", "value",
+            "is_current",
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+#: The maintained table exactly as of T2: batch SCD2 history over the
+#: first two event-time slices.
+SCD2_TIME_TRAVEL_ORACLE = f"""
+SELECT user_id, event_id,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       value,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          IS NULL) AS is_current
+FROM events
+WHERE ts <= TIMESTAMP '{_TT_T2}'
+ORDER BY user_id, valid_from, event_id
+"""
+
+
 def stream_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING stream completing the point-in-time trio (history /
     maintenance / online lookups): probe rows arrive in 3 epochs
@@ -591,6 +694,7 @@ QUERIES = {
     "asof_feature_join": (asof_feature_join, ASOF_ORACLE),
     "stream_scd2_maintain": (stream_scd2_maintain, SCD2_ORACLE),
     "stream_scd2_erase": (stream_scd2_erase, SCD2_ERASE_ORACLE),
+    "scd2_time_travel": (scd2_time_travel, SCD2_TIME_TRAVEL_ORACLE),
     "stream_asof_lookup": (stream_asof_lookup, ASOF_ORACLE),
     "stream_scd2_serve": (stream_scd2_serve, ASOF_ORACLE),
 }

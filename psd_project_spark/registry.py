@@ -53,6 +53,7 @@ _PRIORITY = (
     "substr_index_delete",
     "stream_index_delete",
     "stream_scd2_erase",
+    "scd2_time_travel",
     "zorder_pruned_scan",
     "stream_scd2_maintain",
     "stream_upsert_latest",
@@ -105,12 +106,12 @@ _PRIORITY = (
     "q6_forecast_revenue",
     "q7_trade_volume",
     "region_nation_rollup",
-    "running_user_spend",
     # (views_before_purchase yielded its slot to stream_bucketed_ingest,
     # trailing_hour_user_value to stream_index_delete,
     # top_orders_by_revenue to substr_index_delete,
-    # top3_cheapest_per_flag to stream_scd2_erase, and
-    # sessionize_events to zorder_pruned_scan, each on that
+    # top3_cheapest_per_flag to stream_scd2_erase,
+    # sessionize_events to zorder_pruned_scan, and
+    # running_user_spend to scd2_time_travel, each on that
     # query's landing commit, per the rotation's staged yields — all
     # hold green r1 rows over bytes untouched since)
 )

@@ -136,18 +136,30 @@ def _bucket_expr(bucket_by: list[str], n_buckets: int):
     return F.pmod(F.hash(*[F.col(c) for c in bucket_by]), F.lit(n_buckets))
 
 
-def read_versioned(spark, out_dir: str) -> DataFrame:
-    """Read the current state of a versioned sink — both layouts: a
-    bucket-aligned version resolves its manifest to the per-bucket
-    generation dirs (only the newest generation of each bucket is
-    listed — readers never see a half-merged epoch); a plain version
-    is one parquet dir."""
+def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame:
+    """Read a versioned sink — both layouts: a bucket-aligned version
+    resolves its manifest to the per-bucket generation dirs (only the
+    newest generation of each bucket is listed — readers never see a
+    half-merged epoch); a plain version is one parquet dir.
+
+    ``version=None`` resolves the ``current`` symlink (the newest
+    complete state). An explicit ``version`` is the TIME-TRAVEL read:
+    any version id still inside the retention window serves the exact
+    state as of that epoch — its manifest pins the generation dirs it
+    was published with, and retention keeps every generation a
+    retained manifest references, so an old snapshot stays readable
+    while maintenance moves ``current`` forward (the lakehouse
+    snapshot-isolation contract, bounded by ``keep_versions``)."""
     import json
 
-    current = os.path.join(out_dir, "current")
-    manifest = os.path.join(current, _MANIFEST)
+    base = (
+        os.path.join(out_dir, "current")
+        if version is None
+        else os.path.join(out_dir, f"v{version}")
+    )
+    manifest = os.path.join(base, _MANIFEST)
     if not os.path.exists(manifest):
-        return spark.read.parquet(current)
+        return spark.read.parquet(base)
     with open(manifest) as fh:
         entries = json.load(fh)
     if not entries:

@@ -699,3 +699,42 @@ def test_zorder_cells_cover_every_matching_row(spark):
             & ~F.col("zcell").isin(list(cells))
         )
         assert outside.count() == 0, (d1, d2, c1, c2)
+
+
+def test_scd2_time_travel_snapshot_and_retention_bound(spark, tmp_path):
+    """The snapshot-isolation contract end-to-end: the captured
+    version serves the table exactly as of T2 even after maintenance
+    moved current past it; current serves the full log; and retention
+    GC'd the FIRST run's version — time travel reaches back exactly
+    keep_versions, no further."""
+    from psd_project_spark.operators.scd import (
+        _TT_T2,
+        run_time_travel,
+        scd2_history,
+    )
+    from psd_project_spark.streaming.foreach_sink import read_versioned
+
+    out_dir = str(tmp_path / "state")
+    got = run_time_travel(
+        spark, SF_DIR, src=str(tmp_path / "src"), out_dir=out_dir,
+        ckpt=str(tmp_path / "ckpt"),
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    want = scd2_history(spark, SF_DIR).filter(F.col("valid_from") <= _TT_T2)
+    # as-of-T2 state: every interval open at T2 is current IN THE
+    # SNAPSHOT even though later events close it in the full log
+    want = want.withColumn(
+        "valid_to",
+        F.when(F.col("valid_to") > _TT_T2, None).otherwise(
+            F.col("valid_to")
+        ),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    assert key(got) == key(want) and got.count() > 0
+    # current = the full log (maintenance moved on past the snapshot)
+    cur = read_versioned(spark, out_dir).select(*got.columns)
+    assert key(cur) == key(scd2_history(spark, SF_DIR))
+    # retention bound: v1 (the snapshot) and v2 (current) retained,
+    # v0 GC'd — time travel reaches back exactly keep_versions
+    assert os.path.isdir(os.path.join(out_dir, "v1"))
+    assert os.path.isdir(os.path.join(out_dir, "v2"))
+    assert not os.path.exists(os.path.join(out_dir, "v0"))
