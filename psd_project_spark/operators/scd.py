@@ -491,6 +491,169 @@ def run_time_travel(
     )
 
 
+def scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the maintained table (the Delta/Iceberg
+    CDF analog on plain parquet): every maintenance epoch also emits
+    the row-level diff it caused — ``I`` rows that entered the state
+    table, ``D`` rows that left it (an interval row whose only change
+    is its ``is_current`` flag flipping counts as D+I, the standard
+    CDF semantics) — so downstream consumers can incrementally
+    materialize views of the SCD2 table without re-reading it.
+
+    The diff is computed from the versioned sink's OWN metadata: the
+    new version's manifest is compared to the previous one, and only
+    the buckets whose generation entry CHANGED are read back on both
+    sides (set-difference per side) — unchanged buckets share the
+    same files by construction, so they cannot contribute change rows
+    and are never read. Change rows are materialized to an
+    epoch-keyed sink as they are produced (versions outside the
+    retention window are GC'd, so the feed cannot be derived lazily —
+    exactly why real CDFs persist change files per commit).
+
+    Three sequential runs merge the ``event_id % 3`` slices (the same
+    deterministic epoch composition the maintenance query stages), so
+    the oracle is closed-form: cumulative SCD2 states over the slice
+    prefixes, with each epoch's feed = EXCEPT between consecutive
+    states (epoch 0 inserts everything). A hash-match proves
+    manifest-diff + changed-bucket reads + set-difference emit exactly
+    the rows a full-state diff would — while reading only the
+    affected buckets.
+
+    At 100 TB: per-epoch CDF cost is O(changed buckets' state), the
+    same bound as the merge itself — the feed is a byproduct of state
+    the epoch already touched, never a second full-table diff."""
+    from psd_project_spark.functions.caching import scratch_dir
+
+    return run_change_feed(
+        spark,
+        sf_dir,
+        src=scratch_dir("psd_scd2cf_src_"),
+        state_dir=scratch_dir("psd_scd2cf_state_"),
+        feed_dir=scratch_dir("psd_scd2cf_feed_"),
+        ckpt=scratch_dir("psd_scd2cf_ckpt_"),
+    )
+
+
+def run_change_feed(
+    spark: SparkSession,
+    sf_dir: str,
+    src: str,
+    state_dir: str,
+    feed_dir: str,
+    ckpt: str,
+) -> DataFrame:
+    """The injectable half of :func:`scd2_change_feed`."""
+    import json
+    import os
+
+    from psd_project_spark.streaming.foreach_sink import (
+        _MANIFEST,
+        write_epoch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    state_cols = [
+        "user_id", "event_id", "valid_from", "valid_to", "value",
+        "is_current",
+    ]
+    prev_manifest: dict[str, str] = {}
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f{i}")
+        run_scd2_maintenance(
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, value double"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            state_dir,
+            ckpt,
+        )
+        applied = int(
+            os.readlink(os.path.join(state_dir, "current")).lstrip("v")
+        )
+        with open(
+            os.path.join(state_dir, f"v{applied}", _MANIFEST)
+        ) as fh:
+            cur_manifest = json.load(fh)
+        changed = sorted(
+            b
+            for b in set(cur_manifest) | set(prev_manifest)
+            if cur_manifest.get(b) != prev_manifest.get(b)
+        )
+
+        def _side(manifest: dict[str, str]) -> DataFrame:
+            paths = [
+                os.path.join(state_dir, manifest[b])
+                for b in changed
+                if b in manifest
+            ]
+            if not paths:
+                return spark.createDataFrame([], ", ".join(
+                    f"{c} {t}" for c, t in zip(
+                        state_cols,
+                        ("long", "long", "timestamp", "timestamp",
+                         "double", "boolean"),
+                    )
+                ))
+            return spark.read.parquet(*paths).select(*state_cols)
+
+        new_rows, old_rows = _side(cur_manifest), _side(prev_manifest)
+        feed = (
+            new_rows.subtract(old_rows)
+            .withColumn("op", F.lit("I"))
+            .unionByName(
+                old_rows.subtract(new_rows).withColumn("op", F.lit("D"))
+            )
+            .select(F.lit(i).alias("epoch"), "op", *state_cols)
+        )
+        # materialize NOW: the prev version's generations leave the
+        # retention window on later epochs
+        write_epoch(feed, feed_dir, i)
+        prev_manifest = cur_manifest
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+        .select("epoch", "op", *state_cols)
+        .orderBy("epoch", "op", "user_id", "valid_from", "event_id")
+    )
+
+
+def _scd2_slice_sql(where: str) -> str:
+    """Cumulative SCD2 state over an event-log slice (the oracle's
+    mirror of what the maintained table holds after that slice)."""
+    return f"""
+  SELECT user_id, event_id, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+         value,
+         (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NULL) AS is_current
+  FROM events {where}
+"""
+
+
+#: Each epoch's feed = EXCEPT between consecutive cumulative states;
+#: epoch 0 inserts everything (set ops treat NULLs as equal in both
+#: engines, matching Spark's subtract).
+SCD2_CHANGE_FEED_ORACLE = f"""
+WITH s0 AS ({_scd2_slice_sql("WHERE event_id % 3 = 0")}),
+s1 AS ({_scd2_slice_sql("WHERE event_id % 3 IN (0, 1)")}),
+s2 AS ({_scd2_slice_sql("")})
+SELECT 0 AS epoch, 'I' AS op, * FROM s0
+UNION ALL
+SELECT 1, 'I', * FROM (SELECT * FROM s1 EXCEPT SELECT * FROM s0)
+UNION ALL
+SELECT 1, 'D', * FROM (SELECT * FROM s0 EXCEPT SELECT * FROM s1)
+UNION ALL
+SELECT 2, 'I', * FROM (SELECT * FROM s2 EXCEPT SELECT * FROM s1)
+UNION ALL
+SELECT 2, 'D', * FROM (SELECT * FROM s1 EXCEPT SELECT * FROM s2)
+ORDER BY epoch, op, user_id, valid_from, event_id
+"""
+
+
 #: The maintained table exactly as of T2: batch SCD2 history over the
 #: first two event-time slices.
 SCD2_TIME_TRAVEL_ORACLE = f"""
@@ -695,6 +858,7 @@ QUERIES = {
     "stream_scd2_maintain": (stream_scd2_maintain, SCD2_ORACLE),
     "stream_scd2_erase": (stream_scd2_erase, SCD2_ERASE_ORACLE),
     "scd2_time_travel": (scd2_time_travel, SCD2_TIME_TRAVEL_ORACLE),
+    "scd2_change_feed": (scd2_change_feed, SCD2_CHANGE_FEED_ORACLE),
     "stream_asof_lookup": (stream_asof_lookup, ASOF_ORACLE),
     "stream_scd2_serve": (stream_scd2_serve, ASOF_ORACLE),
 }

@@ -54,6 +54,7 @@ _PRIORITY = (
     "stream_index_delete",
     "stream_scd2_erase",
     "scd2_time_travel",
+    "scd2_change_feed",
     "zorder_pruned_scan",
     "stream_scd2_maintain",
     "stream_upsert_latest",
@@ -105,13 +106,13 @@ _PRIORITY = (
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_trade_volume",
-    "region_nation_rollup",
     # (views_before_purchase yielded its slot to stream_bucketed_ingest,
     # trailing_hour_user_value to stream_index_delete,
     # top_orders_by_revenue to substr_index_delete,
     # top3_cheapest_per_flag to stream_scd2_erase,
-    # sessionize_events to zorder_pruned_scan, and
-    # running_user_spend to scd2_time_travel, each on that
+    # sessionize_events to zorder_pruned_scan,
+    # running_user_spend to scd2_time_travel, and
+    # region_nation_rollup to scd2_change_feed, each on that
     # query's landing commit, per the rotation's staged yields — all
     # hold green r1 rows over bytes untouched since)
 )

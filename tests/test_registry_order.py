@@ -41,6 +41,7 @@ R11_FRONT = [
     "stream_index_delete",
     "stream_scd2_erase",
     "scd2_time_travel",
+    "scd2_change_feed",
     "zorder_pruned_scan",
     "stream_scd2_maintain",
     "stream_upsert_latest",
@@ -124,13 +125,13 @@ R11_STALE_REVERIFY = {
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_trade_volume",
-    "region_nation_rollup",
     # views_before_purchase yielded to stream_bucketed_ingest,
     # trailing_hour_user_value to stream_index_delete,
     # top_orders_by_revenue to substr_index_delete,
     # top3_cheapest_per_flag to stream_scd2_erase,
-    # sessionize_events to zorder_pruned_scan, and
-    # running_user_spend to scd2_time_travel on landing
+    # sessionize_events to zorder_pruned_scan,
+    # running_user_spend to scd2_time_travel, and
+    # region_nation_rollup to scd2_change_feed on landing
 }
 
 

@@ -738,3 +738,31 @@ def test_scd2_time_travel_snapshot_and_retention_bound(spark, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "v1"))
     assert os.path.isdir(os.path.join(out_dir, "v2"))
     assert not os.path.exists(os.path.join(out_dir, "v0"))
+
+
+def test_scd2_change_feed_reconstructs_state(spark, tmp_path):
+    """The CDF consumer contract: applying the feed (inserts minus
+    deletes, epoch by epoch) reconstructs the final state table
+    exactly — and the feed's epoch-0 slice is pure inserts."""
+    from psd_project_spark.operators.scd import (
+        run_change_feed,
+        scd2_history,
+    )
+
+    feed = run_change_feed(
+        spark, SF_DIR, src=str(tmp_path / "src"),
+        state_dir=str(tmp_path / "state"),
+        feed_dir=str(tmp_path / "feed"), ckpt=str(tmp_path / "ckpt"),
+    )
+    state_cols = [
+        "user_id", "event_id", "valid_from", "valid_to", "value",
+        "is_current",
+    ]
+    assert feed.filter(
+        (F.col("epoch") == 0) & (F.col("op") == "D")
+    ).count() == 0
+    applied = feed.filter(F.col("op") == "I").select(*state_cols).subtract(
+        feed.filter(F.col("op") == "D").select(*state_cols)
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(applied) == key(scd2_history(spark, SF_DIR))
