@@ -190,6 +190,12 @@ QUERIES = [
     # rep 2 is the steady state: the pruned 2-D box scan, whose cost
     # tracks the box's cells, not the table
     "zorder_pruned_scan",
+    # round-11 continued: snapshot reads + the change feed over the
+    # maintained table — time travel costs one manifest + its pinned
+    # generation dirs (a current-read, at an old version); the CDF
+    # reads only the manifest-diff's changed buckets per epoch
+    "scd2_time_travel",
+    "scd2_change_feed",
 ]
 
 
