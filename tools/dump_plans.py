@@ -257,6 +257,15 @@ SHOWCASE = [
         "are simply absent from the manifest (removed explicitly; "
         "dynamic overwrite cannot touch a no-survivors partition).",
     ),
+    (
+        "zorder_pruned_scan",
+        "The 2-D box aggregate over the Morton layout: the scan shows "
+        "PartitionFilters with the driver-enumerated zcell IN list — "
+        "pruning happens at file-listing time over ONE partition "
+        "column that encodes BOTH dimensions (bit-interleaved bins), "
+        "with the exact box predicate as the residual PushedFilters; "
+        "the only exchange is the 5-row priority rollup.",
+    ),
 ]
 
 
