@@ -620,6 +620,74 @@ def run_change_feed(
     )
 
 
+def cdf_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed's CONSUMER — an incrementally-maintained
+    materialized view (per-user row count, exact value mass, open
+    intervals) derived from the FEED ALONE, never from the state
+    table: each ``I`` row contributes positively, each ``D`` row
+    negatively, and because the aggregates are abelian (counts and
+    DECIMAL sums — subtraction is exact, unlike floats) the
+    epoch-by-epoch application telescopes to one signed aggregate
+    over the feed. That is the materialized-view-maintenance
+    contract a CDF exists to enable: the oracle computes the same
+    view straight from the final SCD2 state, so a hash-match proves
+    the feed carries EXACTLY the information needed to keep any
+    abelian view current — an interval row updated in place (D+I at
+    the same user) cancels in the count, adjusts the value mass by
+    the delta, and flips ``n_current`` correctly.
+
+    At 100 TB: the view consumer reads ONLY the per-epoch change
+    files (delta-shaped, the CDF's O(changed buckets) bound) and its
+    own state — never the maintained table — which is what makes
+    downstream aggregate freshness O(delta) instead of
+    O(state-rescan) per epoch."""
+    from psd_project_spark.functions.caching import scratch_dir
+
+    feed = run_change_feed(
+        spark,
+        sf_dir,
+        src=scratch_dir("psd_cdfmv_src_"),
+        state_dir=scratch_dir("psd_cdfmv_state_"),
+        feed_dir=scratch_dir("psd_cdfmv_feed_"),
+        ckpt=scratch_dir("psd_cdfmv_ckpt_"),
+    )
+    sign = F.when(F.col("op") == "I", F.lit(1)).otherwise(F.lit(-1))
+    dec = "decimal(27,15)"
+    return (
+        feed.groupBy("user_id")
+        .agg(
+            F.sum(sign).cast("long").alias("n_rows"),
+            F.round(
+                F.sum((sign * F.col("value")).cast(dec)).cast("double"), 6
+            ).alias("sum_value"),
+            F.sum(
+                F.when(F.col("is_current"), sign).otherwise(F.lit(0))
+            ).cast("long").alias("n_current"),
+        )
+        .orderBy("user_id")
+    )
+
+
+#: The same view computed directly from the final SCD2 state — the
+#: feed must carry exactly the information to reach it incrementally.
+CDF_VIEW_ORACLE = """
+WITH s AS (
+  SELECT user_id, value,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_rows,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(value
+         AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING)
+         AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_value,
+       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_current
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
 def _scd2_slice_sql(where: str) -> str:
     """Cumulative SCD2 state over an event-log slice (the oracle's
     mirror of what the maintained table holds after that slice)."""
@@ -859,6 +927,7 @@ QUERIES = {
     "stream_scd2_erase": (stream_scd2_erase, SCD2_ERASE_ORACLE),
     "scd2_time_travel": (scd2_time_travel, SCD2_TIME_TRAVEL_ORACLE),
     "scd2_change_feed": (scd2_change_feed, SCD2_CHANGE_FEED_ORACLE),
+    "cdf_materialized_view": (cdf_materialized_view, CDF_VIEW_ORACLE),
     "stream_asof_lookup": (stream_asof_lookup, ASOF_ORACLE),
     "stream_scd2_serve": (stream_scd2_serve, ASOF_ORACLE),
 }

@@ -34,7 +34,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ivf_index_delete (the new index_delete module depends only on
 # UNCHANGED dedup.py / similarity.py helpers, so those modules'
 # queries keep their rows — the changed-dependency precedent cuts
-# both ways). Spares: the six r10 yielders re-enter first (per
+# both ways). The round-11 CONTINUED additions (second half of the
+# round) joined the same way, each on its landing commit:
+# substr_index_delete / stream_index_delete (index_delete.py —
+# already a changed module), stream_scd2_erase / scd2_time_travel /
+# scd2_change_feed / cdf_materialized_view (scd.py — already changed;
+# time travel also touches foreach_sink.read_versioned, whose
+# consumers all sit in-window), and zorder_pruned_scan (NEW module,
+# operators/zorder.py); their staged yields are annotated inline
+# below. Spares: the six r10 yielders re-enter first (per
 # VERDICT r10 #1 — each holds a green r9 row over bytes untouched
 # since), then the 4-query reference-risk/streaming signature set,
 # then the STALEST row-holders — the remaining r01-row queries
@@ -55,6 +63,7 @@ _PRIORITY = (
     "stream_scd2_erase",
     "scd2_time_travel",
     "scd2_change_feed",
+    "cdf_materialized_view",
     "zorder_pruned_scan",
     "stream_scd2_maintain",
     "stream_upsert_latest",
@@ -105,14 +114,14 @@ _PRIORITY = (
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q7_trade_volume",
     # (views_before_purchase yielded its slot to stream_bucketed_ingest,
     # trailing_hour_user_value to stream_index_delete,
     # top_orders_by_revenue to substr_index_delete,
     # top3_cheapest_per_flag to stream_scd2_erase,
     # sessionize_events to zorder_pruned_scan,
-    # running_user_spend to scd2_time_travel, and
-    # region_nation_rollup to scd2_change_feed, each on that
+    # running_user_spend to scd2_time_travel,
+    # region_nation_rollup to scd2_change_feed, and
+    # q7_trade_volume to cdf_materialized_view, each on that
     # query's landing commit, per the rotation's staged yields — all
     # hold green r1 rows over bytes untouched since)
 )

@@ -13,7 +13,10 @@ anyway). run_stream / write_epoch / stage_stream_splits stay
 byte-identical, so the foreachBatch streams that only run through
 those keep their r10 rows. The round-11 additions join the front on
 their landing commits with staged by-name yields (purchases_asof_views
-→ stream_scd2_serve, views_before_purchase → stream_bucketed_ingest).
+→ stream_scd2_serve, views_before_purchase → stream_bucketed_ingest);
+the round-11 CONTINUED additions (delete-verb completion, Morton
+layout, time travel, change feed + its consumer) join the same way —
+each yield is annotated inline in both lists.
 Spares: the six r10 yielders first (per VERDICT r10 #1), the 4-query
 reference-risk/streaming signature set, then the stalest row-holders
 (r01 rows over bytes untouched since). Queries outside the window must
@@ -42,6 +45,7 @@ R11_FRONT = [
     "stream_scd2_erase",
     "scd2_time_travel",
     "scd2_change_feed",
+    "cdf_materialized_view",
     "zorder_pruned_scan",
     "stream_scd2_maintain",
     "stream_upsert_latest",
@@ -124,14 +128,14 @@ R11_STALE_REVERIFY = {
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q7_trade_volume",
     # views_before_purchase yielded to stream_bucketed_ingest,
     # trailing_hour_user_value to stream_index_delete,
     # top_orders_by_revenue to substr_index_delete,
     # top3_cheapest_per_flag to stream_scd2_erase,
     # sessionize_events to zorder_pruned_scan,
-    # running_user_spend to scd2_time_travel, and
-    # region_nation_rollup to scd2_change_feed on landing
+    # running_user_spend to scd2_time_travel,
+    # region_nation_rollup to scd2_change_feed, and
+    # q7_trade_volume to cdf_materialized_view on landing
 }
 
 
