@@ -196,6 +196,10 @@ QUERIES = [
     # reads only the manifest-diff's changed buckets per epoch
     "scd2_time_travel",
     "scd2_change_feed",
+    # the feed's consumer: maintenance + CDF + one signed aggregate
+    # over the delta-shaped change files — the view itself adds one
+    # feed-sized groupBy on top of the change_feed row's cost
+    "cdf_materialized_view",
 ]
 
 
