@@ -36,6 +36,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -223,6 +224,157 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- zone-map file skipping (stats-based pruning WITHIN a layout) ------------
+
+#: Target file count for the sort-clustered lineitem table. The
+#: test-scale stand-in for "one file per few HDFS blocks"; the zone
+#: map's pruning fraction tracks the query's date selectivity
+#: regardless of this knob.
+ZONEMAP_FILES = 24
+
+_ZONEMAP = "_ZONEMAP.json"
+
+
+def _zonemap_dir(sf_dir: str) -> str:
+    import hashlib
+
+    from psd_project_spark.sources.registry import source_fingerprint
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    fp = source_fingerprint(sf_dir, "lineitem")
+    return (
+        f"/tmp/psd_spark_sink/{key}/zonemap_lineitem_{ZONEMAP_FILES}f_{fp}"
+    )
+
+
+def build_zonemap_table(spark: SparkSession, sf_dir: str) -> str:
+    """Sort-cluster ``lineitem`` by ``l_shipdate`` into range-split
+    files and persist a ZONE MAP — per-file (min, max) shipdate
+    bounds — next to the data (written strictly last, the build
+    gate). Directory partitioning prunes on a column VALUE baked into
+    the path; a zone map prunes on per-file STATISTICS, which works
+    for any clustered column without exploding directory counts and
+    composes with range clustering (each file owns a tight, nearly
+    disjoint date slice — ``repartitionByRange`` + a within-partition
+    sort). This is the Delta/Iceberg stats-in-commit-log discipline on
+    plain parquet: stats are collected by ONE distributed pass over
+    the written files (``input_file_name()`` groupBy — never a
+    driver-side footer loop), and a reader consults the one small
+    manifest instead of listing/opening every file."""
+    from psd_project_spark.operators.index_compact import (
+        prune_siblings_of,
+        single_writer,
+    )
+
+    path = _zonemap_dir(sf_dir)
+    zpath = os.path.join(path, _ZONEMAP)
+    if os.path.exists(zpath):
+        return path
+    prune_siblings_of(path)
+    with single_writer(path):
+        if os.path.exists(zpath):  # raced build finished first
+            return path
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.repartitionByRange(ZONEMAP_FILES, F.col("l_shipdate"))
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.min("l_shipdate").cast("string").alias("lo"),
+                F.max("l_shipdate").cast("string").alias("hi"),
+            )
+            .collect()  # bounded: one row per written file
+        )
+        zmap = {
+            os.path.basename(urlparse(r["file"]).path): [r["lo"], r["hi"]]
+            for r in stats
+        }
+        tmp = zpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(zmap, fh, sort_keys=True)
+        os.replace(tmp, zpath)  # the gate, strictly last
+    return path
+
+
+def zonemap_files_for_range(path: str, lo: str, hi: str) -> list[str]:
+    """The files a ``[lo, hi]`` shipdate predicate must read: every
+    file whose zone ``[min, max]`` intersects the range (string
+    comparison — the bounds are ISO timestamps). A SUPERSET of the
+    matching rows' files; the exact predicate runs as the residual."""
+    with open(os.path.join(path, _ZONEMAP)) as fh:
+        zmap = json.load(fh)
+    return sorted(
+        name for name, (zlo, zhi) in zmap.items()
+        if not (zhi < lo or zlo > hi)
+    )
+
+
+#: The registry query's shipdate quarter (data-independent constants
+#: shared with the oracle; lineitem shipdates span 1995-2001).
+_Z1, _Z2 = "1997-01-01 00:00:00", "1997-03-31 00:00:00"
+
+
+def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zone map's read path: a one-quarter shipdate aggregate
+    (quantity mass and revenue per return flag) that reads ONLY the
+    files whose zones intersect the quarter — explicit paths from the
+    manifest (≈1/24th of the table per month of predicate, pinned by
+    test), exact predicate as residual. Oracle: the same aggregate
+    over the raw ``lineitem`` table, so a hash-match proves
+    clustering + stats manifest + file selection + residual lose and
+    invent nothing."""
+    path = build_zonemap_table(spark, sf_dir)
+    names = zonemap_files_for_range(path, _Z1, _Z2)
+    dec = "decimal(27,15)"
+    src = (
+        spark.read.parquet(*(os.path.join(path, n) for n in names))
+        if names
+        else load_table(spark, sf_dir, "lineitem").limit(0)
+    )
+    return (
+        src.filter(F.col("l_shipdate").between(_Z1, _Z2))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_quantity").cast(dec)).cast("double"), 6
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                    ).cast(dec)
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ZONEMAP_ORACLE = f"""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_quantity
+         AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING)
+         AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_qty,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice
+         * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING)
+         AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '{_Z1}' AND TIMESTAMP '{_Z2}'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "zorder_pruned_scan": (zorder_pruned_scan, ZORDER_ORACLE),
+    "zonemap_pruned_scan": (zonemap_pruned_scan, ZONEMAP_ORACLE),
 }

@@ -65,6 +65,7 @@ _PRIORITY = (
     "scd2_change_feed",
     "cdf_materialized_view",
     "zorder_pruned_scan",
+    "zonemap_pruned_scan",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -113,15 +114,15 @@ _PRIORITY = (
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     # (views_before_purchase yielded its slot to stream_bucketed_ingest,
     # trailing_hour_user_value to stream_index_delete,
     # top_orders_by_revenue to substr_index_delete,
     # top3_cheapest_per_flag to stream_scd2_erase,
     # sessionize_events to zorder_pruned_scan,
     # running_user_spend to scd2_time_travel,
-    # region_nation_rollup to scd2_change_feed, and
-    # q7_trade_volume to cdf_materialized_view, each on that
+    # region_nation_rollup to scd2_change_feed,
+    # q7_trade_volume to cdf_materialized_view, and
+    # q6_forecast_revenue to zonemap_pruned_scan, each on that
     # query's landing commit, per the rotation's staged yields — all
     # hold green r1 rows over bytes untouched since)
 )

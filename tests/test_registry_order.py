@@ -47,6 +47,7 @@ R11_FRONT = [
     "scd2_change_feed",
     "cdf_materialized_view",
     "zorder_pruned_scan",
+    "zonemap_pruned_scan",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -127,15 +128,15 @@ R11_STALE_REVERIFY = {
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     # views_before_purchase yielded to stream_bucketed_ingest,
     # trailing_hour_user_value to stream_index_delete,
     # top_orders_by_revenue to substr_index_delete,
     # top3_cheapest_per_flag to stream_scd2_erase,
     # sessionize_events to zorder_pruned_scan,
     # running_user_spend to scd2_time_travel,
-    # region_nation_rollup to scd2_change_feed, and
-    # q7_trade_volume to cdf_materialized_view on landing
+    # region_nation_rollup to scd2_change_feed,
+    # q7_trade_volume to cdf_materialized_view, and
+    # q6_forecast_revenue to zonemap_pruned_scan on landing
 }
 
 

@@ -808,3 +808,58 @@ def test_cdf_view_matches_state_aggregate(spark, tmp_path):
     assert key(got) == key(want) and got.count() > 0
     # the feed genuinely exercised the incremental path: D rows exist
     assert feed.filter(F.col("op") == "D").count() > 0
+
+
+def test_zonemap_prunes_and_covers(spark):
+    """The zone map's two promises: (a) the pruned scan equals the
+    raw-table aggregate verbatim, and (b) a one-quarter predicate
+    selects a strict subset of the clustered files while every
+    matching row lives inside the selected set (the superset
+    invariant, checked via the complement: files OUTSIDE the selection
+    contain no matching rows)."""
+    from psd_project_spark.operators.zorder import (
+        _Z1,
+        _Z2,
+        _ZONEMAP,
+        build_zonemap_table,
+        zonemap_files_for_range,
+        zonemap_pruned_scan,
+    )
+    from psd_project_spark.sources.registry import load_table
+
+    got = zonemap_pruned_scan(spark, SF_DIR)
+    dec = "decimal(27,15)"
+    raw = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_shipdate").between(_Z1, _Z2))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_quantity").cast(dec)).cast("double"), 6
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                    ).cast(dec)
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(got) == key(raw) and got.count() > 0
+
+    path = build_zonemap_table(spark, SF_DIR)
+    with open(os.path.join(path, _ZONEMAP)) as fh:
+        zmap = json.load(fh)
+    names = zonemap_files_for_range(path, _Z1, _Z2)
+    assert 0 < len(names) < len(zmap)  # strict subset of the files
+    outside = sorted(set(zmap) - set(names))
+    assert outside
+    rest = spark.read.parquet(*(os.path.join(path, n) for n in outside))
+    assert rest.filter(
+        F.col("l_shipdate").between(_Z1, _Z2)
+    ).count() == 0
