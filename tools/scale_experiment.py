@@ -200,6 +200,11 @@ QUERIES = [
     # over the delta-shaped change files — the view itself adds one
     # feed-sized groupBy on top of the change_feed row's cost
     "cdf_materialized_view",
+    # zone-map skipping: rep 1 pays the range-clustered write + the
+    # one-pass stats collection (fingerprint-gated), rep 2 is the
+    # steady state — a quarter-predicate scan reading only the files
+    # whose zones intersect
+    "zonemap_pruned_scan",
 ]
 
 
