@@ -266,6 +266,16 @@ SHOWCASE = [
         "with the exact box predicate as the residual PushedFilters; "
         "the only exchange is the 5-row priority rollup.",
     ),
+    (
+        "zonemap_pruned_scan",
+        "Zone-map file skipping: the scan's InMemoryFileIndex lists "
+        "ONLY the explicit file paths whose per-file (min, max) "
+        "shipdate zones intersect the quarter — stats-based pruning "
+        "decided BEFORE the plan from the one-small-file manifest, so "
+        "no directory scheme is needed at all; the exact range "
+        "predicate is the residual PushedFilters and the only "
+        "exchange is the 3-row return-flag rollup.",
+    ),
 ]
 
 
