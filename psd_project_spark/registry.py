@@ -66,6 +66,7 @@ _PRIORITY = (
     "cdf_materialized_view",
     "zorder_pruned_scan",
     "zonemap_pruned_scan",
+    "epoch_shuffle",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -113,7 +114,6 @@ _PRIORITY = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
-    "q5_local_supplier_volume",
     # (views_before_purchase yielded its slot to stream_bucketed_ingest,
     # trailing_hour_user_value to stream_index_delete,
     # top_orders_by_revenue to substr_index_delete,
@@ -121,8 +121,9 @@ _PRIORITY = (
     # sessionize_events to zorder_pruned_scan,
     # running_user_spend to scd2_time_travel,
     # region_nation_rollup to scd2_change_feed,
-    # q7_trade_volume to cdf_materialized_view, and
-    # q6_forecast_revenue to zonemap_pruned_scan, each on that
+    # q7_trade_volume to cdf_materialized_view,
+    # q6_forecast_revenue to zonemap_pruned_scan, and
+    # q5_local_supplier_volume to epoch_shuffle, each on that
     # query's landing commit, per the rotation's staged yields — all
     # hold green r1 rows over bytes untouched since)
 )
@@ -142,6 +143,7 @@ _MODULES = (
     "psd_project_spark.operators.dedup",
     "psd_project_spark.operators.index_delete",
     "psd_project_spark.operators.zorder",
+    "psd_project_spark.operators.shuffling",
     "psd_project_spark.operators.minhash_stream",
     "psd_project_spark.operators.bucketing",
     "psd_project_spark.operators.range_join",

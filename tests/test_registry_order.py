@@ -48,6 +48,7 @@ R11_FRONT = [
     "cdf_materialized_view",
     "zorder_pruned_scan",
     "zonemap_pruned_scan",
+    "epoch_shuffle",
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
@@ -65,8 +66,10 @@ R11_CHANGED_MODULES = (
     # new in round 11 (the index DELETE verb; depends on dedup.py's
     # unchanged helpers, so dedup's own queries keep their rows)
     "psd_project_spark.operators.index_delete",
-    # new in round 11 (the Morton-cell warehouse layout)
+    # new in round 11 (the Morton-cell warehouse layout + zone maps)
     "psd_project_spark.operators.zorder",
+    # new in round 11 (deterministic epoch reshuffling)
+    "psd_project_spark.operators.shuffling",
 )
 
 #: streaming/foreach_sink.py's versioned MERGE runner gains the
@@ -127,7 +130,6 @@ R11_STALE_REVERIFY = {
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
-    "q5_local_supplier_volume",
     # views_before_purchase yielded to stream_bucketed_ingest,
     # trailing_hour_user_value to stream_index_delete,
     # top_orders_by_revenue to substr_index_delete,
@@ -135,8 +137,9 @@ R11_STALE_REVERIFY = {
     # sessionize_events to zorder_pruned_scan,
     # running_user_spend to scd2_time_travel,
     # region_nation_rollup to scd2_change_feed,
-    # q7_trade_volume to cdf_materialized_view, and
-    # q6_forecast_revenue to zonemap_pruned_scan on landing
+    # q7_trade_volume to cdf_materialized_view,
+    # q6_forecast_revenue to zonemap_pruned_scan, and
+    # q5_local_supplier_volume to epoch_shuffle on landing
 }
 
 

@@ -863,3 +863,46 @@ def test_zonemap_prunes_and_covers(spark):
     assert rest.filter(
         F.col("l_shipdate").between(_Z1, _Z2)
     ).count() == 0
+
+
+def test_epoch_shuffle_orders_differ_and_batches_are_full(spark):
+    """The reshuffle contract: every epoch is a permutation of the
+    corpus (same doc set, disjoint order), consecutive epochs order
+    documents DIFFERENTLY, every batch except the last is exactly
+    full, and reruns are bit-deterministic."""
+    from psd_project_spark.operators.shuffling import (
+        SHUFFLE_BATCH_DOCS,
+        SHUFFLE_EPOCHS,
+        epoch_shuffle,
+    )
+
+    rows = epoch_shuffle(spark, SF_DIR).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(
+            (r["batch_id"], r["doc_id"])
+        )
+    assert set(by_epoch) == set(range(SHUFFLE_EPOCHS))
+    docsets = [sorted(d for _, d in v) for v in by_epoch.values()]
+    assert all(ds == docsets[0] for ds in docsets)  # same corpus
+    # orders differ between epochs (overwhelmingly likely by hash;
+    # deterministic given the fixed seed)
+    orders = [
+        [d for _, d in sorted(v, key=lambda t: (t[0], t[1]))]
+        for v in by_epoch.values()
+    ]
+    batch0 = {
+        e: sorted(d for b, d in v if b == 0) for e, v in by_epoch.items()
+    }
+    assert len({tuple(v) for v in batch0.values()}) > 1
+    # every non-final batch holds exactly SHUFFLE_BATCH_DOCS docs
+    from collections import Counter
+
+    for e, v in by_epoch.items():
+        sizes = Counter(b for b, _ in v)
+        last = max(sizes)
+        for b, n in sizes.items():
+            assert n == SHUFFLE_BATCH_DOCS or b == last, (e, b, n)
+    # bit-deterministic rerun
+    rows2 = epoch_shuffle(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
