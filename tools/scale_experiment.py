@@ -205,6 +205,10 @@ QUERIES = [
     # steady state — a quarter-predicate scan reading only the files
     # whose zones intersect
     "zonemap_pruned_scan",
+    # epoch reshuffle: 3 hash-ordered chunk-parallel ranks, one
+    # (epoch, chunk) exchange each — the single-window form this
+    # replaces would serialize each epoch through one task
+    "epoch_shuffle",
 ]
 
 
