@@ -48,6 +48,7 @@ R11_FRONT = [
     "cdf_materialized_view",
     "zorder_pruned_scan",
     "zonemap_pruned_scan",
+    "stream_zonemap_ingest",
     "epoch_shuffle",
     "stream_scd2_maintain",
     "stream_upsert_latest",
@@ -129,7 +130,6 @@ R11_STALE_REVERIFY = {
     "q19_bracket_revenue",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q4_order_priority",
     # views_before_purchase yielded to stream_bucketed_ingest,
     # trailing_hour_user_value to stream_index_delete,
     # top_orders_by_revenue to substr_index_delete,
@@ -138,8 +138,9 @@ R11_STALE_REVERIFY = {
     # running_user_spend to scd2_time_travel,
     # region_nation_rollup to scd2_change_feed,
     # q7_trade_volume to cdf_materialized_view,
-    # q6_forecast_revenue to zonemap_pruned_scan, and
-    # q5_local_supplier_volume to epoch_shuffle on landing
+    # q6_forecast_revenue to zonemap_pruned_scan,
+    # q5_local_supplier_volume to epoch_shuffle, and
+    # q4_order_priority to stream_zonemap_ingest on landing
 }
 
 

@@ -906,3 +906,59 @@ def test_epoch_shuffle_orders_differ_and_batches_are_full(spark):
     # bit-deterministic rerun
     rows2 = epoch_shuffle(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_stream_zonemap_ingest_matches_batch_and_replays_safely(spark):
+    """The online zone map: base + streamed appends + incremental
+    stats must answer the quarter probe exactly as the batch layout
+    does (shared oracle), every manifest entry must point at a live
+    file with truthful bounds, and a replayed ingest epoch must
+    REPLACE its prior output (deterministic names + purge), never
+    accumulate it."""
+    from psd_project_spark.operators.zorder import (
+        _ZONEMAP,
+        _zonemap_dir,
+        _zonemap_ingest_batch_fn,
+        stream_zonemap_ingest,
+        zonemap_pruned_scan,
+    )
+    from psd_project_spark.sources.registry import load_table
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    got = stream_zonemap_ingest(spark, SF_DIR)
+    assert key(got) == key(zonemap_pruned_scan(spark, SF_DIR))
+
+    path = _zonemap_dir(SF_DIR) + "_stream"
+    with open(os.path.join(path, _ZONEMAP)) as fh:
+        zmap = json.load(fh)
+    # every manifest entry: live file, truthful bounds
+    for name, (lo, hi) in zmap.items():
+        f = os.path.join(path, name)
+        assert os.path.isfile(f), name
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("l_shipdate").cast("string"),
+                F.max("l_shipdate").cast("string"),
+            )
+            .first()
+        )
+        assert [r[0], r[1]] == [lo, hi], name
+    # epoch replay: re-deliver epoch 0's batch through the identical
+    # code — file count and total rows must be unchanged
+    li = load_table(spark, SF_DIR, "lineitem")
+    epoch0 = li.filter(
+        (F.col("l_orderkey") % 4 == 0) & (F.col("l_orderkey") % 3 == 0)
+    )
+    before_files = sorted(os.listdir(path))
+    before_rows = spark.read.parquet(
+        *(os.path.join(path, n) for n in zmap)
+    ).count()
+    _zonemap_ingest_batch_fn(path)(epoch0, 0)
+    with open(os.path.join(path, _ZONEMAP)) as fh:
+        zmap2 = json.load(fh)
+    after_rows = spark.read.parquet(
+        *(os.path.join(path, n) for n in zmap2)
+    ).count()
+    assert sorted(os.listdir(path)) == before_files
+    assert after_rows == before_rows
