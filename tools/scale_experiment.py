@@ -209,6 +209,10 @@ QUERIES = [
     # (epoch, chunk) exchange each — the single-window form this
     # replaces would serialize each epoch through one task
     "epoch_shuffle",
+    # the zone map's online half: base clustered write + 3 epoch
+    # appends (each a small clustering shuffle + a stats pass over
+    # its own files) + the maintained-manifest probe
+    "stream_zonemap_ingest",
 ]
 
 
@@ -219,6 +223,7 @@ def _prune_sinks(name: str, sf_dir: str) -> None:
     import shutil
 
     from psd_project_spark.operators import dedup, exact_substr, similarity
+    from psd_project_spark.operators.zorder import _zonemap_dir as _zdir
 
     dirs = {
         "stream_index_maintain": lambda d: [
@@ -242,6 +247,9 @@ def _prune_sinks(name: str, sf_dir: str) -> None:
         ],
         "stream_index_delete": lambda d: [
             dedup._minhash_index_dir(d) + "_sdel"
+        ],
+        "stream_zonemap_ingest": lambda d: [
+            _zdir(d) + "_stream", _zdir(d) + "_stream_stage"
         ],
     }.get(name)
     if dirs:
