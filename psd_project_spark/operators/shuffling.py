@@ -46,9 +46,6 @@ SHUFFLE_BATCH_DOCS = 32
 #: order without touching any stored state.
 SHUFFLE_SEED = 42
 
-#: Chunk fan-out of the exact prefix-sum rank (functions/prefix.py).
-_CHUNKS = 64
-
 
 def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(epoch, doc_id, batch_id) for every document in every epoch:

@@ -463,42 +463,55 @@ def stream_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.filter(is_delta), F.col("l_orderkey") % 3, src
         )
         with single_writer(path):
-            if os.path.isdir(path):
-                import shutil
+            # re-check the completion gate UNDER the lock (ADVICE r11):
+            # a process that saw the marker absent pre-lock may acquire
+            # the lock after a concurrent ingest finished — without
+            # this guard it would rmtree the finished layout it is
+            # about to probe (the same raced-build guard the batch
+            # builders above carry).
+            if not os.path.exists(marker):
+                if os.path.isdir(path):
+                    import shutil
 
-                shutil.rmtree(path)  # a crashed prior ingest
-            # base phase: clustered write + full stats (the manifest
-            # exists before any epoch extends it)
-            (
-                li.filter(~is_delta)
-                .repartitionByRange(ZONEMAP_FILES, F.col("l_shipdate"))
-                .sortWithinPartitions("l_shipdate")
-                .write.mode("overwrite")
-                .parquet(path)
-            )
-            base_map = _zonemap_stats(spark, path)
-            with open(zpath + ".tmp", "w") as fh:
-                json.dump(base_map, fh, sort_keys=True)
-            os.replace(zpath + ".tmp", zpath)
-            arriving = (
-                spark.readStream.schema(li.schema)
-                .option("maxFilesPerTrigger", 1)
-                .option("recursiveFileLookup", "true")
-                .parquet(src)
-            )
-            run_stream(
-                arriving,
-                _zonemap_ingest_batch_fn(path),
-                scratch_dir("psd_zmstream_ckpt_"),
-                state_partitions=None,
-            )
-            with open(marker, "w") as fh:
-                fh.write("base + streamed appends + stats\n")
+                    shutil.rmtree(path)  # a crashed prior ingest
+                # base phase: clustered write + full stats (the
+                # manifest exists before any epoch extends it)
+                (
+                    li.filter(~is_delta)
+                    .repartitionByRange(ZONEMAP_FILES, F.col("l_shipdate"))
+                    .sortWithinPartitions("l_shipdate")
+                    .write.mode("overwrite")
+                    .parquet(path)
+                )
+                base_map = _zonemap_stats(spark, path)
+                with open(zpath + ".tmp", "w") as fh:
+                    json.dump(base_map, fh, sort_keys=True)
+                os.replace(zpath + ".tmp", zpath)
+                arriving = (
+                    spark.readStream.schema(li.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(src)
+                )
+                run_stream(
+                    arriving,
+                    _zonemap_ingest_batch_fn(path),
+                    scratch_dir("psd_zmstream_ckpt_"),
+                    state_partitions=None,
+                )
+                with open(marker, "w") as fh:
+                    fh.write("base + streamed appends + stats\n")
     names = zonemap_files_for_range(path, _Z1, _Z2)
     dec = "decimal(27,15)"
-    return (
+    src_df = (
         spark.read.parquet(*(os.path.join(path, n) for n in names))
-        .filter(F.col("l_shipdate").between(_Z1, _Z2))
+        if names
+        # an empty zone intersection must behave like the batch probe
+        # (ADVICE r11): same zero-row source, never a raise
+        else load_table(spark, sf_dir, "lineitem").limit(0)
+    )
+    return (
+        src_df.filter(F.col("l_shipdate").between(_Z1, _Z2))
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
