@@ -34,8 +34,9 @@ from psd_project_spark.sources.registry import load_table
 _EVENT_COLS = ("user_id", "event_id", "ts", "value")
 
 
-def _scd2_intervals(ev: DataFrame) -> DataFrame:
-    """(user_id, event_id, ts, value) events → SCD2 validity rows.
+def _scd2_intervals(ev: DataFrame, attrs: tuple[str, ...] = ()) -> DataFrame:
+    """(user_id, event_id, ts, value[, *attrs]) events → SCD2 validity
+    rows, extra event attributes carried through unchanged.
 
     The shared kernel of the batch query and the streaming merge:
     one ``lead()`` over (ts, event_id) per user. For tied timestamps
@@ -49,6 +50,7 @@ def _scd2_intervals(ev: DataFrame) -> DataFrame:
         F.col("ts").alias("valid_from"),
         "valid_to",
         "value",
+        *attrs,
         F.col("valid_to").isNull().alias("is_current"),
     )
 
@@ -272,6 +274,157 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "event_id")
     )
+
+
+#: Interval-table core columns (what every SCD2 state row carries
+#: beyond evolved attributes).
+_STATE_CORE = (
+    "user_id", "event_id", "valid_from", "valid_to", "value", "is_current",
+)
+
+
+def scd2_evolving_merge(
+    current: DataFrame | None, delta: DataFrame, batch_id: int
+) -> DataFrame:
+    """:func:`scd2_merge` with ADDITIVE SCHEMA EVOLUTION (VERDICT r11
+    #3): any delta column beyond the event core (user_id, event_id,
+    ts, value) is an event ATTRIBUTE the interval table carries — and
+    an attribute may APPEAR mid-stream. The epoch that first carries
+    it widens the state: recovered pre-evolution events take a typed
+    NULL for it (exactly what their files hold nothing of — the
+    ``mergeSchema`` union-by-name rule), the re-derived chains carry
+    it forward, and the versioned runner records the widened schema
+    in the epoch's manifest so readers of ANY retained version get
+    the schema that version was published under. A late narrow epoch
+    after an evolution widens its delta the same way. Key-local over
+    user_id exactly as :func:`scd2_merge` — evolution changes
+    columns, never which buckets an epoch touches."""
+    state_attrs = (
+        [c for c in current.columns if c not in _STATE_CORE]
+        if current is not None
+        else []
+    )
+    delta_attrs = [c for c in delta.columns if c not in _EVENT_COLS]
+    attrs = state_attrs + [c for c in delta_attrs if c not in state_attrs]
+    for c in attrs:  # widen a post-evolution narrow delta
+        if c not in delta.columns:
+            delta = delta.withColumn(
+                c, F.lit(None).cast(current.schema[c].dataType)
+            )
+    if current is None:
+        return _scd2_intervals(delta, tuple(attrs))
+    affected = delta.select("user_id").distinct()
+    untouched = current.join(affected, "user_id", "left_anti")
+    for c in attrs:  # widen pre-evolution state rows passing through
+        if c not in untouched.columns:
+            untouched = untouched.withColumn(
+                c, F.lit(None).cast(delta.schema[c].dataType)
+            )
+    reopened = current.join(affected, "user_id", "left_semi").select(
+        "user_id",
+        "event_id",
+        F.col("valid_from").alias("ts"),
+        "value",
+        *(
+            F.col(c) if c in current.columns
+            else F.lit(None).cast(delta.schema[c].dataType).alias(c)
+            for c in attrs
+        ),
+    )
+    return untouched.unionByName(
+        _scd2_intervals(reopened.unionByName(delta), tuple(attrs))
+    )
+
+
+def scd2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION through the maintained table — the most common
+    lakehouse operation after MERGE itself (VERDICT r11 #3's missing
+    story): the events stream arrives in 3 epochs exactly as
+    :func:`stream_scd2_maintain` stages them, but the THIRD epoch's
+    rows carry a NEW column (``etype`` — the event's type string) the
+    first two never had. Two ``availableNow`` runs share one
+    checkpoint (the same phase discipline as
+    :func:`stream_scd2_erase`): the narrow phase merges epochs 0–1;
+    the widened phase re-opens the stream with the wider source
+    schema and merges epoch 2, which evolves the state —
+    pre-evolution rows read back with ``etype`` NULL, the evolved
+    manifest records the widened schema, and a time-travel read of
+    the pre-evolution version still returns the OLD schema (pinned by
+    tests/test_round12_ops.py). Oracle: the batch SCD2 history where
+    ``etype`` is populated exactly for epoch-2 events — a hash-match
+    proves mid-stream widening + union-by-name reads lose and invent
+    nothing, late-data splices included.
+
+    At 100 TB: evolution costs what the epoch costs — no table
+    rewrite, no backfill; old generations stay byte-identical and the
+    widened column materializes lazily as NULLs at read time (the
+    Delta/Iceberg ``mergeSchema`` contract on plain parquet)."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.streaming.foreach_sink import (
+        read_versioned,
+        run_foreachbatch_versioned,
+        stage_stream_splits,
+    )
+
+    src = scratch_dir("psd_scd2ev_src_")
+    out_dir = scratch_dir("psd_scd2ev_")
+    ckpt = scratch_dir("psd_scd2ev_ckpt_")
+    ev = load_table(spark, sf_dir, "events")
+    narrow = "user_id long, event_id long, ts timestamp, value double"
+
+    def maintain(schema: str) -> None:
+        run_foreachbatch_versioned(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            out_dir,
+            ckpt,
+            scd2_evolving_merge,
+            bucket_by=["user_id"],
+        )
+    # phase 1: epochs 0-1, the original narrow schema
+    stage_stream_splits(
+        ev.filter(F.col("event_id") % 3 < 2).select(*_EVENT_COLS),
+        F.col("event_id") % 3,
+        src,
+        n=2,
+    )
+    maintain(narrow)
+    # phase 2: epoch 2 arrives WIDENED — same source dir + checkpoint
+    # (consumed offsets skip the narrow files), wider source schema
+    (
+        ev.filter(F.col("event_id") % 3 == 2)
+        .select(*_EVENT_COLS, F.col("event_type").alias("etype"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{src}/p2")
+    )
+    maintain(narrow + ", etype string")
+    return (
+        read_versioned(spark, out_dir)
+        .select(
+            "user_id", "event_id", "valid_from", "valid_to", "value",
+            "etype", "is_current",
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+#: The batch SCD2 history with ``etype`` populated exactly for the
+#: widened epoch's events — mid-stream evolution must equal it.
+SCD2_EVOLUTION_ORACLE = """
+SELECT user_id, event_id,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       value,
+       CASE WHEN event_id % 3 = 2 THEN event_type END AS etype,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          IS NULL) AS is_current
+FROM events
+ORDER BY user_id, valid_from, event_id
+"""
 
 
 def cdc_merge(
@@ -543,11 +696,11 @@ def run_change_feed(
     ckpt: str,
 ) -> DataFrame:
     """The injectable half of :func:`scd2_change_feed`."""
-    import json
     import os
 
     from psd_project_spark.streaming.foreach_sink import (
         _MANIFEST,
+        load_manifest,
         write_epoch,
     )
 
@@ -573,10 +726,9 @@ def run_change_feed(
         applied = int(
             os.readlink(os.path.join(state_dir, "current")).lstrip("v")
         )
-        with open(
+        cur_manifest, _ = load_manifest(
             os.path.join(state_dir, f"v{applied}", _MANIFEST)
-        ) as fh:
-            cur_manifest = json.load(fh)
+        )
         changed = sorted(
             b
             for b in set(cur_manifest) | set(prev_manifest)
@@ -921,6 +1073,7 @@ def run_read_while_maintain(
 
 
 QUERIES = {
+    "scd2_schema_evolution": (scd2_schema_evolution, SCD2_EVOLUTION_ORACLE),
     "scd2_history": (scd2_history, SCD2_ORACLE),
     "asof_feature_join": (asof_feature_join, ASOF_ORACLE),
     "stream_scd2_maintain": (stream_scd2_maintain, SCD2_ORACLE),

@@ -48,10 +48,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # current-bytes driver row (tests/test_registry_order.py).
 _PRIORITY = (
     # -- round-12 new + re-entering (front: day-one driver rows; the
-    #    planned additions scd2_schema_evolution / stream_zorder_ingest
-    #    / zonemap_delete / zorder_delete / cdf_feed_retention join
-    #    HERE on their landing commits, displacing the designated r03
-    #    yielders at the tail) ------------------------------------------
+    #    planned additions stream_zorder_ingest / zonemap_delete /
+    #    zorder_delete / cdf_feed_retention join HERE on their landing
+    #    commits, displacing the designated r03 yielders at the tail) ---
+    "scd2_schema_evolution",
     "zorder_pruned_scan",
     "zonemap_pruned_scan",
     "stream_zonemap_ingest",
@@ -102,17 +102,17 @@ _PRIORITY = (
     "stream_ingest_dedup",
     # -- spares: stalest r03 rows; designated round-12 yielders, tail
     #    yields first (each holds a green r3 row over bytes untouched
-    #    since, so a yield costs nothing): hourly_top_spenders →
-    #    scd2_schema_evolution, fuzzy_name_match → stream_zorder_ingest,
-    #    ewma_user_value → zonemap_delete, event_transitions →
-    #    zorder_delete, distinct_users_per_type → cdf_feed_retention ----
+    #    since, so a yield costs nothing): fuzzy_name_match →
+    #    stream_zorder_ingest, ewma_user_value → zonemap_delete,
+    #    event_transitions → zorder_delete, distinct_users_per_type →
+    #    cdf_feed_retention; hourly_top_spenders yielded to
+    #    scd2_schema_evolution on that query's landing commit ------------
     "compression_ratio",
     "customer_name_parse",
     "distinct_users_per_type",
     "event_transitions",
     "ewma_user_value",
     "fuzzy_name_match",
-    "hourly_top_spenders",
 )
 
 _MODULES = (

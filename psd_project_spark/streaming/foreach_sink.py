@@ -136,6 +136,45 @@ def _bucket_expr(bucket_by: list[str], n_buckets: int):
     return F.pmod(F.hash(*[F.col(c) for c in bucket_by]), F.lit(n_buckets))
 
 
+def load_manifest(mpath: str) -> tuple[dict[str, str], dict | None]:
+    """Parse a version manifest → (bucket → generation-dir map, schema
+    as a StructType jsonValue dict or None). Handles both shapes: the
+    schema-versioned ``{"schema": ..., "buckets": ...}`` form and the
+    legacy plain bucket map (pre-schema-evolution manifests carry no
+    schema — readers fall back to parquet footers)."""
+    import json
+
+    with open(mpath) as fh:
+        m = json.load(fh)
+    if "buckets" in m:  # legacy keys are str(bucket_id) — never "buckets"
+        return m["buckets"], m.get("schema")
+    return m, None
+
+
+def _conform(df: DataFrame, schema_json: dict | None) -> DataFrame:
+    """Project ``df`` onto the manifest-recorded schema: missing
+    columns (rows written before an evolution widened the table)
+    become typed NULLs, and the column ORDER is the recorded one —
+    the mergeSchema-style union-by-name read (VERDICT r11 #3). A
+    column present in ``df`` but absent from the recorded schema is
+    dropped (it belongs to a NEWER version than the one being read,
+    possible only for a time-travel read past files a later
+    generation shares)."""
+    from pyspark.sql.types import StructType
+
+    if schema_json is None:
+        return df
+    want = StructType.fromJson(schema_json)
+    have = set(df.columns)
+    return df.select(
+        *(
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in want.fields
+        )
+    )
+
+
 def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame:
     """Read a versioned sink — both layouts: a bucket-aligned version
     resolves its manifest to the per-bucket generation dirs (only the
@@ -149,9 +188,15 @@ def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame
     was published with, and retention keeps every generation a
     retained manifest references, so an old snapshot stays readable
     while maintenance moves ``current`` forward (the lakehouse
-    snapshot-isolation contract, bounded by ``keep_versions``)."""
-    import json
+    snapshot-isolation contract, bounded by ``keep_versions``).
 
+    Schema evolution: generations written under DIFFERENT schemas
+    (a ``merge_fn`` widened the state mid-stream) are reconciled
+    union-by-name — ``mergeSchema`` across the listed files, then a
+    projection onto the manifest-recorded schema (added columns read
+    as typed NULLs from pre-evolution generations). A time-travel
+    read of a pre-evolution version returns the OLD schema: its
+    manifest recorded it."""
     base = (
         os.path.join(out_dir, "current")
         if version is None
@@ -160,13 +205,16 @@ def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame
     manifest = os.path.join(base, _MANIFEST)
     if not os.path.exists(manifest):
         return spark.read.parquet(base)
-    with open(manifest) as fh:
-        entries = json.load(fh)
+    entries, schema_json = load_manifest(manifest)
     if not entries:
         raise ValueError(f"versioned state at {out_dir} has no buckets")
-    return spark.read.parquet(
-        *(os.path.join(out_dir, rel) for rel in sorted(entries.values()))
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(
+            *(os.path.join(out_dir, rel) for rel in sorted(entries.values()))
+        )
     )
+    return _conform(df, schema_json)
 
 
 def current_upsert_table(spark, out_dir: str) -> DataFrame:
@@ -255,8 +303,7 @@ def run_foreachbatch_versioned(
         for v in vers[-keep_versions:]:
             mpath = os.path.join(out_dir, f"v{v}", _MANIFEST)
             if os.path.exists(mpath):
-                with open(mpath) as fh:
-                    referenced |= set(json.load(fh).values())
+                referenced |= set(load_manifest(mpath)[0].values())
         for g in os.listdir(out_dir):
             if not re.fullmatch(r"g\d+", g):
                 continue
@@ -290,15 +337,29 @@ def run_foreachbatch_versioned(
         if not affected:
             return
         prev: dict[str, str] = {}
+        prev_schema: dict | None = None
         if os.path.lexists(current):
-            with open(os.path.join(current, _MANIFEST)) as fh:
-                prev = json.load(fh)
+            prev, prev_schema = load_manifest(
+                os.path.join(current, _MANIFEST)
+            )
         cur_paths = [
             os.path.join(out_dir, prev[str(b)])
             for b in affected
             if str(b) in prev
         ]
-        cur_df = spark.read.parquet(*cur_paths) if cur_paths else None
+        # conform the presented state to the PREVIOUS version's
+        # recorded schema (mergeSchema union-by-name): after an
+        # evolution, some affected buckets may still sit in
+        # pre-evolution generations — merge_fn must see one
+        # consistent frame regardless of which buckets the delta hit
+        cur_df = (
+            _conform(
+                spark.read.option("mergeSchema", "true").parquet(*cur_paths),
+                prev_schema,
+            )
+            if cur_paths
+            else None
+        )
         merged = merge_fn(cur_df, df, batch_id)
         gen = f"g{batch_id}"
         (
@@ -320,17 +381,37 @@ def run_foreachbatch_versioned(
                 f"buckets {sorted(foreign)} outside the delta's affected "
                 f"set {affected}"
             )
-        manifest = dict(prev)
+        buckets = dict(prev)
         for b in affected:
             if b in written:
-                manifest[str(b)] = f"{gen}/_bucket={b}"
+                buckets[str(b)] = f"{gen}/_bucket={b}"
             else:  # merge deleted the bucket's every key
-                manifest.pop(str(b), None)
+                buckets.pop(str(b), None)
+        # the version's recorded schema: the previous version's fields
+        # plus (ADDITIVE evolution — the lakehouse mergeSchema rule)
+        # any new fields the merge emitted; field order and existing
+        # types are stable across epochs, so readers of any retained
+        # version get the schema it was published under
+        merged_fields = [
+            f for f in merged.schema.jsonValue()["fields"]
+            if f["name"] != "_bucket"
+        ]
+        if prev_schema is None:
+            schema = {"type": "struct", "fields": merged_fields}
+        else:
+            have = {f["name"] for f in prev_schema["fields"]}
+            schema = {
+                "type": "struct",
+                "fields": prev_schema["fields"]
+                + [f for f in merged_fields if f["name"] not in have],
+            }
         vdir = os.path.join(out_dir, f"v{batch_id}")
         os.makedirs(vdir, exist_ok=True)
         mtmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
         with open(mtmp, "w") as fh:
-            json.dump(manifest, fh, sort_keys=True)
+            json.dump(
+                {"schema": schema, "buckets": buckets}, fh, sort_keys=True
+            )
         os.replace(mtmp, os.path.join(vdir, _MANIFEST))
         _publish(batch_id, current)
 

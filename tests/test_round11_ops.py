@@ -52,6 +52,7 @@ def test_bucketed_sink_untouched_buckets_byte_identical(spark, tmp_path):
         N_STATE_BUCKETS,
         _MANIFEST,
         _bucket_expr,
+        load_manifest,
         read_versioned,
     )
 
@@ -65,8 +66,8 @@ def test_bucketed_sink_untouched_buckets_byte_identical(spark, tmp_path):
 
     snap = _file_hashes(out_dir)
     assert snap, "epoch 0 wrote no bucket files"
-    with open(os.path.join(out_dir, "current", _MANIFEST)) as fh:
-        m0 = json.load(fh)
+    m0, schema0 = load_manifest(os.path.join(out_dir, "current", _MANIFEST))
+    assert schema0 is not None  # every new manifest records its schema
     # the base fans out over (nearly) all buckets
     assert len(m0) >= N_STATE_BUCKETS - 1
 
@@ -85,8 +86,8 @@ def test_bucketed_sink_untouched_buckets_byte_identical(spark, tmp_path):
     _stage(delta, str(src_dir / "f1"))
     _upsert(spark, src_dir, out_dir, ckpt, N_STATE_BUCKETS)
 
-    with open(os.path.join(out_dir, "current", _MANIFEST)) as fh:
-        m1 = json.load(fh)
+    m1, schema1 = load_manifest(os.path.join(out_dir, "current", _MANIFEST))
+    assert schema1 == schema0  # no evolution here — schema is stable
     # untouched buckets: manifest entry unchanged (still generation 0)
     for b, rel in m0.items():
         if int(b) not in affected:
@@ -125,6 +126,7 @@ def test_bucketed_sink_retention_prunes_unreferenced_generations(
         N_STATE_BUCKETS,
         _MANIFEST,
         _bucket_expr,
+        load_manifest,
         read_versioned,
     )
 
@@ -147,8 +149,9 @@ def test_bucketed_sink_retention_prunes_unreferenced_generations(
         d for d in os.listdir(out_dir) if d[0] == "v" and d[1:].isdigit()
     )
     assert len(vers) == 2  # keep_versions=2
-    with open(os.path.join(out_dir, "current", _MANIFEST)) as fh:
-        manifest = json.load(fh)
+    manifest, _ = load_manifest(
+        os.path.join(out_dir, "current", _MANIFEST)
+    )
     referenced = set(manifest.values())
     # every referenced dir exists; g0's untouched buckets survive GC
     for rel in referenced:
