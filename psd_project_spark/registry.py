@@ -52,6 +52,7 @@ _PRIORITY = (
     #    zorder_delete / cdf_feed_retention join HERE on their landing
     #    commits, displacing the designated r03 yielders at the tail) ---
     "scd2_schema_evolution",
+    "cdf_feed_retention",
     "zorder_pruned_scan",
     "zonemap_pruned_scan",
     "stream_zonemap_ingest",
@@ -104,12 +105,11 @@ _PRIORITY = (
     #    yields first (each holds a green r3 row over bytes untouched
     #    since, so a yield costs nothing): fuzzy_name_match →
     #    stream_zorder_ingest, ewma_user_value → zonemap_delete,
-    #    event_transitions → zorder_delete, distinct_users_per_type →
-    #    cdf_feed_retention; hourly_top_spenders yielded to
-    #    scd2_schema_evolution on that query's landing commit ------------
+    #    event_transitions → zorder_delete; hourly_top_spenders yielded
+    #    to scd2_schema_evolution and distinct_users_per_type to
+    #    cdf_feed_retention, each on that query's landing commit ---------
     "compression_ratio",
     "customer_name_parse",
-    "distinct_users_per_type",
     "event_transitions",
     "ewma_user_value",
     "fuzzy_name_match",
