@@ -582,8 +582,307 @@ def _zonemap_ingest_batch_fn(path: str):
     return ingest_batch
 
 
+# --- streaming Z-order ingest (online maintenance for the Morton layout) -----
+
+#: Per-cell live-file bound: an ingest epoch that would leave a cell
+#: above it triggers that cell's re-cluster compaction (the gated
+#: OPTIMIZE). Test-scale stand-in for "compact when a cell fragments
+#: past a few files per HDFS block".
+ZORDER_MAX_CELL_FILES = 3
+
+_ZCELLS = "_ZCELLS.json"
+
+
+def _zcell_expr(params: dict) -> F.Column:
+    """The Morton cell id of a row under ``params``, bins CLAMPED to
+    the grid: the streaming delta was not part of the bounds
+    computation, so out-of-range rows land in the edge bins — binning
+    stays monotone per dimension, which is exactly what
+    :func:`zcells_for_box`'s clamped corner enumeration assumes."""
+    spread = F.lit(_SPREAD)
+    abin = F.expr(
+        f"greatest(0L, least({_BINS - 1}L,"
+        f" (datediff(o_orderdate, DATE '{_EPOCH.isoformat()}')"
+        f" - {params['amin']}) DIV {params['aw']}))"
+    )
+    bbin = F.expr(
+        f"greatest(0L, least({_BINS - 1}L,"
+        f" (o_custkey - {params['bmin']}) DIV {params['bw']}))"
+    )
+    return (
+        F.element_at(spread, abin.cast("int") + 1)
+        + 2 * F.element_at(spread, bbin.cast("int") + 1)
+    )
+
+
+def _load_zcells(path: str) -> dict:
+    with open(os.path.join(path, _ZCELLS)) as fh:
+        return json.load(fh)
+
+
+def _publish_zcells(path: str, manifest: dict) -> None:
+    tmp = os.path.join(path, _ZCELLS + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _ZCELLS))
+
+
+def _stage_into_cells(
+    spark: SparkSession, df: DataFrame, params: dict, stage: str
+) -> dict[str, list[str]]:
+    """Cluster ``df`` into its z-cells under ``stage`` (one dir per
+    cell, ~one file per cell — the per-epoch clustered write) and
+    return cell → staged file names."""
+    (
+        df.withColumn("zcell", _zcell_expr(params))
+        .repartition(8, "zcell")
+        .write.mode("overwrite")
+        .partitionBy("zcell")
+        .parquet(stage)
+    )
+    out: dict[str, list[str]] = {}
+    for d in os.listdir(stage):
+        if d.startswith("zcell="):
+            cell = d.split("=", 1)[1]
+            out[cell] = sorted(
+                f for f in os.listdir(os.path.join(stage, d))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def _zorder_ingest_batch_fn(path: str):
+    """The per-epoch z-cell append as a ``foreachBatch`` callable
+    (factored so tests replay an epoch through the identical code).
+    Commit protocol per epoch: (1) replay guard — the manifest's
+    ``applied`` epoch id makes a replayed micro-batch a no-op; (2)
+    purge this epoch's prefix files (a crashed attempt's uncommitted
+    leftovers — invisible to readers, who resolve the manifest); (3)
+    cluster the batch into its cells and rename the staged files in
+    under deterministic ``e{batch}-p{i}`` names; (4) any cell now
+    above ``ZORDER_MAX_CELL_FILES`` live files is RE-CLUSTER
+    COMPACTED — its live set rewritten as one ``e{batch}-c`` file
+    (same epoch prefix, so a crash before publish purges compaction
+    products with the epoch); (5) publish the manifest atomically,
+    data strictly before metadata; (6) sweep files the new manifest
+    no longer references in the touched cells (the compacted-away
+    inputs — and any orphans a crash between a prior publish and its
+    sweep left behind)."""
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        from psd_project_spark.operators.index_compact import (
+            single_writer,
+        )
+
+        spark = batch.sparkSession
+        prefix = f"e{batch_id}-"
+        with single_writer(path):
+            manifest = _load_zcells(path)
+            if batch_id <= manifest["applied"]:
+                return  # replayed epoch — already fully committed
+            params = manifest["params"]
+            cells: dict[str, list[str]] = {
+                c: list(fs) for c, fs in manifest["cells"].items()
+            }
+            for d in os.listdir(path):  # crashed attempt's leftovers
+                if d.startswith("zcell="):
+                    for f in os.listdir(os.path.join(path, d)):
+                        if f.startswith(prefix):
+                            os.unlink(os.path.join(path, d, f))
+            stage = os.path.join(path + "_stage", f"epoch={batch_id}")
+            staged = _stage_into_cells(spark, batch, params, stage)
+            touched = set(staged)
+            for cell, names in sorted(staged.items()):
+                cdir = os.path.join(path, f"zcell={cell}")
+                os.makedirs(cdir, exist_ok=True)
+                for i, name in enumerate(names):
+                    dest = f"{prefix}p{i:05d}.parquet"
+                    os.replace(
+                        os.path.join(stage, f"zcell={cell}", name),
+                        os.path.join(cdir, dest),
+                    )
+                    cells.setdefault(cell, []).append(dest)
+            # gated re-cluster compaction: bound every touched cell's
+            # live-file count (reads only that cell's live set)
+            for cell in sorted(touched):
+                live = cells[cell]
+                if len(live) <= ZORDER_MAX_CELL_FILES:
+                    continue
+                cdir = os.path.join(path, f"zcell={cell}")
+                cstage = os.path.join(
+                    path + "_stage", f"compact={batch_id}-{cell}"
+                )
+                (
+                    spark.read.parquet(
+                        *(os.path.join(cdir, f) for f in live)
+                    )
+                    .sortWithinPartitions("o_orderdate", "o_custkey")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(cstage)
+                )
+                part = next(
+                    f for f in os.listdir(cstage) if f.endswith(".parquet")
+                )
+                dest = f"{prefix}c.parquet"
+                os.replace(
+                    os.path.join(cstage, part), os.path.join(cdir, dest)
+                )
+                cells[cell] = [dest]
+            _publish_zcells(
+                path,
+                {"applied": batch_id, "params": params, "cells": cells},
+            )
+            # post-publish sweep: drop what the manifest no longer
+            # references (compacted-away inputs, prior-crash orphans)
+            for cell in sorted(touched):
+                live = set(cells[cell])
+                cdir = os.path.join(path, f"zcell={cell}")
+                for f in os.listdir(cdir):
+                    if f.endswith(".parquet") and f not in live:
+                        os.unlink(os.path.join(cdir, f))
+            shutil.rmtree(path + "_stage", ignore_errors=True)
+
+    return ingest_batch
+
+
+def zcell_files_for_box(
+    path: str, d1: _dt.date, d2: _dt.date, c1: int, c2: int
+) -> tuple[list[str], dict]:
+    """The live files a 2-D box must read under the streamed layout:
+    the manifest's file lists for exactly the box's z-cells. Returns
+    (absolute paths, manifest) — the pruning is cell-level, same
+    superset contract as :func:`zcells_for_box`."""
+    manifest = _load_zcells(path)
+    cells = zcells_for_box(manifest["params"], d1, d2, c1, c2)
+    paths = [
+        os.path.join(path, f"zcell={c}", f)
+        for c in cells
+        for f in manifest["cells"].get(str(c), [])
+    ]
+    return paths, manifest
+
+
+def stream_zorder_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE MAINTENANCE for the Morton layout (VERDICT r11 #2 — the
+    layout tier's asymmetry: zone maps got incremental stats; the
+    Z-order build was one-shot, so appends silently declustered it):
+    the base table (orders with ``o_orderkey % 4 != 0``) is built into
+    z-cell directory partitions with a live-file manifest; the delta
+    then arrives as 3 real epochs, each clustered into ITS OWN cells
+    and renamed in under epoch-prefixed names (metadata-only commit,
+    replay-guarded by the manifest's applied-epoch id), with a gated
+    re-cluster compaction bounding every cell's live-file count —
+    the box query stays cell-pruned throughout. Oracle:
+    :data:`ZORDER_ORACLE` VERBATIM — base + streamed appends +
+    compaction ≡ the one-shot aggregate over the full table.
+
+    At 100 TB: per-epoch cost is the epoch's clustering shuffle plus
+    O(fragmented cells' live sets) compaction reads — never a layout
+    rebuild; the manifest is one small JSON the probe resolves instead
+    of listing cell dirs (the IVF-index / bucketed-sink discipline
+    applied to the 2-D layout)."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.operators.index_compact import (
+        prune_siblings_of,
+        single_writer,
+    )
+    from psd_project_spark.streaming.foreach_sink import (
+        run_stream,
+        stage_stream_splits,
+    )
+
+    path = _zorder_dir(sf_dir) + "_stream"
+    marker = os.path.join(path, "_INGESTED")
+    if not os.path.exists(marker):
+        prune_siblings_of(path)
+        o = load_table(spark, sf_dir, "orders")
+        is_delta = F.col("o_orderkey") % 4 == 0
+        src = scratch_dir("psd_zostream_src_")
+        stage_stream_splits(
+            o.filter(is_delta), F.col("o_orderkey") % 3, src
+        )
+        with single_writer(path):
+            # re-check the completion gate UNDER the lock (the raced
+            # ingest guard — same as stream_zonemap_ingest)
+            if not os.path.exists(marker):
+                import shutil
+
+                if os.path.isdir(path):
+                    shutil.rmtree(path)  # a crashed prior ingest
+                base = o.filter(~is_delta)
+                b = base.select(
+                    F.min(_day_expr()).alias("amin"),
+                    F.max(_day_expr()).alias("amax"),
+                    F.min("o_custkey").alias("bmin"),
+                    F.max("o_custkey").alias("bmax"),
+                ).first()
+                params = {
+                    "amin": int(b["amin"]),
+                    "aw": _bin_width(int(b["amin"]), int(b["amax"])),
+                    "bmin": int(b["bmin"]),
+                    "bw": _bin_width(int(b["bmin"]), int(b["bmax"])),
+                }
+                stage = os.path.join(path + "_stage", "base")
+                staged = _stage_into_cells(spark, base, params, stage)
+                cells: dict[str, list[str]] = {}
+                for cell, names in sorted(staged.items()):
+                    cdir = os.path.join(path, f"zcell={cell}")
+                    os.makedirs(cdir, exist_ok=True)
+                    for i, name in enumerate(names):
+                        dest = f"base-p{i:05d}.parquet"
+                        os.replace(
+                            os.path.join(stage, f"zcell={cell}", name),
+                            os.path.join(cdir, dest),
+                        )
+                        cells.setdefault(cell, []).append(dest)
+                _publish_zcells(
+                    path,
+                    {"applied": -1, "params": params, "cells": cells},
+                )
+                shutil.rmtree(path + "_stage", ignore_errors=True)
+                arriving = (
+                    spark.readStream.schema(o.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(src)
+                )
+                run_stream(
+                    arriving,
+                    _zorder_ingest_batch_fn(path),
+                    scratch_dir("psd_zostream_ckpt_"),
+                    state_partitions=None,
+                )
+                with open(marker, "w") as fh:
+                    fh.write("base + streamed z-cell appends\n")
+    paths, _manifest = zcell_files_for_box(path, _D1, _D2, _C1, _C2)
+    dec = "decimal(27,15)"
+    src_df = (
+        spark.read.parquet(*paths)
+        if paths
+        else load_table(spark, sf_dir, "orders").limit(0)
+    )
+    return (
+        src_df.filter(
+            F.col("o_orderdate").between(_D1.isoformat(), _D2.isoformat())
+            & F.col("o_custkey").between(_C1, _C2)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 6
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "zorder_pruned_scan": (zorder_pruned_scan, ZORDER_ORACLE),
     "zonemap_pruned_scan": (zonemap_pruned_scan, ZONEMAP_ORACLE),
     "stream_zonemap_ingest": (stream_zonemap_ingest, ZONEMAP_ORACLE),
+    "stream_zorder_ingest": (stream_zorder_ingest, ZORDER_ORACLE),
 }

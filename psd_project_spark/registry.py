@@ -53,6 +53,7 @@ _PRIORITY = (
     #    commits, displacing the designated r03 yielders at the tail) ---
     "scd2_schema_evolution",
     "cdf_feed_retention",
+    "stream_zorder_ingest",
     "zorder_pruned_scan",
     "zonemap_pruned_scan",
     "stream_zonemap_ingest",
@@ -106,13 +107,13 @@ _PRIORITY = (
     #    since, so a yield costs nothing): fuzzy_name_match →
     #    stream_zorder_ingest, ewma_user_value → zonemap_delete,
     #    event_transitions → zorder_delete; hourly_top_spenders yielded
-    #    to scd2_schema_evolution and distinct_users_per_type to
-    #    cdf_feed_retention, each on that query's landing commit ---------
+    #    to scd2_schema_evolution, distinct_users_per_type to
+    #    cdf_feed_retention, and fuzzy_name_match to
+    #    stream_zorder_ingest, each on that query's landing commit -------
     "compression_ratio",
     "customer_name_parse",
     "event_transitions",
     "ewma_user_value",
-    "fuzzy_name_match",
 )
 
 _MODULES = (

@@ -263,6 +263,108 @@ def test_cdf_feed_retention_gcs_applied_epochs_and_replays(spark):
     assert replayed == final
 
 
+def _zorder_stream_path(spark):
+    """Run (or reuse) the streamed z-cell layout for SF_DIR and return
+    its path — the registry query builds it gated, so repeated tests
+    share one build."""
+    from psd_project_spark.operators import zorder
+
+    zorder.stream_zorder_ingest(spark, SF_DIR)
+    return zorder._zorder_dir(SF_DIR) + "_stream"
+
+
+def test_stream_zorder_ingest_matches_batch_and_bounds_cells(spark):
+    """The VERDICT r11 #2 done-criteria: (a) the streamed layout's
+    box probe equals the raw-table aggregate (the zorder_pruned_scan
+    oracle's Spark-side mirror), (b) the probe reads ONLY files of
+    the box's cells (pruning survives ingestion), and (c) the gated
+    compaction bounded every cell's live-file count — with 4 writes
+    per cell (base + 3 epochs) the bound MUST have triggered."""
+    from psd_project_spark.operators import zorder
+    from psd_project_spark.operators.zorder import (
+        _C1, _C2, _D1, _D2,
+        ZORDER_MAX_CELL_FILES,
+        _load_zcells,
+        zcell_files_for_box,
+        zcells_for_box,
+    )
+    from psd_project_spark.sources.registry import load_table
+
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["revenue"])
+        for r in zorder.stream_zorder_ingest(spark, SF_DIR).collect()
+    }
+    path = zorder._zorder_dir(SF_DIR) + "_stream"
+    dec = "decimal(27,15)"
+    want = {
+        r["o_orderpriority"]: (r["n"], r["rev"])
+        for r in load_table(spark, SF_DIR, "orders")
+        .filter(
+            F.col("o_orderdate").between(_D1.isoformat(), _D2.isoformat())
+            & F.col("o_custkey").between(_C1, _C2)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 6
+            ).alias("rev"),
+        )
+        .collect()
+    }
+    assert got == want
+    manifest = _load_zcells(path)
+    box_cells = set(zcells_for_box(manifest["params"], _D1, _D2, _C1, _C2))
+    assert len(box_cells) < len(manifest["cells"])  # the box PRUNES
+    paths, _ = zcell_files_for_box(path, _D1, _D2, _C1, _C2)
+    for p in paths:
+        cell = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+        assert cell in box_cells, p
+    # (c) every cell's live set is bounded, and compaction really ran
+    compacted = 0
+    for cell, files in manifest["cells"].items():
+        assert len(files) <= ZORDER_MAX_CELL_FILES, (cell, files)
+        live = set(files)
+        cdir = os.path.join(path, f"zcell={cell}")
+        on_disk = {
+            f for f in os.listdir(cdir) if f.endswith(".parquet")
+        }
+        assert on_disk == live, cell  # sweep left no unreferenced files
+        compacted += sum(f.endswith("-c.parquet") for f in files)
+    assert compacted > 0
+
+
+def test_stream_zorder_replayed_epoch_is_noop(spark):
+    """A replayed ingest epoch (id ≤ the manifest's applied id) must
+    leave the layout untouched — manifest and every live file
+    byte-identical."""
+    import hashlib as _hl
+
+    from psd_project_spark.operators.zorder import (
+        _load_zcells,
+        _zorder_ingest_batch_fn,
+    )
+    from psd_project_spark.sources.registry import load_table
+
+    path = _zorder_stream_path(spark)
+
+    def snap():
+        out = {}
+        for f in glob.glob(os.path.join(path, "zcell=*", "*.parquet")):
+            with open(f, "rb") as fh:
+                out[f] = _hl.md5(fh.read()).hexdigest()
+        return out
+
+    before_files, before_manifest = snap(), _load_zcells(path)
+    replay = (
+        load_table(spark, SF_DIR, "orders")
+        .filter((F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") % 3 == 1))
+    )
+    _zorder_ingest_batch_fn(path)(replay, 1)  # epoch 1 already applied
+    assert snap() == before_files
+    assert _load_zcells(path) == before_manifest
+
+
 def test_legacy_manifest_shape_still_reads(spark, tmp_path):
     """A pre-schema-versioning manifest (plain bucket map) must keep
     reading: load_manifest returns (map, None) and read_versioned
