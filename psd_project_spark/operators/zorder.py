@@ -880,9 +880,281 @@ def stream_zorder_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- layout erasure (the deletion verb through the clustered layouts) --------
+
+#: zonemap_delete's retention range (calendar 1996 — interior to the
+#: 1995-2001 shipdate span at every SF, so it fully covers some zones
+#: and straddles others) and zorder_delete's custkey purge band
+#: (mid-bin edges at test scale, so both the drop-whole-cell and the
+#: rewrite-residual paths run). Data-independent, shared verbatim
+#: with the oracles.
+_DL1, _DL2 = "1996-01-01 00:00:00", "1996-12-31 23:59:59"
+_KC1, _KC2 = 25, 70
+
+_DELETED = "_DELETED"
+
+
+def zonemap_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE through the zone-mapped table (VERDICT r11 #6 — the
+    deletion tier covered every index and the SCD2 state but not the
+    clustered layouts, where a delete meant a full rewrite): a
+    retention-style shipdate-range delete resolved AGAINST THE ZONE
+    MAP — files whose zone lies fully inside the range are dropped
+    from the manifest without being read (a metadata-only delete),
+    files whose zone straddles a range edge are rewritten with the
+    complement predicate (their new zone re-collected by the same
+    one-pass stats job), and disjoint files are carried over as
+    HARDLINKS — never read, never copied, byte-identical by inode
+    (pinned by test). The base table stays untouched (it is shared
+    with zonemap_pruned_scan); the delete materializes as a cloned
+    instance, gated + writer-locked like every persisted layout here.
+    Oracle: the full post-delete aggregate over ``lineitem`` minus
+    the range — delete-equals-rebuild.
+
+    At 100 TB this is the lakehouse DELETE cost model: O(straddling
+    files) rewrite work + one manifest edit, with the zone map
+    guaranteeing the straddle set is ~2 files per range edge no
+    matter how big the table is."""
+    from psd_project_spark.operators.index_compact import (
+        prune_siblings_of,
+        single_writer,
+    )
+
+    base = build_zonemap_table(spark, sf_dir)
+    path = base + "_del"
+    zpath = os.path.join(path, _ZONEMAP)
+    marker = os.path.join(path, _DELETED)
+    if not os.path.exists(marker):
+        prune_siblings_of(path)
+        with single_writer(path):
+            if not os.path.exists(marker):  # raced delete finished first
+                import shutil
+
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                os.makedirs(path)
+                with open(os.path.join(base, _ZONEMAP)) as fh:
+                    zmap = json.load(fh)
+                new_zmap: dict[str, list[str]] = {}
+                straddling: list[str] = []
+                for name, (lo, hi) in sorted(zmap.items()):
+                    if lo >= _DL1 and hi <= _DL2:
+                        continue  # fully covered: metadata-only drop
+                    if hi < _DL1 or lo > _DL2:  # disjoint: zero-copy
+                        os.link(
+                            os.path.join(base, name),
+                            os.path.join(path, name),
+                        )
+                        new_zmap[name] = [lo, hi]
+                    else:
+                        straddling.append(name)
+                for name in straddling:
+                    stage = os.path.join(path + "_stage", name)
+                    (
+                        spark.read.parquet(os.path.join(base, name))
+                        .filter(
+                            ~F.col("l_shipdate").between(_DL1, _DL2)
+                        )
+                        .coalesce(1)
+                        .write.mode("overwrite")
+                        .parquet(stage)
+                    )
+                    # non-empty by construction: a straddling zone's
+                    # lo < _DL1 or hi > _DL2 row survives the filter
+                    stats = _zonemap_stats(spark, stage)
+                    ((part, bounds),) = stats.items()
+                    dest = f"d-{name}"
+                    os.replace(
+                        os.path.join(stage, part),
+                        os.path.join(path, dest),
+                    )
+                    new_zmap[dest] = bounds
+                shutil.rmtree(path + "_stage", ignore_errors=True)
+                with open(zpath + ".tmp", "w") as fh:
+                    json.dump(new_zmap, fh, sort_keys=True)
+                os.replace(zpath + ".tmp", zpath)
+                with open(marker, "w") as fh:
+                    fh.write(f"deleted [{_DL1}, {_DL2}]\n")
+    with open(zpath) as fh:
+        names = sorted(json.load(fh))
+    dec = "decimal(27,15)"
+    return (
+        spark.read.parquet(*(os.path.join(path, n) for n in names))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_quantity").cast(dec)).cast("double"), 6
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                    ).cast(dec)
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ZONEMAP_DELETE_ORACLE = f"""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_quantity
+         AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING)
+         AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_qty,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice
+         * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING)
+         AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE NOT (l_shipdate BETWEEN TIMESTAMP '{_DL1}' AND TIMESTAMP '{_DL2}')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _cell_bins() -> dict[int, tuple[int, int]]:
+    """zcell id → (abin, bbin) — the Morton interleave's inverse,
+    enumerated over the grid (driver-side, bounded by the cell count)."""
+    return {
+        _SPREAD[a] + 2 * _SPREAD[b]: (a, b)
+        for a in range(_BINS)
+        for b in range(_BINS)
+    }
+
+
+def zorder_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE through the Z-ordered table — the GDPR shape: purge a
+    customer band (``o_custkey`` BETWEEN the band constants, all
+    dates). The band's bin rectangle names the affected cells
+    driver-side; a cell whose custkey-bin interval lies FULLY inside
+    the band is dropped wholesale (its directory simply isn't carried
+    into the clone — no read), edge-bin cells are rewritten with the
+    complement predicate, and every unaffected cell is carried over
+    as HARDLINKS — byte-identical by inode, pinned by test. The base
+    layout stays untouched (shared with zorder_pruned_scan). Oracle:
+    the full post-delete aggregate over ``orders`` minus the band —
+    delete-equals-rebuild.
+
+    At 100 TB: purge cost is O(edge-bin cells' data) + a directory
+    unlink per fully-covered cell — the 2-D analog of the zone map's
+    O(straddling files) bound, with the Morton layout guaranteeing
+    the band maps to a bin rectangle."""
+    from psd_project_spark.operators.index_compact import (
+        prune_siblings_of,
+        single_writer,
+    )
+
+    base = build_zorder_layout(spark, sf_dir)
+    path = base + "_del"
+    marker = os.path.join(path, _DELETED)
+    if not os.path.exists(marker):
+        prune_siblings_of(path)
+        with single_writer(path):
+            if not os.path.exists(marker):  # raced delete finished first
+                import shutil
+
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                os.makedirs(path)
+                with open(os.path.join(base, _PARAMS)) as fh:
+                    params = json.load(fh)
+                bins = _cell_bins()
+                affected = set(
+                    zcells_for_box(
+                        params,
+                        _dt.date(1992, 1, 1),
+                        _dt.date(2005, 12, 31),
+                        _KC1,
+                        _KC2,
+                    )
+                )
+                for d in sorted(os.listdir(base)):
+                    if not d.startswith("zcell="):
+                        continue
+                    cell = int(d.split("=", 1)[1])
+                    cdir_base = os.path.join(base, d)
+                    files = [
+                        f for f in os.listdir(cdir_base)
+                        if f.endswith(".parquet")
+                    ]
+                    if cell not in affected:  # zero-copy carry-over
+                        cdir = os.path.join(path, d)
+                        os.makedirs(cdir)
+                        for f in files:
+                            os.link(
+                                os.path.join(cdir_base, f),
+                                os.path.join(cdir, f),
+                            )
+                        continue
+                    bbin = bins[cell][1]
+                    lo_b = params["bmin"] + bbin * params["bw"]
+                    hi_b = lo_b + params["bw"] - 1
+                    if _KC1 <= lo_b and hi_b <= _KC2:
+                        continue  # bin fully inside the band: drop cell
+                    stage = os.path.join(path + "_stage", d)
+                    (
+                        spark.read.parquet(
+                            *(os.path.join(cdir_base, f) for f in files)
+                        )
+                        .filter(~F.col("o_custkey").between(_KC1, _KC2))
+                        .coalesce(1)
+                        .write.mode("overwrite")
+                        .parquet(stage)
+                    )
+                    cdir = os.path.join(path, d)
+                    os.makedirs(cdir)
+                    for i, f in enumerate(
+                        sorted(
+                            x for x in os.listdir(stage)
+                            if x.endswith(".parquet")
+                        )
+                    ):
+                        os.replace(
+                            os.path.join(stage, f),
+                            os.path.join(cdir, f"d-p{i:05d}.parquet"),
+                        )
+                shutil.rmtree(path + "_stage", ignore_errors=True)
+                shutil.copyfile(
+                    os.path.join(base, _PARAMS),
+                    os.path.join(path, _PARAMS),
+                )
+                with open(marker, "w") as fh:
+                    fh.write(f"purged custkey [{_KC1}, {_KC2}]\n")
+    dec = "decimal(27,15)"
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 6
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ZORDER_DELETE_ORACLE = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(o_totalprice
+         AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING)
+         AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue
+FROM orders
+WHERE NOT (o_custkey BETWEEN {_KC1} AND {_KC2})
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "zorder_pruned_scan": (zorder_pruned_scan, ZORDER_ORACLE),
     "zonemap_pruned_scan": (zonemap_pruned_scan, ZONEMAP_ORACLE),
     "stream_zonemap_ingest": (stream_zonemap_ingest, ZONEMAP_ORACLE),
     "stream_zorder_ingest": (stream_zorder_ingest, ZORDER_ORACLE),
+    "zonemap_delete": (zonemap_delete, ZONEMAP_DELETE_ORACLE),
+    "zorder_delete": (zorder_delete, ZORDER_DELETE_ORACLE),
 }

@@ -54,6 +54,8 @@ _PRIORITY = (
     "scd2_schema_evolution",
     "cdf_feed_retention",
     "stream_zorder_ingest",
+    "zonemap_delete",
+    "zorder_delete",
     "zorder_pruned_scan",
     "zonemap_pruned_scan",
     "stream_zonemap_ingest",
@@ -102,18 +104,15 @@ _PRIORITY = (
     "alerts_batch",
     "measures_window_stream",
     "stream_ingest_dedup",
-    # -- spares: stalest r03 rows; designated round-12 yielders, tail
-    #    yields first (each holds a green r3 row over bytes untouched
-    #    since, so a yield costs nothing): fuzzy_name_match →
-    #    stream_zorder_ingest, ewma_user_value → zonemap_delete,
-    #    event_transitions → zorder_delete; hourly_top_spenders yielded
-    #    to scd2_schema_evolution, distinct_users_per_type to
-    #    cdf_feed_retention, and fuzzy_name_match to
-    #    stream_zorder_ingest, each on that query's landing commit -------
+    # -- spares: stalest r03 rows (each displaced yielder holds a green
+    #    r3 row over bytes untouched since, so a yield costs nothing):
+    #    hourly_top_spenders yielded to scd2_schema_evolution,
+    #    distinct_users_per_type to cdf_feed_retention, fuzzy_name_match
+    #    to stream_zorder_ingest, ewma_user_value to zonemap_delete, and
+    #    event_transitions to zorder_delete, each on that query's
+    #    landing commit ---------------------------------------------------
     "compression_ratio",
     "customer_name_parse",
-    "event_transitions",
-    "ewma_user_value",
 )
 
 _MODULES = (

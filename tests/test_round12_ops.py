@@ -365,6 +365,146 @@ def test_stream_zorder_replayed_epoch_is_noop(spark):
     assert _load_zcells(path) == before_manifest
 
 
+def test_zonemap_delete_metadata_drops_and_hardlinks(spark):
+    """The layout DELETE's cost model (VERDICT r11 #6): fully-covered
+    zones leave the manifest without being read, disjoint files carry
+    over as hardlinks (same inode — zero copy), straddling files are
+    rewritten with no in-range row surviving, and the result equals
+    rebuild-without-the-deleted."""
+    import json as _json
+
+    from psd_project_spark.operators import zorder
+    from psd_project_spark.operators.zorder import (
+        _DL1, _DL2, _ZONEMAP,
+        build_zonemap_table,
+        zonemap_delete,
+    )
+    from psd_project_spark.sources.registry import load_table
+
+    got = {
+        r["l_returnflag"]: r["n_items"]
+        for r in zonemap_delete(spark, SF_DIR).collect()
+    }
+    want = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .filter(~F.col("l_shipdate").between(_DL1, _DL2))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    base = build_zonemap_table(spark, SF_DIR)
+    path = base + "_del"
+    with open(os.path.join(base, _ZONEMAP)) as fh:
+        zmap = _json.load(fh)
+    with open(os.path.join(path, _ZONEMAP)) as fh:
+        new_zmap = _json.load(fh)
+    covered = {
+        n for n, (lo, hi) in zmap.items() if lo >= _DL1 and hi <= _DL2
+    }
+    disjoint = {
+        n for n, (lo, hi) in zmap.items() if hi < _DL1 or lo > _DL2
+    }
+    straddling = set(zmap) - covered - disjoint
+    assert covered and straddling  # both delete paths exercised
+    # fully-covered zones: gone, and never rewritten under any name
+    for n in covered:
+        assert n not in new_zmap and f"d-{n}" not in new_zmap
+    # disjoint files: same inode as the base file — zero copy
+    for n in disjoint:
+        assert (
+            os.stat(os.path.join(path, n)).st_ino
+            == os.stat(os.path.join(base, n)).st_ino
+        )
+    # straddling files: rewritten, and no in-range row survives
+    for n in straddling:
+        assert f"d-{n}" in new_zmap
+        survivors = spark.read.parquet(os.path.join(path, f"d-{n}"))
+        assert (
+            survivors.filter(
+                F.col("l_shipdate").between(_DL1, _DL2)
+            ).count()
+            == 0
+        )
+
+
+def test_zorder_delete_drops_covered_cells_and_hardlinks(spark):
+    """The 2-D analog: band-covered cells dropped wholesale (their
+    directories absent from the clone), unaffected cells hardlinked,
+    edge cells rewritten band-free, aggregate equals
+    rebuild-without-the-band."""
+    from psd_project_spark.operators import zorder
+    from psd_project_spark.operators.zorder import (
+        _KC1, _KC2, _PARAMS,
+        _cell_bins,
+        build_zorder_layout,
+        zcells_for_box,
+        zorder_delete,
+    )
+    from psd_project_spark.sources.registry import load_table
+
+    got = {
+        r["o_orderpriority"]: r["n_orders"]
+        for r in zorder_delete(spark, SF_DIR).collect()
+    }
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .filter(~F.col("o_custkey").between(_KC1, _KC2))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    base = build_zorder_layout(spark, SF_DIR)
+    path = base + "_del"
+    import datetime as dt
+    import json as _json
+
+    with open(os.path.join(base, _PARAMS)) as fh:
+        params = _json.load(fh)
+    affected = set(
+        zcells_for_box(
+            params, dt.date(1992, 1, 1), dt.date(2005, 12, 31), _KC1, _KC2
+        )
+    )
+    bins = _cell_bins()
+    covered = dropped = linked = rewritten = 0
+    for d in os.listdir(base):
+        if not d.startswith("zcell="):
+            continue
+        cell = int(d.split("=", 1)[1])
+        if cell not in affected:
+            # unaffected: every file hardlinked (same inode)
+            for f in os.listdir(os.path.join(base, d)):
+                if f.endswith(".parquet"):
+                    assert (
+                        os.stat(os.path.join(path, d, f)).st_ino
+                        == os.stat(os.path.join(base, d, f)).st_ino
+                    )
+                    linked += 1
+            continue
+        bbin = bins[cell][1]
+        lo_b = params["bmin"] + bbin * params["bw"]
+        hi_b = lo_b + params["bw"] - 1
+        if _KC1 <= lo_b and hi_b <= _KC2:
+            covered += 1
+            if not os.path.isdir(os.path.join(path, d)):
+                dropped += 1
+        else:
+            rewritten += 1
+            survivors = spark.read.parquet(os.path.join(path, d))
+            assert (
+                survivors.filter(
+                    F.col("o_custkey").between(_KC1, _KC2)
+                ).count()
+                == 0
+            )
+    assert covered and covered == dropped  # whole-cell drops happened
+    assert linked and rewritten  # and both other paths ran
+
+
 def test_legacy_manifest_shape_still_reads(spark, tmp_path):
     """A pre-schema-versioning manifest (plain bucket map) must keep
     reading: load_manifest returns (map, None) and read_versioned
