@@ -213,6 +213,26 @@ QUERIES = [
     # appends (each a small clustering shuffle + a stats pass over
     # its own files) + the maintained-manifest probe
     "stream_zonemap_ingest",
+    # round-12: schema evolution through the maintained table — the
+    # same 3-epoch MERGE as stream_scd2_maintain plus the widening
+    # epoch's typed-NULL conforms; evolution itself is metadata
+    "scd2_schema_evolution",
+    # round-12: the feed lifecycle — maintenance + CDF + per-epoch
+    # snapshot folds; the GC is unlinks, the apply is O(delta +
+    # |snapshot|) per epoch
+    "cdf_feed_retention",
+    # round-12: the Morton layout's online half — base clustered
+    # write + 3 per-epoch z-cell appends + gated per-cell re-cluster
+    # compaction + the manifest-pruned box probe (sinks pruned per
+    # rep: every rep pays the full lifecycle, write-volume-bound)
+    "stream_zorder_ingest",
+    # round-12: the layout DELETE verbs — base layouts are
+    # fingerprint-gated (data-sized, once per corpus); each rep pays
+    # delete + full post-delete probe, with delete cost bounded by
+    # straddling files / edge-bin cells (fully-covered zones and
+    # cells are metadata-only drops, untouched files hardlinks)
+    "zonemap_delete",
+    "zorder_delete",
 ]
 
 
@@ -224,6 +244,7 @@ def _prune_sinks(name: str, sf_dir: str) -> None:
 
     from psd_project_spark.operators import dedup, exact_substr, similarity
     from psd_project_spark.operators.zorder import _zonemap_dir as _zdir
+    from psd_project_spark.operators.zorder import _zorder_dir as _zodir
 
     dirs = {
         "stream_index_maintain": lambda d: [
@@ -250,6 +271,15 @@ def _prune_sinks(name: str, sf_dir: str) -> None:
         ],
         "stream_zonemap_ingest": lambda d: [
             _zdir(d) + "_stream", _zdir(d) + "_stream_stage"
+        ],
+        "stream_zorder_ingest": lambda d: [
+            _zodir(d) + "_stream", _zodir(d) + "_stream_stage"
+        ],
+        "zonemap_delete": lambda d: [
+            _zdir(d) + "_del", _zdir(d) + "_del_stage"
+        ],
+        "zorder_delete": lambda d: [
+            _zodir(d) + "_del", _zodir(d) + "_del_stage"
         ],
     }.get(name)
     if dirs:
