@@ -1150,6 +1150,138 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def stream_zorder_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown verb against the STREAM-MAINTAINED z-cell layout —
+    the composition closing round 12's own asymmetry (the batch
+    layouts got delete verbs; the manifest-driven streamed layout is
+    where a 100 TB table actually lives after online ingestion): the
+    custkey band purge of :func:`zorder_delete` resolved against the
+    ingest's LIVE-FILE MANIFEST. Band-covered bins' cells simply
+    aren't carried into the clone (their manifest entries drop — no
+    read), edge-bin cells' live sets are rewritten band-free, every
+    unaffected cell's live files carry over as hardlinks, and the new
+    manifest keeps the applied-epoch counter so later ingest epochs
+    could continue against the post-delete state. Oracle:
+    :data:`ZORDER_DELETE_ORACLE` VERBATIM — ingest (base + 3 epochs +
+    compaction) THEN manifest-resolved purge ≡
+    rebuild-without-the-band.
+
+    At 100 TB: same bound as the batch verb — O(edge-bin cells' live
+    sets) rewrite work + manifest entry drops — but now compounding
+    with online ingestion instead of requiring a frozen layout."""
+    from psd_project_spark.operators.index_compact import (
+        prune_siblings_of,
+        single_writer,
+    )
+
+    # ensure the streamed layout exists (gated, shared with the
+    # ingest query — the returned probe frame is lazy and unused)
+    stream_zorder_ingest(spark, sf_dir)
+    src_path = _zorder_dir(sf_dir) + "_stream"
+    path = src_path + "_del"
+    marker = os.path.join(path, _DELETED)
+    if not os.path.exists(marker):
+        prune_siblings_of(path)
+        with single_writer(path):
+            if not os.path.exists(marker):  # raced delete finished first
+                import shutil
+
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                os.makedirs(path)
+                manifest = _load_zcells(src_path)
+                params = manifest["params"]
+                bins = _cell_bins()
+                affected = set(
+                    zcells_for_box(
+                        params,
+                        _dt.date(1992, 1, 1),
+                        _dt.date(2005, 12, 31),
+                        _KC1,
+                        _KC2,
+                    )
+                )
+                new_cells: dict[str, list[str]] = {}
+                for cell_s, live in sorted(manifest["cells"].items()):
+                    cell = int(cell_s)
+                    cdir_src = os.path.join(src_path, f"zcell={cell}")
+                    if cell not in affected:  # zero-copy carry-over
+                        cdir = os.path.join(path, f"zcell={cell}")
+                        os.makedirs(cdir)
+                        for f in live:
+                            os.link(
+                                os.path.join(cdir_src, f),
+                                os.path.join(cdir, f),
+                            )
+                        new_cells[cell_s] = list(live)
+                        continue
+                    bbin = bins[cell][1]
+                    lo_b = params["bmin"] + bbin * params["bw"]
+                    hi_b = lo_b + params["bw"] - 1
+                    if _KC1 <= lo_b and hi_b <= _KC2:
+                        continue  # bin fully inside the band: drop cell
+                    stage = os.path.join(path + "_stage", f"zcell={cell}")
+                    (
+                        spark.read.parquet(
+                            *(os.path.join(cdir_src, f) for f in live)
+                        )
+                        .filter(~F.col("o_custkey").between(_KC1, _KC2))
+                        .coalesce(1)
+                        .write.mode("overwrite")
+                        .parquet(stage)
+                    )
+                    parts = sorted(
+                        f for f in os.listdir(stage)
+                        if f.endswith(".parquet")
+                    )
+                    if not parts:  # every row of the cell was in-band
+                        continue
+                    cdir = os.path.join(path, f"zcell={cell}")
+                    os.makedirs(cdir)
+                    kept = []
+                    for i, f in enumerate(parts):
+                        dest = f"d-p{i:05d}.parquet"
+                        os.replace(
+                            os.path.join(stage, f),
+                            os.path.join(cdir, dest),
+                        )
+                        kept.append(dest)
+                    new_cells[cell_s] = kept
+                shutil.rmtree(path + "_stage", ignore_errors=True)
+                _publish_zcells(
+                    path,
+                    {
+                        "applied": manifest["applied"],
+                        "params": params,
+                        "cells": new_cells,
+                    },
+                )
+                with open(marker, "w") as fh:
+                    fh.write(f"purged custkey [{_KC1}, {_KC2}]\n")
+    manifest = _load_zcells(path)
+    paths = [
+        os.path.join(path, f"zcell={c}", f)
+        for c, files in sorted(manifest["cells"].items())
+        for f in files
+    ]
+    dec = "decimal(27,15)"
+    src_df = (
+        spark.read.parquet(*paths)
+        if paths
+        else load_table(spark, sf_dir, "orders").limit(0)
+    )
+    return (
+        src_df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 6
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "zorder_pruned_scan": (zorder_pruned_scan, ZORDER_ORACLE),
     "zonemap_pruned_scan": (zonemap_pruned_scan, ZONEMAP_ORACLE),
@@ -1157,4 +1289,5 @@ QUERIES = {
     "stream_zorder_ingest": (stream_zorder_ingest, ZORDER_ORACLE),
     "zonemap_delete": (zonemap_delete, ZONEMAP_DELETE_ORACLE),
     "zorder_delete": (zorder_delete, ZORDER_DELETE_ORACLE),
+    "stream_zorder_delete": (stream_zorder_delete, ZORDER_DELETE_ORACLE),
 }

@@ -56,6 +56,8 @@ _PRIORITY = (
     "stream_zorder_ingest",
     "zonemap_delete",
     "zorder_delete",
+    "stream_upsert_evolving",
+    "stream_zorder_delete",
     "zorder_pruned_scan",
     "zonemap_pruned_scan",
     "stream_zonemap_ingest",
@@ -104,15 +106,15 @@ _PRIORITY = (
     "alerts_batch",
     "measures_window_stream",
     "stream_ingest_dedup",
-    # -- spares: stalest r03 rows (each displaced yielder holds a green
-    #    r3 row over bytes untouched since, so a yield costs nothing):
-    #    hourly_top_spenders yielded to scd2_schema_evolution,
-    #    distinct_users_per_type to cdf_feed_retention, fuzzy_name_match
-    #    to stream_zorder_ingest, ewma_user_value to zonemap_delete, and
-    #    event_transitions to zorder_delete, each on that query's
-    #    landing commit ---------------------------------------------------
-    "compression_ratio",
-    "customer_name_parse",
+    # (the r03-stale spare block is fully consumed by the round-12
+    # landing commits — each displaced yielder holds a green r3 row
+    # over bytes untouched since, so a yield costs nothing:
+    # hourly_top_spenders yielded to scd2_schema_evolution,
+    # distinct_users_per_type to cdf_feed_retention, fuzzy_name_match
+    # to stream_zorder_ingest, ewma_user_value to zonemap_delete,
+    # event_transitions to zorder_delete, customer_name_parse to
+    # stream_upsert_evolving, and compression_ratio to
+    # stream_zorder_delete, each on that query's landing commit)
 )
 
 _MODULES = (

@@ -505,6 +505,136 @@ def test_zorder_delete_drops_covered_cells_and_hardlinks(spark):
     assert linked and rewritten  # and both other paths ran
 
 
+def test_upsert_schema_evolution_both_directions(spark, tmp_path):
+    """The keyed upsert under ADDITIVE evolution: a widened delta
+    evolves the state (kept old rows read the new column NULL), and a
+    later NARROW delta still upserts (its rows read the evolved
+    column NULL) — the allowMissingColumns union in both directions."""
+    from psd_project_spark.streaming.foreach_sink import (
+        current_upsert_table,
+        run_foreachbatch_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def upsert(schema: str) -> None:
+        run_foreachbatch_upsert(
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            out_dir,
+            ckpt,
+            key_cols=["k"],
+            order_cols=["ver"],
+        )
+
+    spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 1)], "k long, ver long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/p0")
+    upsert("k long, ver long")
+    # widened epoch: only k=0 updated, with the new `tag`
+    spark.createDataFrame(
+        [(0, 2, "t0")], "k long, ver long, tag string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/p1")
+    upsert("k long, ver long, tag string")
+    # narrow epoch AFTER the evolution: k=1 updated without `tag`
+    spark.createDataFrame(
+        [(1, 3)], "k long, ver long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/p2")
+    upsert("k long, ver long")
+    got = {
+        r["k"]: (r["ver"], r["tag"])
+        for r in current_upsert_table(spark, out_dir)
+        .select("k", "ver", "tag")
+        .collect()
+    }
+    assert got == {0: (2, "t0"), 1: (3, None), 2: (1, None)}
+
+
+def test_stream_zorder_delete_purges_through_manifest(spark):
+    """The streamed layout's takedown: band-covered bins' cells drop
+    out of the clone's manifest (no read), unaffected cells hardlink
+    (inode-equal), edge cells rewrite band-free, the applied-epoch
+    counter survives, and the aggregate equals
+    rebuild-without-the-band."""
+    import datetime as dt
+
+    from psd_project_spark.operators import zorder
+    from psd_project_spark.operators.zorder import (
+        _KC1, _KC2,
+        _cell_bins,
+        _load_zcells,
+        stream_zorder_delete,
+        zcells_for_box,
+    )
+    from psd_project_spark.sources.registry import load_table
+
+    got = {
+        r["o_orderpriority"]: r["n_orders"]
+        for r in stream_zorder_delete(spark, SF_DIR).collect()
+    }
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .filter(~F.col("o_custkey").between(_KC1, _KC2))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    src_path = zorder._zorder_dir(SF_DIR) + "_stream"
+    path = src_path + "_del"
+    src_m, del_m = _load_zcells(src_path), _load_zcells(path)
+    assert del_m["applied"] == src_m["applied"]  # ingest could continue
+    params = src_m["params"]
+    affected = set(
+        zcells_for_box(
+            params, dt.date(1992, 1, 1), dt.date(2005, 12, 31), _KC1, _KC2
+        )
+    )
+    bins = _cell_bins()
+    dropped = linked = rewritten = 0
+    for cell_s, live in src_m["cells"].items():
+        cell = int(cell_s)
+        if cell not in affected:
+            assert del_m["cells"][cell_s] == live
+            for f in live:
+                assert (
+                    os.stat(
+                        os.path.join(path, f"zcell={cell}", f)
+                    ).st_ino
+                    == os.stat(
+                        os.path.join(src_path, f"zcell={cell}", f)
+                    ).st_ino
+                )
+                linked += 1
+            continue
+        bbin = bins[cell][1]
+        lo_b = params["bmin"] + bbin * params["bw"]
+        hi_b = lo_b + params["bw"] - 1
+        if _KC1 <= lo_b and hi_b <= _KC2:
+            assert cell_s not in del_m["cells"]
+            assert not os.path.isdir(os.path.join(path, f"zcell={cell}"))
+            dropped += 1
+        elif cell_s in del_m["cells"]:
+            rewritten += 1
+            survivors = spark.read.parquet(
+                *(
+                    os.path.join(path, f"zcell={cell}", f)
+                    for f in del_m["cells"][cell_s]
+                )
+            )
+            assert (
+                survivors.filter(
+                    F.col("o_custkey").between(_KC1, _KC2)
+                ).count()
+                == 0
+            )
+    assert dropped and linked and rewritten
+
+
 def test_legacy_manifest_shape_still_reads(spark, tmp_path):
     """A pre-schema-versioning manifest (plain bucket map) must keep
     reading: load_manifest returns (map, None) and read_versioned
