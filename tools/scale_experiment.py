@@ -233,6 +233,12 @@ QUERIES = [
     # cells are metadata-only drops, untouched files hardlinks)
     "zonemap_delete",
     "zorder_delete",
+    # round-12 continued: evolution through the keyed upsert (3 epochs
+    # + the widening phase's fixed floor) and the takedown against the
+    # stream-maintained layout's manifest (the _stream layout itself
+    # is gated — rep 1 may pay its build; rep 2 is delete + probe)
+    "stream_upsert_evolving",
+    "stream_zorder_delete",
 ]
 
 
@@ -280,6 +286,9 @@ def _prune_sinks(name: str, sf_dir: str) -> None:
         ],
         "zorder_delete": lambda d: [
             _zodir(d) + "_del", _zodir(d) + "_del_stage"
+        ],
+        "stream_zorder_delete": lambda d: [
+            _zodir(d) + "_stream_del", _zodir(d) + "_stream_del_stage"
         ],
     }.get(name)
     if dirs:
