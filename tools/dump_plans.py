@@ -276,6 +276,35 @@ SHOWCASE = [
         "predicate is the residual PushedFilters and the only "
         "exchange is the 3-row return-flag rollup.",
     ),
+    (
+        "scd2_schema_evolution",
+        "The union-by-name read of an EVOLVED state table: one scan "
+        "over the manifest-listed generation dirs with mergeSchema "
+        "(pre-evolution files read etype as NULL), a plain projection "
+        "onto the manifest-recorded schema — NO extra exchange, no "
+        "join, no per-generation union plan — then the result sort. "
+        "Evolution is invisible to the plan: a widened table reads "
+        "exactly like an unevolved one.",
+    ),
+    (
+        "stream_zorder_ingest",
+        "The streamed z-cell layout's steady-state probe: the scan's "
+        "InMemoryFileIndex lists ONLY the live files the manifest "
+        "names for the box's cells (cell-level pruning decided "
+        "driver-side from one small JSON — the post-compaction live "
+        "set, epoch fragments already folded); the exact box "
+        "predicate is the residual PushedFilters and the only "
+        "exchange is the 5-row priority rollup.",
+    ),
+    (
+        "zonemap_delete",
+        "The post-delete probe over the cloned zone-mapped table: a "
+        "full-table aggregate whose file list simply LACKS the "
+        "fully-covered zones (metadata-only deletes leave no trace in "
+        "the plan) and includes the rewritten straddle files under "
+        "their d- names — the DELETE's cost model is visible as "
+        "which files exist, not as plan complexity.",
+    ),
 ]
 
 
