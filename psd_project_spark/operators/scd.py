@@ -850,6 +850,15 @@ def apply_feed_epoch(
     import re
     import shutil
 
+    current = os.path.join(view_dir, "current")
+    if os.path.lexists(current):
+        # replay guard (the versioned sink's discipline): the current
+        # snapshot's name records the last APPLIED epoch — a replayed
+        # apply (consumer crash after publish, before its offset
+        # commit) must not fold the same delta twice
+        applied = int(os.readlink(current).rsplit("snap_v", 1)[1])
+        if applied >= epoch:
+            return
     sign = F.when(F.col("op") == "I", F.lit(1)).otherwise(F.lit(-1))
     dec = "decimal(27,15)"
     delta = (
@@ -865,7 +874,6 @@ def apply_feed_epoch(
             .alias("n_current"),
         )
     )
-    current = os.path.join(view_dir, "current")
     merged = delta
     if os.path.lexists(current):
         merged = (

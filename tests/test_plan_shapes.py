@@ -339,3 +339,54 @@ def test_incremental_index_probes_prune_partitions(spark):
     from psd_project_spark.functions.text import LSH_BANDS
 
     assert len(probed_dirs) < LSH_BANDS * MINHASH_INDEX_BUCKETS
+
+
+def test_evolved_state_read_is_one_scan_no_extra_exchange(spark, tmp_path):
+    """Schema evolution must be invisible to the read plan: the
+    union-by-name reconciliation of mixed-schema generations is ONE
+    parquet scan (mergeSchema) plus a projection — no per-generation
+    union plan, no join, no exchange beyond what the consumer itself
+    adds. A reconciliation that planned a union-of-scans per
+    generation would multiply the 100 TB read cost by generation
+    count."""
+    from psd_project_spark.operators.scd import scd2_evolving_merge
+    from psd_project_spark.streaming.foreach_sink import (
+        read_versioned,
+        run_foreachbatch_versioned,
+    )
+
+    src = str(tmp_path / "src")
+
+    def maintain(schema: str) -> None:
+        run_foreachbatch_versioned(
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            scd2_evolving_merge,
+            bucket_by=["user_id"],
+        )
+
+    narrow = "user_id long, event_id long, ts timestamp, value double"
+    spark.range(20).select(
+        F.col("id").alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.expr("timestamp '2024-01-01' + make_interval(0,0,0,0,0,0,id)")
+        .alias("ts"),
+        F.lit(1.0).alias("value"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/p0")
+    maintain(narrow)
+    spark.range(2).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") + 50).alias("event_id"),
+        F.expr("timestamp '2024-01-02' + make_interval(0,0,0,0,0,0,id)")
+        .alias("ts"),
+        F.lit(2.0).alias("value"),
+        F.lit("x").alias("tag"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/p1")
+    maintain(narrow + ", tag string")
+    plan = executed_plan(read_versioned(spark, str(tmp_path / "out")))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan

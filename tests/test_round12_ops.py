@@ -261,6 +261,17 @@ def test_cdf_feed_retention_gcs_applied_epochs_and_replays(spark):
         .collect()
     )
     assert replayed == final
+    # (d) replay GUARD: re-applying an already-applied epoch (consumer
+    # crash after publish, before offset commit) is a no-op — the
+    # current snapshot's recorded epoch arbitrates, so the same delta
+    # is never folded twice
+    apply_feed_epoch(spark, feed_dir, view_dir, 2)
+    again = (
+        spark.read.parquet(os.path.join(view_dir, "current"))
+        .orderBy("user_id")
+        .collect()
+    )
+    assert again == final
 
 
 def _zorder_stream_path(spark):
