@@ -46,6 +46,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the designated yielders for round-12 landing commits, newest-listed
 # yields first). NO queue: every registry query holds or re-earns a
 # current-bytes driver row (tests/test_registry_order.py).
+# After this round the stalest driver rows are r03 (20 queries,
+# including the 7 round-12 yielders) then r04 (13): the r13 rotation
+# leads its spare slots with the r03 set — hold it to that. Risk is
+# bounded meanwhile: every registry query was ALSO swept in-session
+# against its oracle at sf0.01 this round (194 exact, 3 rows-only
+# sketches), so stale rows sit over code re-verified on current
+# Spark/DuckDB/testdata, just without a fresh driver row yet.
 _PRIORITY = (
     # -- round-12 new + re-entering (front: day-one driver rows; the
     #    planned additions stream_zorder_ingest / zonemap_delete /
