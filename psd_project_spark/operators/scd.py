@@ -207,17 +207,14 @@ def scd2_merge(
     those buckets (untouched buckets' files pinned byte-identical by
     tests/test_round11_ops.py). The merge is key-local over user_id
     by construction: every output row's user comes from ``current``
-    ∪ ``delta``, so the bucket-aligned contract holds."""
-    if current is None:
-        return _scd2_intervals(delta)
-    affected = delta.select("user_id").distinct()
-    untouched = current.join(affected, "user_id", "left_anti")
-    reopened = current.join(affected, "user_id", "left_semi").select(
-        "user_id", "event_id", F.col("valid_from").alias("ts"), "value"
-    )
-    return untouched.unionByName(
-        _scd2_intervals(reopened.unionByName(delta))
-    )
+    ∪ ``delta``, so the bucket-aligned contract holds.
+
+    One merge kernel, not two: this is exactly
+    :func:`scd2_evolving_merge` with no extra event attributes (a
+    narrow delta against narrow state reduces the widening to a
+    no-op), so it delegates — the late-data splice, tie rule, and
+    key-locality contract live in ONE place."""
+    return scd2_evolving_merge(current, delta, batch_id)
 
 
 def run_scd2_maintenance(arriving: DataFrame, out_dir: str, ckpt: str) -> None:

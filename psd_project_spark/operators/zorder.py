@@ -651,6 +651,24 @@ def _stage_into_cells(
     return out
 
 
+def _sweep_unreferenced(path: str, cells: dict[str, list[str]]) -> None:
+    """Unlink every data file no manifest entry references — the
+    compacted-away inputs of the epoch just published, plus any
+    orphans a crash between a PRIOR publish and its sweep left
+    behind. Walks every cell dir: grid-bounded (≤ the cell count),
+    never data-sized, so running it each epoch costs directory
+    listings only. Readers are safe either way (they resolve the
+    manifest); this bounds DISK, not correctness."""
+    for d in os.listdir(path):
+        if not d.startswith("zcell="):
+            continue
+        live = set(cells.get(d.split("=", 1)[1], []))
+        cdir = os.path.join(path, d)
+        for f in os.listdir(cdir):
+            if f.endswith(".parquet") and f not in live:
+                os.unlink(os.path.join(cdir, f))
+
+
 def _zorder_ingest_batch_fn(path: str):
     """The per-epoch z-cell append as a ``foreachBatch`` callable
     (factored so tests replay an epoch through the identical code).
@@ -681,7 +699,12 @@ def _zorder_ingest_batch_fn(path: str):
         with single_writer(path):
             manifest = _load_zcells(path)
             if batch_id <= manifest["applied"]:
-                return  # replayed epoch — already fully committed
+                # replayed epoch — already fully committed. Re-run the
+                # sweep before returning: a crash between this epoch's
+                # publish and its sweep replays into exactly this
+                # branch, and the sweep is what it still owes.
+                _sweep_unreferenced(path, manifest["cells"])
+                return
             params = manifest["params"]
             cells: dict[str, list[str]] = {
                 c: list(fs) for c, fs in manifest["cells"].items()
@@ -736,13 +759,10 @@ def _zorder_ingest_batch_fn(path: str):
                 {"applied": batch_id, "params": params, "cells": cells},
             )
             # post-publish sweep: drop what the manifest no longer
-            # references (compacted-away inputs, prior-crash orphans)
-            for cell in sorted(touched):
-                live = set(cells[cell])
-                cdir = os.path.join(path, f"zcell={cell}")
-                for f in os.listdir(cdir):
-                    if f.endswith(".parquet") and f not in live:
-                        os.unlink(os.path.join(cdir, f))
+            # references in ANY cell (compacted-away inputs, and
+            # orphans from a crash between a prior publish and its
+            # sweep — grid-bounded, so all-cells costs listings only)
+            _sweep_unreferenced(path, cells)
             shutil.rmtree(path + "_stage", ignore_errors=True)
 
     return ingest_batch
@@ -1026,6 +1046,30 @@ def _cell_bins() -> dict[int, tuple[int, int]]:
     }
 
 
+def _bbin_fully_inside_band(
+    params: dict, bbin: int, c1: int, c2: int, clamped: bool
+) -> bool:
+    """May a cell with custkey-bin ``bbin`` be dropped WHOLESALE for a
+    ``c1..c2`` band purge? True only when every row the bin can hold
+    lies inside the band. The one shared coverage test both delete
+    paths use — the subtle part is the layout's binning flavor:
+
+    - exact bins (the batch layout — params computed over the very
+      rows written): the bin's nominal interval is a SUPERSET of its
+      actual values, so nominal ⊆ band ⟹ actual ⊆ band — safe.
+    - clamped bins (the streamed layout — deltas outside the
+      base-derived grid land in the EDGE bins): bins 0 and _BINS-1
+      are open-ended below/above, so their nominal interval bounds
+      NOTHING about their actual values — a wholesale drop could
+      delete out-of-band rows. Edge bins must always take the
+      rewrite-with-exact-predicate path instead."""
+    if clamped and bbin in (0, _BINS - 1):
+        return False
+    lo_b = params["bmin"] + bbin * params["bw"]
+    hi_b = lo_b + params["bw"] - 1
+    return c1 <= lo_b and hi_b <= c2
+
+
 def zorder_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE through the Z-ordered table — the GDPR shape: purge a
     customer band (``o_custkey`` BETWEEN the band constants, all
@@ -1090,10 +1134,9 @@ def zorder_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 os.path.join(cdir, f),
                             )
                         continue
-                    bbin = bins[cell][1]
-                    lo_b = params["bmin"] + bbin * params["bw"]
-                    hi_b = lo_b + params["bw"] - 1
-                    if _KC1 <= lo_b and hi_b <= _KC2:
+                    if _bbin_fully_inside_band(
+                        params, bins[cell][1], _KC1, _KC2, clamped=False
+                    ):
                         continue  # bin fully inside the band: drop cell
                     stage = os.path.join(path + "_stage", d)
                     (
@@ -1215,10 +1258,15 @@ def stream_zorder_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         new_cells[cell_s] = list(live)
                         continue
-                    bbin = bins[cell][1]
-                    lo_b = params["bmin"] + bbin * params["bw"]
-                    hi_b = lo_b + params["bw"] - 1
-                    if _KC1 <= lo_b and hi_b <= _KC2:
+                    # clamped=True: the streamed layout's edge bins
+                    # hold rows clamped in from OUTSIDE the
+                    # base-derived grid, so they are never droppable
+                    # wholesale — they rewrite with the exact
+                    # predicate instead (the latent
+                    # subset-delete-from-superset-bin hazard)
+                    if _bbin_fully_inside_band(
+                        params, bins[cell][1], _KC1, _KC2, clamped=True
+                    ):
                         continue  # bin fully inside the band: drop cell
                     stage = os.path.join(path + "_stage", f"zcell={cell}")
                     (

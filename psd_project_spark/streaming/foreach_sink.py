@@ -151,30 +151,6 @@ def load_manifest(mpath: str) -> tuple[dict[str, str], dict | None]:
     return m, None
 
 
-def _conform(df: DataFrame, schema_json: dict | None) -> DataFrame:
-    """Project ``df`` onto the manifest-recorded schema: missing
-    columns (rows written before an evolution widened the table)
-    become typed NULLs, and the column ORDER is the recorded one —
-    the mergeSchema-style union-by-name read (VERDICT r11 #3). A
-    column present in ``df`` but absent from the recorded schema is
-    dropped (it belongs to a NEWER version than the one being read,
-    possible only for a time-travel read past files a later
-    generation shares)."""
-    from pyspark.sql.types import StructType
-
-    if schema_json is None:
-        return df
-    want = StructType.fromJson(schema_json)
-    have = set(df.columns)
-    return df.select(
-        *(
-            F.col(f.name) if f.name in have
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in want.fields
-        )
-    )
-
-
 def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame:
     """Read a versioned sink — both layouts: a bucket-aligned version
     resolves its manifest to the per-bucket generation dirs (only the
@@ -192,11 +168,15 @@ def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame
 
     Schema evolution: generations written under DIFFERENT schemas
     (a ``merge_fn`` widened the state mid-stream) are reconciled
-    union-by-name — ``mergeSchema`` across the listed files, then a
-    projection onto the manifest-recorded schema (added columns read
-    as typed NULLs from pre-evolution generations). A time-travel
-    read of a pre-evolution version returns the OLD schema: its
-    manifest recorded it."""
+    union-by-name — the manifest-recorded schema is handed to the
+    reader EXPLICITLY, so pre-evolution files project their missing
+    columns as typed NULLs by name with NO per-file footer-merge pass
+    (``mergeSchema`` would re-derive at read time what the manifest
+    already knows). A time-travel read of a pre-evolution version
+    returns the OLD schema: its manifest recorded it. Legacy
+    schema-less manifests read plain, as they always did."""
+    from pyspark.sql.types import StructType
+
     base = (
         os.path.join(out_dir, "current")
         if version is None
@@ -208,13 +188,12 @@ def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame
     entries, schema_json = load_manifest(manifest)
     if not entries:
         raise ValueError(f"versioned state at {out_dir} has no buckets")
-    df = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(
-            *(os.path.join(out_dir, rel) for rel in sorted(entries.values()))
-        )
+    paths = [os.path.join(out_dir, rel) for rel in sorted(entries.values())]
+    if schema_json is None:
+        return spark.read.parquet(*paths)
+    return spark.read.schema(StructType.fromJson(schema_json)).parquet(
+        *paths
     )
-    return _conform(df, schema_json)
 
 
 def current_upsert_table(spark, out_dir: str) -> DataFrame:
@@ -347,19 +326,22 @@ def run_foreachbatch_versioned(
             for b in affected
             if str(b) in prev
         ]
-        # conform the presented state to the PREVIOUS version's
-        # recorded schema (mergeSchema union-by-name): after an
-        # evolution, some affected buckets may still sit in
-        # pre-evolution generations — merge_fn must see one
-        # consistent frame regardless of which buckets the delta hit
-        cur_df = (
-            _conform(
-                spark.read.option("mergeSchema", "true").parquet(*cur_paths),
-                prev_schema,
+        # present the state under the PREVIOUS version's recorded
+        # schema (explicit-schema read = union-by-name with typed-NULL
+        # fill, no footer merge): after an evolution, some affected
+        # buckets may still sit in pre-evolution generations —
+        # merge_fn must see one consistent frame regardless of which
+        # buckets the delta hit
+        from pyspark.sql.types import StructType
+
+        cur_df = None
+        if cur_paths:
+            rd = (
+                spark.read.schema(StructType.fromJson(prev_schema))
+                if prev_schema is not None
+                else spark.read
             )
-            if cur_paths
-            else None
-        )
+            cur_df = rd.parquet(*cur_paths)
         merged = merge_fn(cur_df, df, batch_id)
         gen = f"g{batch_id}"
         (

@@ -448,6 +448,7 @@ def test_zorder_delete_drops_covered_cells_and_hardlinks(spark):
     from psd_project_spark.operators import zorder
     from psd_project_spark.operators.zorder import (
         _KC1, _KC2, _PARAMS,
+        _bbin_fully_inside_band,
         _cell_bins,
         build_zorder_layout,
         zcells_for_box,
@@ -496,10 +497,9 @@ def test_zorder_delete_drops_covered_cells_and_hardlinks(spark):
                     )
                     linked += 1
             continue
-        bbin = bins[cell][1]
-        lo_b = params["bmin"] + bbin * params["bw"]
-        hi_b = lo_b + params["bw"] - 1
-        if _KC1 <= lo_b and hi_b <= _KC2:
+        if _bbin_fully_inside_band(
+            params, bins[cell][1], _KC1, _KC2, clamped=False
+        ):
             covered += 1
             if not os.path.isdir(os.path.join(path, d)):
                 dropped += 1
@@ -575,6 +575,7 @@ def test_stream_zorder_delete_purges_through_manifest(spark):
     from psd_project_spark.operators import zorder
     from psd_project_spark.operators.zorder import (
         _KC1, _KC2,
+        _bbin_fully_inside_band,
         _cell_bins,
         _load_zcells,
         stream_zorder_delete,
@@ -622,10 +623,9 @@ def test_stream_zorder_delete_purges_through_manifest(spark):
                 )
                 linked += 1
             continue
-        bbin = bins[cell][1]
-        lo_b = params["bmin"] + bbin * params["bw"]
-        hi_b = lo_b + params["bw"] - 1
-        if _KC1 <= lo_b and hi_b <= _KC2:
+        if _bbin_fully_inside_band(
+            params, bins[cell][1], _KC1, _KC2, clamped=True
+        ):
             assert cell_s not in del_m["cells"]
             assert not os.path.isdir(os.path.join(path, f"zcell={cell}"))
             dropped += 1
