@@ -278,13 +278,15 @@ SHOWCASE = [
     ),
     (
         "scd2_schema_evolution",
-        "The union-by-name read of an EVOLVED state table: one scan "
-        "over the manifest-listed generation dirs with mergeSchema "
-        "(pre-evolution files read etype as NULL), a plain projection "
-        "onto the manifest-recorded schema — NO extra exchange, no "
-        "join, no per-generation union plan — then the result sort. "
-        "Evolution is invisible to the plan: a widened table reads "
-        "exactly like an unevolved one.",
+        "The union-by-name read of an EVOLVED state table: ONE scan "
+        "over the manifest-listed generation dirs under the "
+        "manifest-recorded schema handed to the reader explicitly "
+        "(pre-evolution files project etype as typed NULL by name — "
+        "no per-file footer-merge pass), a plain projection, then "
+        "the result sort. NO extra exchange, no join, no "
+        "per-generation union plan: evolution is invisible to the "
+        "plan, and a widened table reads exactly like an unevolved "
+        "one.",
     ),
     (
         "stream_zorder_ingest",
