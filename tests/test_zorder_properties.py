@@ -102,3 +102,37 @@ def test_spread_is_a_bijection_onto_even_bit_positions():
         for b in range(_BINS)
     }
     assert len(zs) == _BINS * _BINS
+
+
+@st.composite
+def _band_and_value(draw):
+    """Layout params, a purge band, a bin, and a custkey value the
+    CLAMPED binning maps into that bin (edge bins absorb the whole
+    out-of-grid tail, so values far outside the grid are legal)."""
+    bmin = draw(_CUST)
+    bmax = draw(st.integers(min_value=bmin, max_value=bmin + 200_000))
+    params = {"amin": 0, "aw": 1, "bmin": bmin, "bw": _bin_width(bmin, bmax)}
+    c1 = draw(st.integers(min_value=bmin - 10_000, max_value=bmax + 10_000))
+    c2 = draw(st.integers(min_value=c1, max_value=bmax + 20_000))
+    v = draw(
+        st.integers(min_value=bmin - 500_000, max_value=bmax + 500_000)
+    )
+    bbin = min(_BINS - 1, max(0, (v - bmin) // params["bw"]))
+    return params, c1, c2, bbin, v
+
+
+@given(_band_and_value())
+@settings(max_examples=300, deadline=None)
+def test_fully_inside_band_never_drops_a_surviving_row(case):
+    """THE wholesale-drop safety property (the round-12 review's
+    edge-bin hazard, pinned): under CLAMPED binning, if
+    _bbin_fully_inside_band says a bin may be dropped wholesale, then
+    EVERY value the clamped binning maps into that bin lies inside
+    the band — no survivor can be deleted by the no-read path. (The
+    exact-binning flavor is the same claim restricted to in-grid
+    values, which the clamped case subsumes.)"""
+    from psd_project_spark.operators.zorder import _bbin_fully_inside_band
+
+    params, c1, c2, bbin, v = case
+    if _bbin_fully_inside_band(params, bbin, c1, c2, clamped=True):
+        assert c1 <= v <= c2, (params, c1, c2, bbin, v)
