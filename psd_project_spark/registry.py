@@ -52,6 +52,8 @@ _PRIORITY = (
     #    planned additions cdf_multi_consumer / stream_upsert_widening
     #    / stream_zorder_resume join HERE on their landing commits,
     #    displacing the designated yielders at the tail) --------------
+    "stream_upsert_widening",
+    "cdf_multi_consumer",
     # -- re-entering: operators/scd.py (module-level) ------------------
     "cdf_feed_retention",
     "cdf_materialized_view",
@@ -112,8 +114,13 @@ _PRIORITY = (
     #    nothing): doc_chunking yields to cdf_multi_consumer,
     #    value_outliers to stream_upsert_widening, and pii_redact to
     #    stream_zorder_resume, each on that query's landing commit ----
-    "doc_chunking",
-    "value_outliers",
+    # (doc_chunking yielded to cdf_multi_consumer on its landing
+    #  commit — its green r04 row was independently judge-verified
+    #  bit-exact on 2026-08-16, so the yield costs nothing)
+    # (value_outliers yielded to stream_upsert_widening on its
+    #  landing commit — its green r04 row was independently
+    #  judge-verified bit-exact on 2026-08-16, so the yield costs
+    #  nothing)
     "pii_redact",
 )
 
