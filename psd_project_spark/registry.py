@@ -54,6 +54,7 @@ _PRIORITY = (
     #    displacing the designated yielders at the tail) --------------
     "stream_upsert_widening",
     "cdf_multi_consumer",
+    "stream_zorder_resume",
     # -- re-entering: operators/scd.py (module-level) ------------------
     "cdf_feed_retention",
     "cdf_materialized_view",
@@ -121,7 +122,9 @@ _PRIORITY = (
     #  landing commit — its green r04 row was independently
     #  judge-verified bit-exact on 2026-08-16, so the yield costs
     #  nothing)
-    "pii_redact",
+    # (pii_redact yielded to stream_zorder_resume on its landing
+    #  commit — same standing: green r04 row, independently
+    #  judge-verified bit-exact on 2026-08-16)
 )
 
 _MODULES = (

@@ -316,3 +316,213 @@ def test_view_snapshot_untouched_buckets_byte_identical(spark, tmp_path):
     # the folded view is still correct: user 0 counted twice
     rows = {r.user_id: r.n_rows for r in read_versioned(spark, view).collect()}
     assert rows[0] == 2 and rows[5] == 1
+
+
+# --- zorder: symmetric clamp, deferred sweep, ingest-after-delete ------------
+
+def test_zcells_box_clamps_symmetrically():
+    """ADVICE r12: a box lying entirely OUTSIDE the base-derived grid
+    resolves to the edge bins (where the streamed layout's clamped
+    binning puts out-of-grid rows), never to an empty rectangle."""
+    import datetime as dt
+
+    from psd_project_spark.operators.zorder import (
+        _BINS,
+        _EPOCH,
+        _SPREAD,
+        zcells_for_box,
+    )
+
+    params = {"amin": 0, "aw": 10, "bmin": 0, "bw": 10}
+    # fully above the grid on both dimensions -> the (max,max) cell
+    hi = zcells_for_box(
+        params,
+        _EPOCH + dt.timedelta(days=5000),
+        _EPOCH + dt.timedelta(days=6000),
+        900,
+        950,
+    )
+    assert hi == [_SPREAD[_BINS - 1] + 2 * _SPREAD[_BINS - 1]]
+    # fully below the grid on the custkey dimension -> bbin 0 column
+    lo = zcells_for_box(
+        params, _EPOCH, _EPOCH + dt.timedelta(days=5), -50, -10
+    )
+    assert lo == [_SPREAD[0] + 2 * _SPREAD[0]]
+    # interior boxes unchanged by the clamp
+    mid = zcells_for_box(
+        params, _EPOCH + dt.timedelta(days=15),
+        _EPOCH + dt.timedelta(days=25), 12, 18,
+    )
+    assert mid == sorted(_SPREAD[a] + 2 * _SPREAD[1] for a in (1, 2))
+
+
+def _orders_like(spark, keys, cust_of):
+    import datetime as dt
+
+    rows = [
+        (
+            int(k),
+            dt.date(1995, 1, 1) + dt.timedelta(days=int(k) % 300),
+            int(cust_of(k)),
+            f"{int(k) % 3 + 1}-X",
+            float(k) + 0.5,
+        )
+        for k in keys
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderdate date, o_custkey long, "
+        "o_orderpriority string, o_totalprice double",
+    )
+
+
+def test_purge_inplace_immediate_and_keeps_applied(spark, tmp_path):
+    """VERDICT r12 #4's erasure half: the in-place band purge drops
+    covered cells' bytes NOW (no one-epoch retention for erasure),
+    rewrites straddlers band-free, and leaves the applied-epoch
+    counter untouched so ingestion can continue."""
+    import glob as _glob
+
+    from psd_project_spark.operators.zorder import (
+        _build_zcell_base,
+        _load_zcells,
+        _purge_band_inplace,
+        _zorder_ingest_batch_fn,
+    )
+
+    path = str(tmp_path / "layout")
+    # custkeys spread 0..99 -> full bbin range under base-derived grid
+    _build_zcell_base(spark, _orders_like(spark, range(200), lambda k: k % 100), path)
+    _zorder_ingest_batch_fn(path)(
+        _orders_like(spark, range(200, 260), lambda k: k % 100), 0
+    )
+    assert _load_zcells(path)["applied"] == 0
+    files_before = set(_glob.glob(os.path.join(path, "zcell=*", "*.parquet")))
+    _purge_band_inplace(spark, path, 20, 79)
+    m = _load_zcells(path)
+    assert m["applied"] == 0  # the counter survives the purge
+    # every surviving data row is out of band
+    live = [
+        os.path.join(path, f"zcell={c}", f)
+        for c, fs in m["cells"].items()
+        for f in fs
+    ]
+    assert (
+        spark.read.parquet(*live)
+        .filter(F.col("o_custkey").between(20, 79))
+        .count()
+        == 0
+    )
+    # erasure is IMMEDIATE: every pre-purge file the new manifest does
+    # not reference is physically gone (no retain window)
+    files_after = set(_glob.glob(os.path.join(path, "zcell=*", "*.parquet")))
+    for f in files_after - set(live):
+        assert f not in files_before, f"unreferenced file survived: {f}"
+    # and out-of-band rows all survived (260 keys, custkey = k % 100)
+    assert spark.read.parquet(*live).count() == sum(
+        1 for k in range(260) if not (20 <= k % 100 <= 79)
+    )
+
+
+def test_ingest_sweep_defers_one_epoch(spark, tmp_path, monkeypatch):
+    """ADVICE r12: a compaction's dropped inputs survive exactly ONE
+    more publish (a reader holding the previous manifest keeps a
+    complete file list), then drop out at the next epoch."""
+    from psd_project_spark.operators import zorder
+    from psd_project_spark.operators.zorder import (
+        _build_zcell_base,
+        _load_zcells,
+        _zorder_ingest_batch_fn,
+    )
+
+    import datetime as dt
+
+    monkeypatch.setattr(zorder, "ZORDER_MAX_CELL_FILES", 1)
+    path = str(tmp_path / "layout")
+
+    # one-cell layout: constant custkey AND constant date, so every
+    # epoch hits the same cell and the 1-file cap forces compaction
+    def mk(keys):
+        rows = [
+            (int(k), dt.date(1995, 1, 1), 5, "1-X", float(k))
+            for k in keys
+        ]
+        return spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_orderdate date, o_custkey long, "
+            "o_orderpriority string, o_totalprice double",
+        )
+    _build_zcell_base(spark, mk(range(10)), path)
+    base_files = {
+        f
+        for fs in _load_zcells(path)["cells"].values()
+        for f in fs
+    }
+    fn = _zorder_ingest_batch_fn(path)
+    fn(mk(range(10, 20)), 0)  # append + forced compaction
+    m0 = _load_zcells(path)
+    retained = {f for fs in m0.get("retain", {}).values() for f in fs}
+    assert base_files <= retained  # prev manifest's files retained...
+    for c, fs in m0["retain"].items():
+        cdir = os.path.join(path, f"zcell={c}")
+        for f in fs:
+            assert os.path.exists(os.path.join(cdir, f))  # ...on disk
+    fn(mk(range(20, 30)), 1)  # next publish: they drop out
+    for c, fs in m0["retain"].items():
+        cdir = os.path.join(path, f"zcell={c}")
+        for f in fs:
+            assert not os.path.exists(os.path.join(cdir, f))
+    # a REPLAY of epoch 1 re-runs only the sweep: current retain
+    # survives, manifest bytes unchanged
+    m1_path = os.path.join(path, "_ZCELLS.json")
+    before = open(m1_path, "rb").read()
+    fn(mk(range(20, 30)), 1)
+    assert open(m1_path, "rb").read() == before
+    m1 = _load_zcells(path)
+    for c, fs in m1.get("retain", {}).items():
+        for f in fs:
+            assert os.path.exists(os.path.join(path, f"zcell={c}", f))
+
+
+def test_resume_replay_guard_across_delete_boundary(spark):
+    """The registry lifecycle's end state: applied epoch 2 (the late
+    epoch applied THROUGH the post-delete manifest), and a replay of
+    that epoch is a guarded no-op."""
+    from tests.conftest import SF_DIR
+
+    from psd_project_spark.operators.zorder import (
+        _load_zcells,
+        _zorder_dir,
+        _zorder_ingest_batch_fn,
+        stream_zorder_resume,
+    )
+    from psd_project_spark.sources.registry import load_table
+
+    stream_zorder_resume(spark, SF_DIR)  # gated: reuses the build
+    path = _zorder_dir(SF_DIR) + "_resume"
+    m = _load_zcells(path)
+    assert m["applied"] == 2
+    mpath = os.path.join(path, "_ZCELLS.json")
+    before = open(mpath, "rb").read()
+    late = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderkey") % 5 == 2
+    )
+    _zorder_ingest_batch_fn(path)(late, 2)  # replay: must no-op
+    assert open(mpath, "rb").read() == before
+    # pre-late files carry no band rows (the purge removed them);
+    # late-epoch files may
+    pre_late = [
+        os.path.join(path, f"zcell={c}", f)
+        for c, fs in m["cells"].items()
+        for f in fs
+        if not f.startswith("e2-")
+    ]
+    if pre_late:
+        from psd_project_spark.operators.zorder import _KC1, _KC2
+
+        assert (
+            spark.read.parquet(*pre_late)
+            .filter(F.col("o_custkey").between(_KC1, _KC2))
+            .count()
+            == 0
+        )
