@@ -307,6 +307,35 @@ SHOWCASE = [
         "their d- names — the DELETE's cost model is visible as "
         "which files exist, not as plan complexity.",
     ),
+    (
+        "stream_upsert_widening",
+        "The TYPE-WIDENED state read: ONE scan over the "
+        "manifest-listed generation dirs under the widened schema "
+        "handed to the reader explicitly — pre-widening int32 "
+        "generations up-cast to long NATIVELY inside the scan "
+        "(SPARK-40876), so the plan shows no cast projection, no "
+        "per-generation union, no rewrite: widening is invisible to "
+        "the plan exactly like the additive evolution above.",
+    ),
+    (
+        "cdf_multi_consumer",
+        "Two consumers' convergence as one plan: each snapshot read "
+        "is a manifest-resolved bucket-file scan (delta-maintained, "
+        "bucket-aligned), the union-distinct is the ONLY data-sized "
+        "exchange and it carries 2×|users| aggregate rows, never "
+        "feed or state rows — the proof-of-convergence costs the "
+        "view size, not the pipeline.",
+    ),
+    (
+        "stream_zorder_resume",
+        "The probe after delete-then-ingest: the file list LACKS the "
+        "band-covered cells' pre-purge files, carries straddlers "
+        "under their d- rewrite names, and carries the late epoch's "
+        "e2- files (whose band rows legitimately survive — they "
+        "arrived after the purge); the composition's whole story is "
+        "in which files the manifest lists, the plan is one 5-row "
+        "rollup.",
+    ),
 ]
 
 

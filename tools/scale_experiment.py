@@ -239,6 +239,20 @@ QUERIES = [
     # is gated — rep 1 may pay its build; rep 2 is delete + probe)
     "stream_upsert_evolving",
     "stream_zorder_delete",
+    # round-13: type widening through the keyed upsert (the
+    # stream_upsert_evolving shape with the third epoch widening
+    # qty int→long; evolution itself is the manifest record — old
+    # generations up-cast at read, no rewrite)
+    "stream_upsert_widening",
+    # round-13: two registered consumers folding one feed (fast every
+    # epoch, slow in arrears) — cost is both consumers' applies, each
+    # O(delta + affected snapshot buckets), plus the drain
+    "cdf_multi_consumer",
+    # round-13: ingest-after-delete against the streamed Morton
+    # layout — base + 2 epochs + in-place band purge (O(straddling
+    # cells) rewrite) + the late epoch through the same checkpoint
+    # (sinks pruned per rep: every rep pays the full composition)
+    "stream_zorder_resume",
 ]
 
 
@@ -289,6 +303,9 @@ def _prune_sinks(name: str, sf_dir: str) -> None:
         ],
         "stream_zorder_delete": lambda d: [
             _zodir(d) + "_stream_del", _zodir(d) + "_stream_del_stage"
+        ],
+        "stream_zorder_resume": lambda d: [
+            _zodir(d) + "_resume", _zodir(d) + "_resume_stage"
         ],
     }.get(name)
     if dirs:
