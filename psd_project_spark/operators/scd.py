@@ -932,49 +932,75 @@ def apply_feed_epoch(
         apply_versioned_epoch,
     )
 
-    sign = F.when(F.col("op") == "I", F.lit(1)).otherwise(F.lit(-1))
-    dec = "decimal(27,15)"
-    delta = (
-        spark.read.parquet(os.path.join(feed_dir, f"batch_id={epoch}"))
-        .groupBy("user_id")
-        .agg(
-            F.sum(sign).cast("long").alias("n_rows"),
-            F.sum((sign * F.col("value")).cast(dec))
-            .cast(dec)
-            .alias("sum_value_dec"),
-            F.sum(F.when(F.col("is_current"), sign).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("n_current"),
-        )
+    # replay guard BEFORE touching the feed (a replayed apply's change
+    # file may already be GC'd — the guard must not depend on it): the
+    # snapshot symlink records the last folded epoch, exactly the
+    # kernel's own guard, read here so the eager parquet-schema
+    # resolution below never runs for an already-applied epoch
+    current_link = os.path.join(view_dir, "current")
+    applied = (
+        int(os.readlink(current_link).lstrip("v"))
+        if os.path.lexists(current_link)
+        else -1
     )
-
-    def fold(current: DataFrame | None, df: DataFrame, batch_id: int):
-        # abelian fold: key-local over user_id by construction (every
-        # output user comes from the presented state or the delta)
-        if current is None:
-            return df
-        return (
-            current.unionByName(df)
+    if epoch > applied:
+        feed_path = os.path.join(feed_dir, f"batch_id={epoch}")
+        if not os.path.isdir(feed_path):
+            raise FileNotFoundError(
+                f"change-feed epoch {epoch} is gone from {feed_dir} but "
+                f"the view at {view_dir} never applied it (applied="
+                f"{applied}) — the feed was GC'd past an unfinished "
+                f"consumer; register consumers before the feed starts"
+            )
+        sign = F.when(F.col("op") == "I", F.lit(1)).otherwise(F.lit(-1))
+        dec = "decimal(27,15)"
+        delta = (
+            spark.read.parquet(feed_path)
             .groupBy("user_id")
             .agg(
-                F.sum("n_rows").cast("long").alias("n_rows"),
-                F.sum("sum_value_dec").cast(dec).alias("sum_value_dec"),
-                F.sum("n_current").cast("long").alias("n_current"),
+                F.sum(sign).cast("long").alias("n_rows"),
+                F.sum((sign * F.col("value")).cast(dec))
+                .cast(dec)
+                .alias("sum_value_dec"),
+                F.sum(F.when(F.col("is_current"), sign).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("n_current"),
             )
-            .filter(F.col("n_rows") != 0)
         )
 
-    apply_versioned_epoch(
-        delta, view_dir, epoch, fold, bucket_by=["user_id"]
-    )
+        def fold(current: DataFrame | None, df: DataFrame, batch_id: int):
+            # abelian fold: key-local over user_id by construction
+            # (every output user comes from the presented state or
+            # the delta)
+            if current is None:
+                return df
+            return (
+                current.unionByName(df)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("sum_value_dec").cast(dec).alias("sum_value_dec"),
+                    F.sum("n_current").cast("long").alias("n_current"),
+                )
+                .filter(F.col("n_rows") != 0)
+            )
+
+        apply_versioned_epoch(
+            delta, view_dir, epoch, fold, bucket_by=["user_id"]
+        )
     # progress + GC run even on a replayed (guarded no-op) apply: a
     # consumer that crashed after publish but before recording its
     # progress still owes the marker, and both steps are monotone
+    progress = feed_consumer_progress(feed_dir)
     if consumer is not None:
         _record_consumer_progress(feed_dir, consumer, epoch)
-        cut = min(feed_consumer_progress(feed_dir).values())
+        progress[consumer] = max(progress.get(consumer, -1), epoch)
+        cut = min(progress.values())
     else:
-        cut = epoch
+        # the single-consumer form still honors any REGISTERED
+        # consumers' progress: one consumer=None apply must not
+        # delete epochs a registered-but-slower consumer needs
+        cut = min([epoch, *progress.values()])
     for d in os.listdir(feed_dir):  # consumer progress pays for GC
         m = re.fullmatch(r"batch_id=(\d+)", d)
         if m and int(m.group(1)) < cut:
@@ -1055,10 +1081,13 @@ def cdf_multi_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     after ``fast`` applies epoch 1, epoch 0's change file still
     exists because ``slow`` hasn't consumed it; once ``slow``
     catches up it is deleted). After the stream ends ``slow`` drains
-    the remaining epochs. Result: the UNION-DISTINCT of both final
-    views — it matches :data:`CDF_VIEW_ORACLE` (row-for-row) iff BOTH
-    consumers converged to the same correct view, so the driver row
-    proves convergence of each, not just of one.
+    the remaining epochs. Result: the union-distinct of both final
+    views PLUS their symmetric difference (unioned in again,
+    row-duplicating any disagreement) — it matches
+    :data:`CDF_VIEW_ORACLE` row-for-row iff the views are EQUAL and
+    correct: a row one consumer misses or invents lands in the
+    symmetric difference and breaks the count/hash, so the driver row
+    proves convergence of each, not just of their union.
 
     At 100 TB: retention cost is (epochs between the fastest and
     slowest registered consumer) × per-epoch delta size — the Kafka
@@ -1095,18 +1124,22 @@ def cdf_multi_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import re
 
+    slow_progress = feed_consumer_progress(feed_dir)["slow"]
     owed = sorted(
         int(m.group(1))
         for d in os.listdir(feed_dir)
         if (m := re.fullmatch(r"batch_id=(\d+)", d))
-        if int(m.group(1)) > feed_consumer_progress(feed_dir)["slow"]
+        if int(m.group(1)) > slow_progress
     )
     for i in owed:
         apply_feed_epoch(spark, feed_dir, view_slow, i, consumer="slow")
+    fast = _read_view_snapshot(spark, view_fast)
+    slow = _read_view_snapshot(spark, view_slow)
+    disagreement = fast.exceptAll(slow).unionByName(slow.exceptAll(fast))
     return (
-        _read_view_snapshot(spark, view_fast)
-        .unionByName(_read_view_snapshot(spark, view_slow))
+        fast.unionByName(slow)
         .distinct()
+        .unionByName(disagreement)
         .orderBy("user_id")
     )
 

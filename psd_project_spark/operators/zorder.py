@@ -1283,74 +1283,15 @@ def stream_zorder_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                     shutil.rmtree(path)
                 os.makedirs(path)
                 manifest = _load_zcells(src_path)
-                params = manifest["params"]
-                bins = _cell_bins()
-                affected = set(
-                    zcells_for_box(
-                        params,
-                        _dt.date(1992, 1, 1),
-                        _dt.date(2005, 12, 31),
-                        _KC1,
-                        _KC2,
-                    )
+                new_cells = _purge_band_from_manifest(
+                    spark, manifest, src_path, path, _KC1, _KC2
                 )
-                new_cells: dict[str, list[str]] = {}
-                for cell_s, live in sorted(manifest["cells"].items()):
-                    cell = int(cell_s)
-                    cdir_src = os.path.join(src_path, f"zcell={cell}")
-                    if cell not in affected:  # zero-copy carry-over
-                        cdir = os.path.join(path, f"zcell={cell}")
-                        os.makedirs(cdir)
-                        for f in live:
-                            os.link(
-                                os.path.join(cdir_src, f),
-                                os.path.join(cdir, f),
-                            )
-                        new_cells[cell_s] = list(live)
-                        continue
-                    # clamped=True: the streamed layout's edge bins
-                    # hold rows clamped in from OUTSIDE the
-                    # base-derived grid, so they are never droppable
-                    # wholesale — they rewrite with the exact
-                    # predicate instead (the latent
-                    # subset-delete-from-superset-bin hazard)
-                    if _bbin_fully_inside_band(
-                        params, bins[cell][1], _KC1, _KC2, clamped=True
-                    ):
-                        continue  # bin fully inside the band: drop cell
-                    stage = os.path.join(path + "_stage", f"zcell={cell}")
-                    (
-                        spark.read.parquet(
-                            *(os.path.join(cdir_src, f) for f in live)
-                        )
-                        .filter(~F.col("o_custkey").between(_KC1, _KC2))
-                        .coalesce(1)
-                        .write.mode("overwrite")
-                        .parquet(stage)
-                    )
-                    parts = sorted(
-                        f for f in os.listdir(stage)
-                        if f.endswith(".parquet")
-                    )
-                    if not parts:  # every row of the cell was in-band
-                        continue
-                    cdir = os.path.join(path, f"zcell={cell}")
-                    os.makedirs(cdir)
-                    kept = []
-                    for i, f in enumerate(parts):
-                        dest = f"d-p{i:05d}.parquet"
-                        os.replace(
-                            os.path.join(stage, f),
-                            os.path.join(cdir, dest),
-                        )
-                        kept.append(dest)
-                    new_cells[cell_s] = kept
                 shutil.rmtree(path + "_stage", ignore_errors=True)
                 _publish_zcells(
                     path,
                     {
                         "applied": manifest["applied"],
-                        "params": params,
+                        "params": manifest["params"],
                         "cells": new_cells,
                     },
                 )
@@ -1380,23 +1321,26 @@ def stream_zorder_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _purge_band_inplace(
-    spark: SparkSession, path: str, c1: int, c2: int
-) -> None:
-    """Erase a custkey band from the LIVE streamed layout, in place —
-    the erasure kernel :func:`stream_zorder_resume` runs mid-stream:
-    band-covered bins' cells drop from the manifest (no read), edge /
-    straddling cells' live sets are rewritten with the complement
-    predicate under ``d-`` names (outside the ``e{batch}-`` namespace,
-    so a later epoch's crashed-attempt purge never touches them), the
-    new manifest KEEPS the applied-epoch counter — later ingest epochs
-    continue against the post-delete state through the unchanged
-    replay guard — and the sweep runs IMMEDIATELY with no retain list:
-    purged bytes must be gone now, and the calling lifecycle holds the
-    writer lock, so no reader holds the superseded manifest."""
-    import shutil
-
-    manifest = _load_zcells(path)
+def _purge_band_from_manifest(
+    spark: SparkSession,
+    manifest: dict,
+    src_path: str,
+    out_path: str,
+    c1: int,
+    c2: int,
+) -> dict[str, list[str]]:
+    """The ONE band-purge kernel over a live-file manifest, shared by
+    the clone takedown (:func:`stream_zorder_delete`) and the in-place
+    erasure (:func:`_purge_band_inplace`) so the subtle invariants —
+    the clamped-edge-bin wholesale-drop guard, the ``d-`` rewrite
+    namespace (outside ``e{batch}-``, so a later epoch's
+    crashed-attempt purge never touches them), the empty-rewrite drop
+    — live in one place. Band-covered bins' cells simply don't enter
+    the returned cell map (no read); straddling cells' live sets are
+    rewritten with the complement predicate; unaffected cells carry
+    over — as hardlinks when cloning (``out_path != src_path``), as
+    their standing entries when in place. Returns the post-purge cell
+    map; the caller publishes it."""
     params = manifest["params"]
     bins = _cell_bins()
     affected = set(
@@ -1404,22 +1348,35 @@ def _purge_band_inplace(
             params, _dt.date(1992, 1, 1), _dt.date(2005, 12, 31), c1, c2
         )
     )
+    clone = out_path != src_path
     new_cells: dict[str, list[str]] = {}
     for cell_s, live in sorted(manifest["cells"].items()):
         cell = int(cell_s)
+        cdir_src = os.path.join(src_path, f"zcell={cell}")
+        cdir_out = os.path.join(out_path, f"zcell={cell}")
         if cell not in affected:
+            if clone:  # zero-copy carry-over
+                os.makedirs(cdir_out)
+                for f in live:
+                    os.link(
+                        os.path.join(cdir_src, f),
+                        os.path.join(cdir_out, f),
+                    )
             new_cells[cell_s] = list(live)
             continue
-        # clamped=True: edge bins hold rows clamped in from outside
-        # the base-derived grid — never droppable wholesale
+        # clamped=True: the streamed layout's edge bins hold rows
+        # clamped in from OUTSIDE the base-derived grid, so they are
+        # never droppable wholesale — they rewrite with the exact
+        # predicate instead (the subset-delete-from-superset hazard)
         if _bbin_fully_inside_band(
             params, bins[cell][1], c1, c2, clamped=True
         ):
             continue  # bin fully inside the band: drop the cell
-        cdir = os.path.join(path, f"zcell={cell}")
-        stage = os.path.join(path + "_stage", f"purge={cell}")
+        stage = os.path.join(out_path + "_stage", f"purge={cell}")
         (
-            spark.read.parquet(*(os.path.join(cdir, f) for f in live))
+            spark.read.parquet(
+                *(os.path.join(cdir_src, f) for f in live)
+            )
             .filter(~F.col("o_custkey").between(c1, c2))
             .coalesce(1)
             .write.mode("overwrite")
@@ -1428,19 +1385,41 @@ def _purge_band_inplace(
         parts = sorted(
             f for f in os.listdir(stage) if f.endswith(".parquet")
         )
+        if not parts:  # every row of the cell was in-band
+            continue
+        os.makedirs(cdir_out, exist_ok=True)
         kept = []
         for i, f in enumerate(parts):
             dest = f"d-p{i:05d}.parquet"
-            os.replace(os.path.join(stage, f), os.path.join(cdir, dest))
+            os.replace(os.path.join(stage, f), os.path.join(cdir_out, dest))
             kept.append(dest)
-        if kept:
-            new_cells[cell_s] = kept
+        new_cells[cell_s] = kept
+    return new_cells
+
+
+def _purge_band_inplace(
+    spark: SparkSession, path: str, c1: int, c2: int
+) -> None:
+    """Erase a custkey band from the LIVE streamed layout, in place —
+    the erasure :func:`stream_zorder_resume` runs mid-stream: the
+    shared purge kernel rewrites/drops the affected cells, the new
+    manifest KEEPS the applied-epoch counter — later ingest epochs
+    continue against the post-delete state through the unchanged
+    replay guard — and the sweep runs IMMEDIATELY with no retain list:
+    purged bytes must be gone now, and the calling lifecycle holds the
+    writer lock, so no reader holds the superseded manifest."""
+    import shutil
+
+    manifest = _load_zcells(path)
+    new_cells = _purge_band_from_manifest(
+        spark, manifest, path, path, c1, c2
+    )
     shutil.rmtree(path + "_stage", ignore_errors=True)
     _publish_zcells(
         path,
         {
             "applied": manifest["applied"],
-            "params": params,
+            "params": manifest["params"],
             "cells": new_cells,
         },
     )

@@ -277,6 +277,39 @@ def test_feed_gc_pinned_to_slowest_consumer(spark, tmp_path):
     a = read_versioned(spark, va).orderBy("user_id").collect()
     b = read_versioned(spark, vb).orderBy("user_id").collect()
     assert a == b and len(a) == 15
+    # a REPLAYED apply of an epoch whose change file is already GC'd
+    # (consumer crash after publish, before offset commit) is a clean
+    # no-op — the guard must not touch the gone feed file
+    apply_feed_epoch(spark, feed, va, 1, consumer="fast")
+    assert read_versioned(spark, va).orderBy("user_id").collect() == a
+    # but a consumer that truly never applied a gone epoch fails loudly
+    vc = str(tmp_path / "vc")
+    with pytest.raises(FileNotFoundError, match="GC'd past"):
+        apply_feed_epoch(spark, feed, vc, 1, consumer="late-joiner")
+
+
+def test_single_consumer_apply_respects_registered_laggards(
+    spark, tmp_path
+):
+    """A consumer=None apply on a feed that HAS registered consumers
+    must not GC epochs a registered-but-slower consumer still needs —
+    register_feed_consumer's no-deletion-before-applied guarantee
+    holds across both call forms."""
+    from psd_project_spark.operators.scd import (
+        apply_feed_epoch,
+        register_feed_consumer,
+    )
+
+    feed = str(tmp_path / "feed")
+    view = str(tmp_path / "view")
+    os.makedirs(feed)
+    register_feed_consumer(feed, "slow")  # progress -1, never applies
+    for i in range(3):
+        _write_change_epoch(spark, feed, i, range(5))
+        apply_feed_epoch(spark, feed, view, i)  # single-consumer form
+    assert sorted(
+        d for d in os.listdir(feed) if d.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1", "batch_id=2"]
 
 
 def test_view_snapshot_untouched_buckets_byte_identical(spark, tmp_path):
