@@ -424,6 +424,26 @@ def _merge_zonemap(
     os.replace(tmp, zpath)
 
 
+def _build_zonemap_base(spark: SparkSession, base: DataFrame, path: str) -> None:
+    """Build the streamed zone-mapped table's BASE snapshot: the
+    range-clustered write plus the full stats manifest (published
+    strictly after the data) — factored from
+    :func:`stream_zonemap_ingest` so the delete-then-continue
+    lifecycle (:func:`stream_zonemap_resume`) builds through the
+    identical code."""
+    zpath = os.path.join(path, _ZONEMAP)
+    (
+        base.repartitionByRange(ZONEMAP_FILES, F.col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    base_map = _zonemap_stats(spark, path)
+    with open(zpath + ".tmp", "w") as fh:
+        json.dump(base_map, fh, sort_keys=True)
+    os.replace(zpath + ".tmp", zpath)
+
+
 def stream_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The zone map's ONLINE half — incremental stats on append, the
     per-commit file-statistics discipline a lakehouse transaction log
@@ -483,17 +503,7 @@ def stream_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     shutil.rmtree(path)  # a crashed prior ingest
                 # base phase: clustered write + full stats (the
                 # manifest exists before any epoch extends it)
-                (
-                    li.filter(~is_delta)
-                    .repartitionByRange(ZONEMAP_FILES, F.col("l_shipdate"))
-                    .sortWithinPartitions("l_shipdate")
-                    .write.mode("overwrite")
-                    .parquet(path)
-                )
-                base_map = _zonemap_stats(spark, path)
-                with open(zpath + ".tmp", "w") as fh:
-                    json.dump(base_map, fh, sort_keys=True)
-                os.replace(zpath + ".tmp", zpath)
+                _build_zonemap_base(spark, li.filter(~is_delta), path)
                 arriving = (
                     spark.readStream.schema(li.schema)
                     .option("maxFilesPerTrigger", 1)
@@ -542,6 +552,23 @@ def stream_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Clustered files per ingest epoch (tight zones for the delta too).
 ZONEMAP_EPOCH_FILES = 4
 
+#: Purge journal for the streamed zone-mapped table: each in-place
+#: range erasure records (lo, hi, the epoch ids it purged). The
+#: ingest's replay protocol REPLACES a replayed epoch's output
+#: wholesale — without the journal, a pre-purge epoch replaying after
+#: an erasure would RESURRECT its purged rows; with it, the replay
+#: re-applies exactly the purges that already hit that epoch (and
+#: never touches later epochs' legitimately in-range rows).
+_ZPURGES = "_ZPURGES.json"
+
+
+def _load_zpurges(path: str) -> list[dict]:
+    p = os.path.join(path, _ZPURGES)
+    if not os.path.exists(p):
+        return []
+    with open(p) as fh:
+        return json.load(fh)
+
 
 def _zonemap_ingest_batch_fn(path: str):
     """The per-epoch append as a ``foreachBatch`` callable (factored
@@ -554,7 +581,11 @@ def _zonemap_ingest_batch_fn(path: str):
     safety: the epoch's previous data files and manifest entries are
     PURGED before the re-rename — a replayed epoch replaces its own
     output wholesale (even if the range partitioner cuts the rerun
-    into a different file count), never accumulates it."""
+    into a different file count), never accumulates it — and any
+    range erasure the purge journal records against THIS epoch is
+    re-applied to the replayed rows first, so a replay after an
+    in-place delete cannot resurrect purged rows
+    (:data:`_ZPURGES`)."""
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
         from psd_project_spark.operators.index_compact import (
@@ -564,6 +595,13 @@ def _zonemap_ingest_batch_fn(path: str):
         spark = batch.sparkSession
         prefix = f"e{batch_id}-"
         with single_writer(path):
+            for purge in _load_zpurges(path):
+                if batch_id in purge["epochs"]:
+                    batch = batch.filter(
+                        ~F.col("l_shipdate").between(
+                            purge["lo"], purge["hi"]
+                        )
+                    )
             stage = os.path.join(path + "_stage", f"epoch={batch_id}")
             (
                 batch.repartitionByRange(
@@ -573,7 +611,13 @@ def _zonemap_ingest_batch_fn(path: str):
                 .write.mode("overwrite")
                 .parquet(stage)
             )
-            stats = _zonemap_stats(spark, stage)
+            staged = any(
+                f.endswith(".parquet") for f in os.listdir(stage)
+            )
+            # a replayed epoch fully consumed by a recorded purge
+            # stages nothing — its manifest entries and files must
+            # still drop below (the purge already erased them)
+            stats = _zonemap_stats(spark, stage) if staged else {}
             for old in os.listdir(path):  # a replayed epoch's files
                 if old.startswith(prefix):
                     os.unlink(os.path.join(path, old))
@@ -1522,6 +1566,203 @@ def stream_zorder_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purge_range_inplace(
+    spark: SparkSession, path: str, lo: str, hi: str
+) -> None:
+    """Erase a shipdate range from the LIVE streamed zone-mapped
+    table, in place — the erasure :func:`stream_zonemap_resume` runs
+    mid-stream: fully-covered zones drop from the manifest (no read),
+    straddling files rewrite with the complement predicate under
+    ``d-`` names, and the purge is JOURNALED against the epoch ids it
+    covered (:data:`_ZPURGES`) BEFORE the manifest publishes — the
+    ingest's wholesale-replace replay protocol re-applies recorded
+    purges to a replayed epoch, so a crash-recovery replay cannot
+    resurrect purged rows (the hazard the Morton layout's applied
+    counter prevents structurally; the zone map's per-epoch replace
+    needs the journal instead). The sweep is IMMEDIATE: purged bytes
+    must be gone now, and the calling lifecycle holds the writer
+    lock."""
+    import re
+    import shutil
+
+    zpath = os.path.join(path, _ZONEMAP)
+    with open(zpath) as fh:
+        zmap = json.load(fh)
+    new_zmap: dict[str, list[str]] = {}
+    for name, (zlo, zhi) in sorted(zmap.items()):
+        if zlo >= lo and zhi <= hi:
+            continue  # fully covered: metadata-only drop
+        if zhi < lo or zlo > hi:  # disjoint: untouched
+            new_zmap[name] = [zlo, zhi]
+            continue
+        stage = os.path.join(path + "_stage", f"purge-{name}")
+        (
+            spark.read.parquet(os.path.join(path, name))
+            .filter(~F.col("l_shipdate").between(lo, hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        # non-empty by construction: a straddling zone's lo < range
+        # or hi > range row survives the complement filter
+        stats = _zonemap_stats(spark, stage)
+        ((part, bounds),) = stats.items()
+        # a rewritten EPOCH file keeps its epoch prefix (e0-p… →
+        # e0-d-p…): the ingest's replay protocol replaces everything
+        # under the epoch's prefix, so the purge's survivor rows must
+        # stay inside that replace set — renaming them OUT of it
+        # (d-e0-…) would let a replay re-add rows the purge already
+        # preserved, duplicating them. Base files never replay, so
+        # they take the plain d- name.
+        m = re.match(r"(e\d+-)(.*)", name)
+        dest = f"{m.group(1)}d-{m.group(2)}" if m else f"d-{name}"
+        os.replace(os.path.join(stage, part), os.path.join(path, dest))
+        new_zmap[dest] = bounds
+    shutil.rmtree(path + "_stage", ignore_errors=True)
+    # journal strictly BEFORE the manifest publish: a replayed epoch
+    # must see the purge no later than readers see its effect
+    epochs = sorted(
+        {
+            int(m.group(1))
+            for n in zmap
+            if (m := re.match(r"e(\d+)-", n))
+        }
+    )
+    purges = _load_zpurges(path)
+    purges.append({"lo": lo, "hi": hi, "epochs": epochs})
+    ptmp = os.path.join(path, _ZPURGES + ".tmp")
+    with open(ptmp, "w") as fh:
+        json.dump(purges, fh, sort_keys=True)
+    os.replace(ptmp, os.path.join(path, _ZPURGES))
+    tmp = zpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(new_zmap, fh, sort_keys=True)
+    os.replace(tmp, zpath)
+    for f in os.listdir(path):  # immediate: erasure
+        if f.endswith(".parquet") and f not in new_zmap:
+            os.unlink(os.path.join(path, f))
+
+
+def stream_zonemap_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST AFTER DELETE for the zone-mapped table — the zone map's
+    half of the composition :func:`stream_zorder_resume` closes for
+    the Morton layout, with a twist the zone map NEEDS and the Morton
+    layout doesn't: the zone-map ingest's replay protocol replaces a
+    replayed epoch's output WHOLESALE, so without the purge journal a
+    pre-purge epoch replaying after the erasure would resurrect its
+    purged rows (there is no applied-epoch counter here to make the
+    replay a no-op). One lifecycle: base (lineitem with
+    ``l_orderkey % 5 ∈ {3,4}``) → two streamed epochs (``% 5 ∈
+    {0,1}``) → an IN-PLACE shipdate-range purge (journaled against
+    epochs 0-1, zones dropped/rewritten, bytes gone immediately) → a
+    LATE epoch (``% 5 = 2``) continuing the SAME checkpoint, whose
+    in-range rows legitimately survive (it is not in the journal).
+    Oracle: closed form over ``lineitem`` — a row survives iff it is
+    late or outside the purged range. The resurrection hazard itself
+    is pinned by test: a forced replay of a journaled epoch re-applies
+    the purge.
+
+    At 100 TB: same bounds as the batch delete (O(straddling files)
+    rewrite + metadata drops) compounding with online ingestion; the
+    journal is one small JSON consulted per epoch commit."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.operators.index_compact import (
+        prune_siblings_of,
+        single_writer,
+    )
+    from psd_project_spark.streaming.foreach_sink import (
+        run_stream,
+        stage_stream_splits,
+    )
+
+    path = _zonemap_dir(sf_dir) + "_resume"
+    marker = os.path.join(path, "_RESUMED")
+    if not os.path.exists(marker):
+        prune_siblings_of(path)
+        li = load_table(spark, sf_dir, "lineitem")
+        m5 = F.col("l_orderkey") % 5
+        with single_writer(path):
+            if not os.path.exists(marker):  # raced lifecycle finished
+                import shutil
+
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                _build_zonemap_base(spark, li.filter(m5 >= 3), path)
+                src = scratch_dir("psd_zmres_src_")
+                ckpt = scratch_dir("psd_zmres_ckpt_")
+                stage_stream_splits(li.filter(m5 < 2), m5, src, n=2)
+
+                def ingest() -> None:
+                    run_stream(
+                        spark.readStream.schema(li.schema)
+                        .option("maxFilesPerTrigger", 1)
+                        .option("recursiveFileLookup", "true")
+                        .parquet(src),
+                        _zonemap_ingest_batch_fn(path),
+                        ckpt,
+                        state_partitions=None,
+                    )
+
+                ingest()  # epochs 0 and 1
+                _purge_range_inplace(spark, path, _DL1, _DL2)
+                (
+                    li.filter(m5 == 2)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(f"{src}/p2")
+                )
+                ingest()  # the late epoch: not in the purge journal
+                with open(marker, "w") as fh:
+                    fh.write(
+                        f"base + 2 epochs, purged [{_DL1}, {_DL2}], "
+                        f"then 1 more epoch\n"
+                    )
+    with open(os.path.join(path, _ZONEMAP)) as fh:
+        names = sorted(json.load(fh))
+    dec = "decimal(27,15)"
+    src_df = (
+        spark.read.parquet(*(os.path.join(path, n) for n in names))
+        if names
+        else load_table(spark, sf_dir, "lineitem").limit(0)
+    )
+    return (
+        src_df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_quantity").cast(dec)).cast("double"), 6
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                    ).cast(dec)
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ZONEMAP_RESUME_ORACLE = f"""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_quantity
+         AS STRING) AS DECIMAL(27,15))) AS STRING) AS DOUBLE) AS STRING)
+         AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE) AS sum_qty,
+       CAST(CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(l_extendedprice
+         * (1.0 - l_discount) AS STRING) AS DECIMAL(27,15))) AS STRING)
+         AS DOUBLE) AS STRING) AS DECIMAL(38,21)), 6) AS STRING) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_orderkey % 5 = 2
+   OR NOT (l_shipdate BETWEEN TIMESTAMP '{_DL1}' AND TIMESTAMP '{_DL2}')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 ZORDER_RESUME_ORACLE = f"""
 SELECT o_orderpriority,
        count(*) AS n_orders,
@@ -1543,4 +1784,5 @@ QUERIES = {
     "zorder_delete": (zorder_delete, ZORDER_DELETE_ORACLE),
     "stream_zorder_delete": (stream_zorder_delete, ZORDER_DELETE_ORACLE),
     "stream_zorder_resume": (stream_zorder_resume, ZORDER_RESUME_ORACLE),
+    "stream_zonemap_resume": (stream_zonemap_resume, ZONEMAP_RESUME_ORACLE),
 }

@@ -55,6 +55,7 @@ _PRIORITY = (
     "stream_upsert_widening",
     "cdf_multi_consumer",
     "stream_zorder_resume",
+    "stream_zonemap_resume",
     # -- re-entering: operators/scd.py (module-level) ------------------
     "cdf_feed_retention",
     "cdf_materialized_view",
@@ -109,7 +110,12 @@ _PRIORITY = (
     "incremental_rollup",
     "mad_by_type",
     "moment_stats",
-    "part_price_quartiles",
+    # (part_price_quartiles — the tail r04 spare — yielded to the
+    #  late-landing stream_zonemap_resume, the r12 precedent of
+    #  yields coming from the stale block's tail when the designated
+    #  yielders are consumed; its r04 row stands over bytes untouched
+    #  since, and it is covered by this round's in-session
+    #  full-registry sweep)
     # -- designated yielders (each holds a green r04 row independently
     #    judge-verified bit-exact on 2026-08-16, so a yield costs
     #    nothing): doc_chunking yields to cdf_multi_consumer,

@@ -112,13 +112,16 @@ R13_STALE_REVERIFY = {
     "resample_ffill",
     "retention_cohorts",
     "rolling_dau",
-    # r04 rows — the 6 not judge-spot-checked in the r12 session
+    # r04 rows — of the 6 not judge-spot-checked in the r12 session,
+    # the 5 that kept their slots (part_price_quartiles, the tail
+    # spare, yielded to the late-landing stream_zonemap_resume — its
+    # r04 row stands over bytes untouched since, and the round-13
+    # in-session full-registry sweep covers it)
     "boilerplate_screen",
     "funnel_conversion",
     "incremental_rollup",
     "mad_by_type",
     "moment_stats",
-    "part_price_quartiles",
 }
 
 #: Designated yielders (tail spares): each holds a green r04 driver

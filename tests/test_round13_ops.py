@@ -559,3 +559,107 @@ def test_resume_replay_guard_across_delete_boundary(spark):
             .count()
             == 0
         )
+
+
+def _li_like(spark, keys, day_of):
+    import datetime as dt
+
+    rows = [
+        (
+            int(k),
+            dt.datetime(1996, 1, 1) + dt.timedelta(days=int(day_of(k))),
+            "A",
+            1.0,
+            10.0,
+            0.0,
+        )
+        for k in keys
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_shipdate timestamp, l_returnflag string, "
+        "l_quantity double, l_extendedprice double, l_discount double",
+    )
+
+
+def test_zonemap_purge_journal_blocks_resurrection(spark, tmp_path):
+    """The hazard stream_zonemap_resume exists to close: the zone-map
+    ingest REPLACES a replayed epoch's output wholesale, so without
+    the purge journal a pre-purge epoch replaying after an erasure
+    would resurrect its purged rows. With the journal: the replay
+    re-applies the purge to its own rows; a fully-consumed epoch's
+    entries drop; a LATER epoch's in-range rows survive untouched."""
+    import json
+
+    from psd_project_spark.operators.zorder import (
+        _ZONEMAP,
+        _build_zonemap_base,
+        _purge_range_inplace,
+        _zonemap_ingest_batch_fn,
+    )
+
+    path = str(tmp_path / "layout")
+    # base: days 0..19; epoch 0: days 20..39 (straddles the purge)
+    _build_zonemap_base(spark, _li_like(spark, range(20), lambda k: k), path)
+    fn = _zonemap_ingest_batch_fn(path)
+    e0 = _li_like(spark, range(100, 120), lambda k: k % 100 + 20)
+    fn(e0, 0)
+
+    def live_rows():
+        with open(os.path.join(path, _ZONEMAP)) as fh:
+            names = sorted(json.load(fh))
+        if not names:
+            return spark.range(0).select()
+        return spark.read.parquet(*(os.path.join(path, n) for n in names))
+
+    assert live_rows().count() == 40
+    lo, hi = "1996-01-11 00:00:00", "1996-01-31 23:59:59"  # days 10..30
+    _purge_range_inplace(spark, path, lo, hi)
+    in_range = F.col("l_shipdate").between(lo, hi)
+    assert live_rows().filter(in_range).count() == 0
+    survivors = live_rows().count()
+    assert survivors == 40 - 21  # days 10..30 inclusive purged
+    # REPLAY the journaled epoch with its original (pre-purge) rows:
+    # purged rows must NOT resurrect
+    fn(e0, 0)
+    assert live_rows().filter(in_range).count() == 0
+    assert live_rows().count() == survivors
+    # a LATE epoch's in-range rows legitimately survive (not in the
+    # journal — they arrived after the purge)
+    fn(_li_like(spark, range(200, 210), lambda k: 15), 1)
+    assert live_rows().filter(in_range).count() == 10
+
+
+def test_zonemap_purge_fully_consumed_epoch_replay_drops_entries(
+    spark, tmp_path
+):
+    """A replayed epoch whose EVERY row a recorded purge consumed
+    stages nothing — its files and manifest entries must still drop
+    (the replay replaces its output with the empty set)."""
+    import json
+
+    from psd_project_spark.operators.zorder import (
+        _ZONEMAP,
+        _build_zonemap_base,
+        _purge_range_inplace,
+        _zonemap_ingest_batch_fn,
+    )
+
+    path = str(tmp_path / "layout")
+    _build_zonemap_base(spark, _li_like(spark, range(5), lambda k: k), path)
+    fn = _zonemap_ingest_batch_fn(path)
+    e0 = _li_like(spark, range(100, 110), lambda k: 50)  # all day 50
+    fn(e0, 0)
+    _purge_range_inplace(
+        spark, path, "1996-02-15 00:00:00", "1996-02-25 23:59:59"
+    )
+    with open(os.path.join(path, _ZONEMAP)) as fh:
+        assert not any(n.startswith("e0-") for n in json.load(fh))
+    fn(e0, 0)  # replay: stages nothing, must not error or resurrect
+    with open(os.path.join(path, _ZONEMAP)) as fh:
+        names = sorted(json.load(fh))
+    assert not any(n.startswith("e0-") for n in names)
+    assert (
+        spark.read.parquet(*(os.path.join(path, n) for n in names)).count()
+        == 5
+    )

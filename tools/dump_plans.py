@@ -327,6 +327,16 @@ SHOWCASE = [
         "view size, not the pipeline.",
     ),
     (
+        "stream_zonemap_resume",
+        "Delete-then-continue for the zone map: the probe's file "
+        "list lacks the purged zones, carries straddlers under their "
+        "epoch-preserving e{N}-d- rewrite names (inside the epoch's "
+        "replay-replace set, so a replay cannot duplicate them), and "
+        "carries the late epoch's files whose in-range rows "
+        "legitimately survive — the purge journal, not the plan, is "
+        "what makes replay safe.",
+    ),
+    (
         "stream_zorder_resume",
         "The probe after delete-then-ingest: the file list LACKS the "
         "band-covered cells' pre-purge files, carries straddlers "

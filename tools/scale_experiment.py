@@ -253,6 +253,10 @@ QUERIES = [
     # cells) rewrite) + the late epoch through the same checkpoint
     # (sinks pruned per rep: every rep pays the full composition)
     "stream_zorder_resume",
+    # round-13: the zone map's delete-then-continue — base + 2 epochs
+    # + journaled in-place range purge + the late epoch; the journal
+    # keeps a replayed pre-purge epoch from resurrecting purged rows
+    "stream_zonemap_resume",
 ]
 
 
@@ -306,6 +310,9 @@ def _prune_sinks(name: str, sf_dir: str) -> None:
         ],
         "stream_zorder_resume": lambda d: [
             _zodir(d) + "_resume", _zodir(d) + "_resume_stage"
+        ],
+        "stream_zonemap_resume": lambda d: [
+            _zdir(d) + "_resume", _zdir(d) + "_resume_stage"
         ],
     }.get(name)
     if dirs:
