@@ -198,22 +198,13 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(path, _PARAMS)) as fh:
         params = json.load(fh)
     cells = zcells_for_box(params, _D1, _D2, _C1, _C2)
-    dec = "decimal(27,15)"
-    return (
+    return _priority_agg(
         spark.read.parquet(path)
         .filter(F.col("zcell").isin(cells))
         .filter(
             F.col("o_orderdate").between(_D1.isoformat(), _D2.isoformat())
             & F.col("o_custkey").between(_C1, _C2)
         )
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 6
-            ).alias("revenue"),
-        )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -308,6 +299,51 @@ def build_zonemap_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _returnflag_agg(src: DataFrame) -> DataFrame:
+    """The zone-map probes' shared aggregate (count / quantity mass /
+    revenue per return flag) — ONE definition so every zone-map probe
+    stays bit-identical to the oracle's decimal chain by construction
+    (it appeared four times before the round-13 review)."""
+    dec = "decimal(27,15)"
+    return (
+        src.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_quantity").cast(dec)).cast("double"), 6
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                    ).cast(dec)
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _priority_agg(src: DataFrame) -> DataFrame:
+    """The Morton-layout probes' shared aggregate (order count /
+    revenue per priority) — same single-definition discipline as
+    :func:`_returnflag_agg` (five inline copies before the round-13
+    review)."""
+    dec = "decimal(27,15)"
+    return (
+        src.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 6
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def zonemap_files_for_range(path: str, lo: str, hi: str) -> list[str]:
     """The files a ``[lo, hi]`` shipdate predicate must read: every
     file whose zone ``[min, max]`` intersects the range (string
@@ -337,31 +373,13 @@ def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     invent nothing."""
     path = build_zonemap_table(spark, sf_dir)
     names = zonemap_files_for_range(path, _Z1, _Z2)
-    dec = "decimal(27,15)"
     src = (
         spark.read.parquet(*(os.path.join(path, n) for n in names))
         if names
         else load_table(spark, sf_dir, "lineitem").limit(0)
     )
-    return (
+    return _returnflag_agg(
         src.filter(F.col("l_shipdate").between(_Z1, _Z2))
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_quantity").cast(dec)).cast("double"), 6
-            ).alias("sum_qty"),
-            F.round(
-                F.sum(
-                    (
-                        F.col("l_extendedprice")
-                        * (F.lit(1.0) - F.col("l_discount"))
-                    ).cast(dec)
-                ).cast("double"),
-                6,
-            ).alias("revenue"),
-        )
-        .orderBy("l_returnflag")
     )
 
 
@@ -519,7 +537,6 @@ def stream_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 with open(marker, "w") as fh:
                     fh.write("base + streamed appends + stats\n")
     names = zonemap_files_for_range(path, _Z1, _Z2)
-    dec = "decimal(27,15)"
     src_df = (
         spark.read.parquet(*(os.path.join(path, n) for n in names))
         if names
@@ -527,25 +544,8 @@ def stream_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (ADVICE r11): same zero-row source, never a raise
         else load_table(spark, sf_dir, "lineitem").limit(0)
     )
-    return (
+    return _returnflag_agg(
         src_df.filter(F.col("l_shipdate").between(_Z1, _Z2))
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_quantity").cast(dec)).cast("double"), 6
-            ).alias("sum_qty"),
-            F.round(
-                F.sum(
-                    (
-                        F.col("l_extendedprice")
-                        * (F.lit(1.0) - F.col("l_discount"))
-                    ).cast(dec)
-                ).cast("double"),
-                6,
-            ).alias("revenue"),
-        )
-        .orderBy("l_returnflag")
     )
 
 
@@ -972,25 +972,16 @@ def stream_zorder_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 with open(marker, "w") as fh:
                     fh.write("base + streamed z-cell appends\n")
     paths, _manifest = zcell_files_for_box(path, _D1, _D2, _C1, _C2)
-    dec = "decimal(27,15)"
     src_df = (
         spark.read.parquet(*paths)
         if paths
         else load_table(spark, sf_dir, "orders").limit(0)
     )
-    return (
+    return _priority_agg(
         src_df.filter(
             F.col("o_orderdate").between(_D1.isoformat(), _D2.isoformat())
             & F.col("o_custkey").between(_C1, _C2)
         )
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 6
-            ).alias("revenue"),
-        )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -1006,6 +997,63 @@ _DL1, _DL2 = "1996-01-01 00:00:00", "1996-12-31 23:59:59"
 _KC1, _KC2 = 25, 70
 
 _DELETED = "_DELETED"
+
+
+def _purge_range_zones(
+    spark: SparkSession,
+    zmap: dict,
+    src_path: str,
+    out_path: str,
+    lo: str,
+    hi: str,
+) -> dict[str, list[str]]:
+    """The ONE range-purge kernel over a zone manifest — the zone
+    map's analog of :func:`_purge_band_from_manifest`, shared by the
+    clone delete (:func:`zonemap_delete`) and the in-place erasure
+    (:func:`_purge_range_inplace`) so the shared invariants live in
+    one place: fully-covered zones drop (metadata-only, no read),
+    disjoint files carry over — as hardlinks when cloning
+    (``out_path != src_path``), as their standing entries when in
+    place — and straddling files rewrite with the complement
+    predicate (non-empty by construction: a straddling zone's
+    out-of-range min or max row survives the filter). A rewritten
+    EPOCH file keeps its epoch prefix (``e0-p…`` → ``e0-d-p…``): the
+    streamed ingest's replay protocol replaces everything under the
+    epoch's prefix, so purge survivors must stay inside that replace
+    set — renaming them out of it would let a replay re-add rows the
+    purge already preserved. Non-epoch files take the plain ``d-``
+    name. Returns the post-purge zone map; the caller publishes it
+    (and journals/sweeps per its own contract)."""
+    import re
+
+    clone = out_path != src_path
+    new_zmap: dict[str, list[str]] = {}
+    for name, (zlo, zhi) in sorted(zmap.items()):
+        if zlo >= lo and zhi <= hi:
+            continue  # fully covered: metadata-only drop
+        if zhi < lo or zlo > hi:  # disjoint
+            if clone:  # zero-copy carry-over
+                os.link(
+                    os.path.join(src_path, name),
+                    os.path.join(out_path, name),
+                )
+            new_zmap[name] = [zlo, zhi]
+            continue
+        stage = os.path.join(out_path + "_stage", f"purge-{name}")
+        (
+            spark.read.parquet(os.path.join(src_path, name))
+            .filter(~F.col("l_shipdate").between(lo, hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        stats = _zonemap_stats(spark, stage)
+        ((part, bounds),) = stats.items()
+        m = re.match(r"(e\d+-)(.*)", name)
+        dest = f"{m.group(1)}d-{m.group(2)}" if m else f"d-{name}"
+        os.replace(os.path.join(stage, part), os.path.join(out_path, dest))
+        new_zmap[dest] = bounds
+    return new_zmap
 
 
 def zonemap_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1049,40 +1097,9 @@ def zonemap_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.makedirs(path)
                 with open(os.path.join(base, _ZONEMAP)) as fh:
                     zmap = json.load(fh)
-                new_zmap: dict[str, list[str]] = {}
-                straddling: list[str] = []
-                for name, (lo, hi) in sorted(zmap.items()):
-                    if lo >= _DL1 and hi <= _DL2:
-                        continue  # fully covered: metadata-only drop
-                    if hi < _DL1 or lo > _DL2:  # disjoint: zero-copy
-                        os.link(
-                            os.path.join(base, name),
-                            os.path.join(path, name),
-                        )
-                        new_zmap[name] = [lo, hi]
-                    else:
-                        straddling.append(name)
-                for name in straddling:
-                    stage = os.path.join(path + "_stage", name)
-                    (
-                        spark.read.parquet(os.path.join(base, name))
-                        .filter(
-                            ~F.col("l_shipdate").between(_DL1, _DL2)
-                        )
-                        .coalesce(1)
-                        .write.mode("overwrite")
-                        .parquet(stage)
-                    )
-                    # non-empty by construction: a straddling zone's
-                    # lo < _DL1 or hi > _DL2 row survives the filter
-                    stats = _zonemap_stats(spark, stage)
-                    ((part, bounds),) = stats.items()
-                    dest = f"d-{name}"
-                    os.replace(
-                        os.path.join(stage, part),
-                        os.path.join(path, dest),
-                    )
-                    new_zmap[dest] = bounds
+                new_zmap = _purge_range_zones(
+                    spark, zmap, base, path, _DL1, _DL2
+                )
                 shutil.rmtree(path + "_stage", ignore_errors=True)
                 with open(zpath + ".tmp", "w") as fh:
                     json.dump(new_zmap, fh, sort_keys=True)
@@ -1091,26 +1108,8 @@ def zonemap_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fh.write(f"deleted [{_DL1}, {_DL2}]\n")
     with open(zpath) as fh:
         names = sorted(json.load(fh))
-    dec = "decimal(27,15)"
-    return (
+    return _returnflag_agg(
         spark.read.parquet(*(os.path.join(path, n) for n in names))
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_quantity").cast(dec)).cast("double"), 6
-            ).alias("sum_qty"),
-            F.round(
-                F.sum(
-                    (
-                        F.col("l_extendedprice")
-                        * (F.lit(1.0) - F.col("l_discount"))
-                    ).cast(dec)
-                ).cast("double"),
-                6,
-            ).alias("revenue"),
-        )
-        .orderBy("l_returnflag")
     )
 
 
@@ -1261,17 +1260,8 @@ def zorder_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 with open(marker, "w") as fh:
                     fh.write(f"purged custkey [{_KC1}, {_KC2}]\n")
-    dec = "decimal(27,15)"
-    return (
+    return _priority_agg(
         spark.read.parquet(path)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 6
-            ).alias("revenue"),
-        )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -1347,22 +1337,12 @@ def stream_zorder_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, files in sorted(manifest["cells"].items())
         for f in files
     ]
-    dec = "decimal(27,15)"
     src_df = (
         spark.read.parquet(*paths)
         if paths
         else load_table(spark, sf_dir, "orders").limit(0)
     )
-    return (
-        src_df.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 6
-            ).alias("revenue"),
-        )
-        .orderBy("o_orderpriority")
-    )
+    return _priority_agg(src_df)
 
 
 def _purge_band_from_manifest(
@@ -1548,22 +1528,12 @@ def stream_zorder_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, files in sorted(manifest["cells"].items())
         for f in files
     ]
-    dec = "decimal(27,15)"
     src_df = (
         spark.read.parquet(*paths)
         if paths
         else load_table(spark, sf_dir, "orders").limit(0)
     )
-    return (
-        src_df.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 6
-            ).alias("revenue"),
-        )
-        .orderBy("o_orderpriority")
-    )
+    return _priority_agg(src_df)
 
 
 def _purge_range_inplace(
@@ -1588,36 +1558,7 @@ def _purge_range_inplace(
     zpath = os.path.join(path, _ZONEMAP)
     with open(zpath) as fh:
         zmap = json.load(fh)
-    new_zmap: dict[str, list[str]] = {}
-    for name, (zlo, zhi) in sorted(zmap.items()):
-        if zlo >= lo and zhi <= hi:
-            continue  # fully covered: metadata-only drop
-        if zhi < lo or zlo > hi:  # disjoint: untouched
-            new_zmap[name] = [zlo, zhi]
-            continue
-        stage = os.path.join(path + "_stage", f"purge-{name}")
-        (
-            spark.read.parquet(os.path.join(path, name))
-            .filter(~F.col("l_shipdate").between(lo, hi))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        # non-empty by construction: a straddling zone's lo < range
-        # or hi > range row survives the complement filter
-        stats = _zonemap_stats(spark, stage)
-        ((part, bounds),) = stats.items()
-        # a rewritten EPOCH file keeps its epoch prefix (e0-p… →
-        # e0-d-p…): the ingest's replay protocol replaces everything
-        # under the epoch's prefix, so the purge's survivor rows must
-        # stay inside that replace set — renaming them OUT of it
-        # (d-e0-…) would let a replay re-add rows the purge already
-        # preserved, duplicating them. Base files never replay, so
-        # they take the plain d- name.
-        m = re.match(r"(e\d+-)(.*)", name)
-        dest = f"{m.group(1)}d-{m.group(2)}" if m else f"d-{name}"
-        os.replace(os.path.join(stage, part), os.path.join(path, dest))
-        new_zmap[dest] = bounds
+    new_zmap = _purge_range_zones(spark, zmap, path, path, lo, hi)
     shutil.rmtree(path + "_stage", ignore_errors=True)
     # journal strictly BEFORE the manifest publish: a replayed epoch
     # must see the purge no later than readers see its effect
@@ -1719,31 +1660,12 @@ def stream_zonemap_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
     with open(os.path.join(path, _ZONEMAP)) as fh:
         names = sorted(json.load(fh))
-    dec = "decimal(27,15)"
     src_df = (
         spark.read.parquet(*(os.path.join(path, n) for n in names))
         if names
         else load_table(spark, sf_dir, "lineitem").limit(0)
     )
-    return (
-        src_df.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_quantity").cast(dec)).cast("double"), 6
-            ).alias("sum_qty"),
-            F.round(
-                F.sum(
-                    (
-                        F.col("l_extendedprice")
-                        * (F.lit(1.0) - F.col("l_discount"))
-                    ).cast(dec)
-                ).cast("double"),
-                6,
-            ).alias("revenue"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return _returnflag_agg(src_df)
 
 
 ZONEMAP_RESUME_ORACLE = f"""
