@@ -1,27 +1,27 @@
 """Pin the registry iteration order contract.
 
 The correctness driver checks only the FIRST 50 registry entries.
-Round-13 rotation (VERDICT r12 "Next round" #1, rotated FIRST): the
-re-entering queries of the modules round 13 functionally touches lead
-the window — scd.py (ADVICE r12 scd2_merge carry-through contract;
-multi-consumer CDF feed retention + bucket-aligned view snapshots,
-VERDICT r12 #3/#6), zorder.py (ADVICE r12 symmetric clamp + deferred
-sweep; ingest-after-delete composition, VERDICT r12 #4), and
-streaming/foreach_sink.py (type-widening schema evolution, VERDICT
-r12 #5) — per the module-level precedent every query those modules
-register re-windows, plus the changed-dependency consumer
+Round-14 rotation (VERDICT r13 "Next round" #1, rotated FIRST): the
+re-entering queries of the modules round 14 functionally touches lead
+the window — scd.py (dead-consumer eviction for CDF feed retention,
+VERDICT r13 #2; ADVICE r13 replay-guard progress fallback +
+single-owner consumer docstring), streaming/foreach_sink.py (column
+rename/drop via column mapping, VERDICT r13 #4; ADVICE r13
+empty-bucket manifest read), and zorder.py (purge-journal retirement,
+VERDICT r13 #5) — per the module-level precedent every query those
+modules register re-windows, plus the changed-dependency consumer
 stream_value_quantiles_sink (freq_sketch.py flows through the
-versioned runner). run_stream / write_epoch / stage_stream_splits
-stay byte-identical, so the foreachBatch streams that only run
-through those keep their r10-r12 rows. Round-13 additions join the
-front on their landing commits with staged by-name yields from the
-tail (each yield annotated inline in both lists). Spares: the full
-20-query r03 backlog (round-12 yielders first, per the r12 registry
-note), then 6 of the 13 r04 rows (the ones the r12 judge did NOT
-independently spot-check in-session); the designated yielders hold
-r04 rows independently judge-verified bit-exact on 2026-08-16, so a
-yield costs nothing. Queries outside the window must already hold a
-driver row from r01-r12 over a module untouched since that row.
+versioned manifest/reader). run_stream / write_epoch /
+stage_stream_splits stay byte-identical, so the foreachBatch streams
+that only run through those keep their r10-r13 rows. Round-14
+additions join the front on their landing commits with staged by-name
+yields from the tail (each yield annotated inline in both lists).
+Spares: the 8 remaining r04 rows (retiring the r04 block), then the
+16 r05 rows, then value_histogram (r06, the bench watch item). A
+consumed yielder keeps its current green row over bytes untouched
+since, so a yield never leaves a row older than r05. Queries outside
+the window must already hold a driver row from r01-r13 over a module
+untouched since that row.
 """
 
 import json
@@ -31,11 +31,12 @@ from psd_project_spark import registry
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
-#: Round-13 new queries plus the re-entering queries of round-13
+#: Round-14 new queries plus the re-entering queries of round-14
 #: touched modules/dependencies — each must hold a front-of-window
 #: slot so it earns a current-bytes driver row this round. New queries
 #: are appended here by their landing commits.
-R13_FRONT = [
+R14_FRONT = [
+    "cdf_multi_consumer",
     "cdf_feed_retention",
     "cdf_materialized_view",
     "scd2_change_feed",
@@ -47,6 +48,11 @@ R13_FRONT = [
     "stream_scd2_maintain",
     "stream_scd2_erase",
     "stream_scd2_serve",
+    "stream_upsert_widening",
+    "stream_upsert_latest",
+    "stream_upsert_evolving",
+    "stream_zorder_resume",
+    "stream_zonemap_resume",
     "stream_zorder_ingest",
     "stream_zorder_delete",
     "zorder_delete",
@@ -54,87 +60,76 @@ R13_FRONT = [
     "zonemap_delete",
     "zonemap_pruned_scan",
     "stream_zonemap_ingest",
-    "stream_upsert_latest",
-    "stream_upsert_evolving",
     "stream_value_quantiles_sink",
 ]
 
-#: Operator modules whose source functionally changes in round 13 —
+#: Operator modules whose source functionally changes in round 14 —
 #: every query they register must sit inside the driver window.
-R13_CHANGED_MODULES = (
-    # ADVICE r12 scd2_merge contract + multi-consumer CDF retention +
-    # bucket-aligned view snapshots (VERDICT r12 #3/#6)
+R14_CHANGED_MODULES = (
+    # dead-consumer eviction (VERDICT r13 #2) + ADVICE r13 replay-guard
+    # fallback + single-owner docstring
     "psd_project_spark.operators.scd",
-    # ADVICE r12 clamp/sweep fixes + ingest-after-delete (VERDICT r12 #4)
+    # purge-journal retirement (VERDICT r13 #5)
     "psd_project_spark.operators.zorder",
-    # type-widening schema evolution (VERDICT r12 #5)
+    # column rename/drop via column mapping (VERDICT r13 #4) + ADVICE
+    # r13 empty-bucket manifest read
     "psd_project_spark.streaming.foreach_sink",
 )
 
-#: The versioned MERGE runner's schema recording gains type widening
-#: in round 13 — the changed-dependency precedent re-windows exactly
-#: the queries that flow through the changed bytes: freq_sketch.py's
-#: upsert-sink consumer (run_stream / write_epoch /
-#: stage_stream_splits are unchanged, so the foreachBatch streams that
-#: only run through those keep their r10-r12 rows).
-R13_DEP_AFFECTED = {
+#: The versioned sink's manifest/reader changes in round 14 — the
+#: changed-dependency precedent re-windows exactly the queries that
+#: flow through the changed bytes: freq_sketch.py's upsert-sink
+#: consumer (run_stream / write_epoch / stage_stream_splits are
+#: unchanged, so the foreachBatch streams that only run through those
+#: keep their r10-r13 rows).
+R14_DEP_AFFECTED = {
     "stream_value_quantiles_sink",
 }
 
-#: Stalest-row burn-down (VERDICT r12 #1): all 20 queries holding r03
-#: driver rows over bytes untouched since (round-12 yielders first),
-#: plus the 6 r04 rows the r12 judge did not independently
-#: spot-check — each re-earns a current-round row this round. The
-#: seven r04 rows left standing (four independently judge-verified
-#: bit-exact on 2026-08-16: doc_chunking, pii_redact, value_outliers,
-#: weighted_median; plus repetition_metrics, table_profile_exact,
-#: vector_quantize_int8) lead the r14 spares.
-R13_STALE_REVERIFY = {
-    # r03 rows — the 7 round-12 yielders
-    "hourly_top_spenders",
-    "distinct_users_per_type",
-    "fuzzy_name_match",
-    "ewma_user_value",
-    "event_transitions",
-    "customer_name_parse",
-    "compression_ratio",
-    # r03 rows — the rest
-    "approx_distinct_users",
-    "approx_price_quantiles",
-    "hll_reach_rollup",
-    "json_props_stats",
-    "media_features",
-    "nearest_view_lag",
-    "orders_by_month",
-    "partitioned_parquet_roundtrip",
-    "props_variant_stats",
-    "q12_late_shipment_priority",
-    "resample_ffill",
-    "retention_cohorts",
-    "rolling_dau",
-    # r04 rows — of the 6 not judge-spot-checked in the r12 session,
-    # the 5 that kept their slots (part_price_quartiles, the tail
-    # spare, yielded to the late-landing stream_zonemap_resume — its
-    # r04 row stands over bytes untouched since, and the round-13
-    # in-session full-registry sweep covers it)
-    "boilerplate_screen",
-    "funnel_conversion",
-    "incremental_rollup",
-    "mad_by_type",
-    "moment_stats",
+#: Stalest-row burn-down (VERDICT r13 #1): the 8 remaining r04 rows
+#: (retiring the r04 block entirely) plus the 16 r05 rows, each
+#: re-earning a current-round driver row this round — minus any
+#: designated yielder consumed by a landing round-14 query, which
+#: keeps its green row over bytes untouched since.
+R14_STALE_REVERIFY = {
+    # the 8 r04 rows
+    "doc_chunking",
+    "pii_redact",
+    "value_outliers",
+    "weighted_median",
+    "part_price_quartiles",
+    "repetition_metrics",
+    "table_profile_exact",
+    "vector_quantize_int8",
+    # the 16 r05 rows (token_freq, a designated yielder, is asserted
+    # via the yielder protocol below rather than unconditionally)
+    "bm25_rank",
+    "bpe_encode_stats",
+    "bpe_vocab_train",
+    "corpus_quality_filter",
+    "curation_pipeline",
+    "doc_fingerprint",
+    "doc_stats",
+    "dsir_weights",
+    "embedding_pq_quantize",
+    "frame_sample",
+    "lang_id",
+    "ngram_familiarity",
+    "pack_sequences",
+    "tfidf_top_terms",
+    "trigram_udtf_freq",
 }
 
-#: Designated yielders (tail spares): each holds a green r04 driver
-#: row independently judge-verified bit-exact on 2026-08-16, so
-#: yielding its slot to a landing round-13 query costs nothing.
-#: doc_chunking yields to cdf_multi_consumer, value_outliers to
-#: stream_upsert_widening, pii_redact to stream_zorder_resume — each
-#: on that query's landing commit.
-R13_YIELDERS = [
-    "doc_chunking",
-    "value_outliers",
-    "pii_redact",
-]
+#: Designated yielders (tail spares): each holds a current green
+#: driver row over bytes untouched since (value_histogram r06,
+#: token_freq r05), so yielding its slot to a landing round-14 query
+#: costs nothing against the "nothing older than r05" promise.
+#: value_histogram yields to cdf_consumer_eviction, token_freq to
+#: stream_upsert_rename — each on that query's landing commit.
+R14_YIELDERS = {
+    "value_histogram": "cdf_consumer_eviction",
+    "token_freq": "stream_upsert_rename",
+}
 
 
 def _driver_checked_rounds() -> set[str]:
@@ -152,41 +147,36 @@ def test_first_50_is_priority_list():
 
 def test_window_front_loads_rows_owed():
     front = list(registry.queries())[:50]
-    # new round-13 queries join at the very front on their landing
+    # new round-14 queries join at the very front on their landing
     # commits; the re-entering set must sit inside the window in the
     # committed order regardless of how many have landed
-    idx = [front.index(n) for n in R13_FRONT]
+    idx = [front.index(n) for n in R14_FRONT]
     assert idx == sorted(idx)
 
 
 def test_window_covers_every_changed_module_query():
-    """All queries registered by a round-13-touched module sit inside
+    """All queries registered by a round-14-touched module sit inside
     the driver window — the module-level staleness criterion the
-    r03-r12 verdicts graded by — plus the dependency-affected
+    r03-r13 verdicts graded by — plus the dependency-affected
     versioned-runner consumers."""
     import importlib
 
     window = set(list(registry.queries())[:50])
-    for modname in R13_CHANGED_MODULES:
+    for modname in R14_CHANGED_MODULES:
         qs = set(importlib.import_module(modname).QUERIES)
         missing = qs - window
         assert not missing, f"{modname} queries outside window: {missing}"
-    assert R13_DEP_AFFECTED <= window
+    assert R14_DEP_AFFECTED <= window
 
 
 def test_window_reverifies_everything_due():
     window = set(list(registry.queries())[:50])
-    assert set(R13_FRONT) <= window
-    assert R13_STALE_REVERIFY <= window
+    assert set(R14_FRONT) <= window
+    assert R14_STALE_REVERIFY <= window
     # a yielder stays in the window until (and only until) its
-    # designated round-13 query lands and takes the slot
+    # designated round-14 query lands and takes the slot
     names = set(registry.queries())
-    landed = {
-        "doc_chunking": "cdf_multi_consumer",
-        "value_outliers": "stream_upsert_widening",
-        "pii_redact": "stream_zorder_resume",
-    }
-    for yielder, newcomer in landed.items():
+    for yielder, newcomer in R14_YIELDERS.items():
         assert (newcomer in names) or (yielder in window), (
             f"{yielder} yielded its slot but {newcomer} has not landed"
         )
@@ -195,10 +185,10 @@ def test_window_reverifies_everything_due():
 
 
 def test_every_query_has_a_row_or_a_window_slot():
-    """No query may be unverifiable: each is either in the r13 window
-    or already holds a driver row from r01-r12 (and, by the
+    """No query may be unverifiable: each is either in the r14 window
+    or already holds a driver row from r01-r13 (and, by the
     changed-module test above, that row still covers current code).
-    Round 13 declares NO late-addition queue."""
+    Round 14 declares NO late-addition queue."""
     checked = _driver_checked_rounds()
     if not checked:  # artifacts absent (e.g. fresh clone)
         return
