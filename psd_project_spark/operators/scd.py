@@ -847,9 +847,20 @@ def register_feed_consumer(feed_dir: str, name: str) -> None:
     applied epoch across registered consumers, and a just-registered
     consumer holds progress -1 — so no epoch is deleted before every
     registered consumer has applied it. Idempotent: re-registering an
-    active consumer never rolls its progress back."""
+    active consumer never rolls its progress back. An EVICTED name
+    (``max_lag`` policy, VERDICT r13 #2) is refused: blind
+    re-registration at -1 would re-pin GC at the very lag that got it
+    evicted — it must :func:`bootstrap_view` from a live snapshot and
+    :func:`rejoin_feed_consumer` at that snapshot's epoch instead."""
     import os
 
+    if os.path.exists(_tombstone_path(feed_dir, name)):
+        raise ValueError(
+            f"consumer {name!r} was evicted from {feed_dir} for lagging "
+            f"past the feed's max_lag — re-bootstrap its view from a "
+            f"live snapshot (bootstrap_view) and rejoin_feed_consumer "
+            f"at that snapshot's epoch"
+        )
     cdir = os.path.join(feed_dir, _CONSUMERS)
     os.makedirs(cdir, exist_ok=True)
     marker = os.path.join(cdir, name)
@@ -859,7 +870,17 @@ def register_feed_consumer(feed_dir: str, name: str) -> None:
 
 def _record_consumer_progress(feed_dir: str, name: str, epoch: int) -> None:
     """Atomically max-merge ``name``'s applied-epoch marker (a replay
-    must never move progress backwards)."""
+    must never move progress backwards).
+
+    Single-owner contract (ADVICE r13): each consumer NAME must have
+    exactly one owning process — the read-max-write here is atomic
+    against readers (tmp + replace) but not against a concurrent
+    writer under the SAME name, which could replace a higher marker
+    with a lower one. Losing a marker update is conservative (GC
+    over-holds, reported progress goes stale) but never deletes an
+    epoch early. This matches the single-writer discipline every
+    other on-disk structure in this repo documents; distinct consumer
+    names may progress concurrently without restriction."""
     import os
 
     cdir = os.path.join(feed_dir, _CONSUMERS)
@@ -890,12 +911,164 @@ def feed_consumer_progress(feed_dir: str) -> dict[str, int]:
     return out
 
 
+def _tombstone_path(feed_dir: str, name: str) -> str:
+    import os
+
+    # dot-prefixed so feed_consumer_progress's listing skips it
+    return os.path.join(feed_dir, _CONSUMERS, f".evicted.{name}.json")
+
+
+def evicted_feed_consumers(feed_dir: str) -> dict[str, dict]:
+    """Every evicted consumer's tombstone (the loud record VERDICT r13
+    #2 requires): ``{name: {"progress": last applied epoch,
+    "evicted_at_epoch": the frontier that evicted it, "max_lag": the
+    cap it broke}}``."""
+    import json
+    import os
+
+    cdir = os.path.join(feed_dir, _CONSUMERS)
+    out: dict[str, dict] = {}
+    if os.path.isdir(cdir):
+        for f in os.listdir(cdir):
+            if f.startswith(".evicted.") and f.endswith(".json"):
+                with open(os.path.join(cdir, f)) as fh:
+                    out[f[len(".evicted."):-len(".json")]] = json.load(fh)
+    return out
+
+
+def _evict_lagging_consumers(
+    feed_dir: str, progress: dict[str, int], frontier: int, max_lag: int
+) -> dict[str, int]:
+    """Evict every registered consumer lagging more than ``max_lag``
+    epochs behind ``frontier`` (VERDICT r13 #2 — without a lag cap, a
+    consumer that registers and then dies holds progress -1 forever
+    and feed storage grows without bound): its progress marker is
+    REMOVED (so it no longer pins the GC cut) and a tombstone records
+    why. Returns the surviving progress map. The eviction is loud on
+    the evictee's side too: its next apply of a GC'd epoch fails with
+    the re-bootstrap instruction, and :func:`register_feed_consumer`
+    refuses the tombstoned name until :func:`rejoin_feed_consumer`."""
+    import json
+    import os
+
+    for name, p in list(progress.items()):
+        if frontier - p <= max_lag:
+            continue
+        tomb = _tombstone_path(feed_dir, name)
+        tmp = tomb + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "progress": p,
+                    "evicted_at_epoch": frontier,
+                    "max_lag": max_lag,
+                },
+                fh,
+                sort_keys=True,
+            )
+        os.replace(tmp, tomb)
+        os.unlink(os.path.join(feed_dir, _CONSUMERS, name))
+        del progress[name]
+    return progress
+
+
+def rejoin_feed_consumer(feed_dir: str, name: str, epoch: int) -> None:
+    """Re-admit an EVICTED consumer at ``epoch`` — the epoch of the
+    snapshot it re-bootstrapped from (:func:`bootstrap_view`), never
+    -1: a rejoin may not re-pin the GC cut below what eviction already
+    released. The tombstone is consumed (annotated with the rejoin,
+    kept dot-prefixed for audit) and a fresh progress marker is
+    written at ``epoch``."""
+    import json
+    import os
+
+    tomb = _tombstone_path(feed_dir, name)
+    if not os.path.exists(tomb):
+        raise ValueError(
+            f"consumer {name!r} has no eviction tombstone in {feed_dir} "
+            f"— use register_feed_consumer for a first registration"
+        )
+    with open(tomb) as fh:
+        record = json.load(fh)
+    record["rejoined_at_epoch"] = epoch
+    rejoined = os.path.join(
+        feed_dir, _CONSUMERS, f".rejoined.{name}.json"
+    )
+    tmp = rejoined + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(record, fh, sort_keys=True)
+    os.replace(tmp, rejoined)
+    os.unlink(tomb)
+    _record_consumer_progress(feed_dir, name, epoch)
+
+
+def bootstrap_view(src_view_dir: str, dst_view_dir: str) -> int:
+    """Re-bootstrap an evicted consumer's view from a live consumer's
+    newest published snapshot (the restart story of VERDICT r13 #2):
+    the destination view is REPLACED by a copy of the source view's
+    version dirs, generation buckets, and ``current`` symlink, so the
+    evicted consumer resumes as if it had applied everything the
+    source had — it then owes exactly the feed epochs after the
+    returned applied-epoch number, which min-progress GC (with its
+    rejoined marker) keeps on disk. Copy cost is one snapshot
+    (≤ keep_versions × |view|), the same bound serving reads already
+    pay — never the GC'd feed history, which no longer exists."""
+    import os
+    import shutil
+
+    if not os.path.lexists(os.path.join(src_view_dir, "current")):
+        raise FileNotFoundError(
+            f"source view {src_view_dir} has no published snapshot"
+        )
+    if os.path.isdir(dst_view_dir):
+        shutil.rmtree(dst_view_dir)
+    shutil.copytree(src_view_dir, dst_view_dir, symlinks=True)
+    return int(
+        os.readlink(os.path.join(dst_view_dir, "current")).lstrip("v")
+    )
+
+
+_VIEW_APPLIED = "_FEED_APPLIED"
+
+
+def _record_view_applied(view_dir: str, epoch: int) -> None:
+    """Max-merge the view-level applied-epoch marker (ADVICE r13 #1):
+    the snapshot symlink alone under-reports progress when an epoch's
+    fold publishes nothing (empty / no-affected-bucket delta leaves
+    the symlink at the last DATA epoch), so a crash-replay of such an
+    epoch after GC would spuriously hit the feed-gone error path.
+    This marker records every APPLIED epoch — published or not — and
+    the replay guard reads the max of both."""
+    import os
+
+    os.makedirs(view_dir, exist_ok=True)
+    marker = os.path.join(view_dir, _VIEW_APPLIED)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            epoch = max(epoch, int(fh.read()))
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(epoch))
+    os.replace(tmp, marker)
+
+
+def _view_applied(view_dir: str) -> int:
+    import os
+
+    marker = os.path.join(view_dir, _VIEW_APPLIED)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return int(fh.read())
+    return -1
+
+
 def apply_feed_epoch(
     spark: SparkSession,
     feed_dir: str,
     view_dir: str,
     epoch: int,
     consumer: str | None = None,
+    max_lag: int | None = None,
 ) -> None:
     """Apply one change-feed epoch to the persisted view snapshot,
     publish the new snapshot atomically, and GC everything consumer
@@ -923,7 +1096,20 @@ def apply_feed_epoch(
     the MINIMUM progress across ALL registered consumers — a slower
     consumer's unapplied epochs survive a faster one's applies. With
     ``consumer=None`` (the single-consumer form) GC advances with
-    this apply alone, exactly as before."""
+    this apply alone, exactly as before.
+
+    Dead-consumer eviction (VERDICT r13 #2): with ``max_lag`` set,
+    any REGISTERED consumer lagging more than ``max_lag`` epochs
+    behind this apply's epoch is evicted — its marker no longer pins
+    the GC cut, a tombstone records the eviction
+    (:func:`evicted_feed_consumers`), and it must re-bootstrap from a
+    live snapshot (:func:`bootstrap_view`) and
+    :func:`rejoin_feed_consumer` before consuming again. That bounds
+    feed storage by ``max_lag`` × per-epoch delta size even when a
+    registered consumer crashes and never returns — the Kafka
+    consumer-group session-timeout / Delta CDF retention-TTL
+    contract. With ``max_lag=None`` registered progress pins GC
+    forever, exactly as before."""
     import os
     import re
     import shutil
@@ -934,15 +1120,26 @@ def apply_feed_epoch(
 
     # replay guard BEFORE touching the feed (a replayed apply's change
     # file may already be GC'd — the guard must not depend on it): the
-    # snapshot symlink records the last folded epoch, exactly the
-    # kernel's own guard, read here so the eager parquet-schema
-    # resolution below never runs for an already-applied epoch
+    # snapshot symlink records the last PUBLISHED epoch, and the
+    # view-level applied marker (ADVICE r13 #1) covers epochs whose
+    # fold published nothing (empty / no-affected-bucket delta) — the
+    # max of the two is the view's true progress, read here so the
+    # eager parquet-schema resolution below never runs for an
+    # already-applied epoch. The calling consumer's own feed marker is
+    # honored too (it is recorded only after this view applied the
+    # epoch, so marker ≥ epoch implies THIS view is past it) — but
+    # never OTHER consumers' markers: those track different views.
     current_link = os.path.join(view_dir, "current")
     applied = (
         int(os.readlink(current_link).lstrip("v"))
         if os.path.lexists(current_link)
         else -1
     )
+    applied = max(applied, _view_applied(view_dir))
+    if consumer is not None:
+        applied = max(
+            applied, feed_consumer_progress(feed_dir).get(consumer, -1)
+        )
     if epoch > applied:
         feed_path = os.path.join(feed_dir, f"batch_id={epoch}")
         if not os.path.isdir(feed_path):
@@ -988,6 +1185,10 @@ def apply_feed_epoch(
         apply_versioned_epoch(
             delta, view_dir, epoch, fold, bucket_by=["user_id"]
         )
+    # the view marker is recorded BEFORE the feed marker and GC: a
+    # crash between them leaves the view provably applied (replay is
+    # a guarded no-op) while the feed conservatively over-retains
+    _record_view_applied(view_dir, epoch)
     # progress + GC run even on a replayed (guarded no-op) apply: a
     # consumer that crashed after publish but before recording its
     # progress still owes the marker, and both steps are monotone
@@ -995,6 +1196,11 @@ def apply_feed_epoch(
     if consumer is not None:
         _record_consumer_progress(feed_dir, consumer, epoch)
         progress[consumer] = max(progress.get(consumer, -1), epoch)
+    if max_lag is not None:
+        progress = _evict_lagging_consumers(
+            feed_dir, progress, epoch, max_lag
+        )
+    if consumer is not None:
         cut = min(progress.values())
     else:
         # the single-consumer form still honors any REGISTERED
@@ -1138,6 +1344,112 @@ def cdf_multi_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagreement = fast.exceptAll(slow).unionByName(slow.exceptAll(fast))
     return (
         fast.unionByName(slow)
+        .distinct()
+        .unionByName(disagreement)
+        .orderBy("user_id")
+    )
+
+
+def cdf_consumer_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEAD-CONSUMER EVICTION for CDF feed retention (VERDICT r13 #2
+    — minimum-progress GC is only as live as its slowest REGISTERED
+    consumer, so a consumer that registers and then dies pins feed
+    storage forever): THREE consumers register before the feed starts
+    — ``fast`` applies every epoch, ``lazy`` applies one epoch in
+    arrears, and ``dead`` registers and then goes silent. Every apply
+    runs under ``max_lag=2``: when ``fast`` applies epoch 2, ``dead``
+    (still at -1, lag 3) breaks the cap and is EVICTED — a tombstone
+    records it, its marker stops pinning the GC cut, and epoch 0's
+    change file is deleted within the same stream even though the
+    evicted consumer never consumed it (pinned mid-run by
+    tests/test_round14_ops.py). ``dead`` then recovers exactly as a
+    real consumer-group member would: it re-bootstraps its view from
+    ``lazy``'s live snapshot (:func:`bootstrap_view` — one snapshot
+    copy, never the GC'd feed history, which no longer exists),
+    rejoins at that snapshot's epoch (:func:`rejoin_feed_consumer` —
+    blind re-registration at -1 is refused), and applies the epochs
+    min-progress GC retained for its rejoined marker. Result: the
+    union-distinct of all THREE final views plus the symmetric
+    differences of ``fast`` against each of the others (unioned in,
+    row-duplicating any disagreement) — it matches
+    :data:`CDF_VIEW_ORACLE` row-for-row iff all three views are EQUAL
+    and correct, so the driver row proves the evicted consumer
+    converged through the bootstrap path, not around it.
+
+    At 100 TB: ``max_lag`` bounds feed storage at max_lag × per-epoch
+    delta size no matter what crashes — the Kafka consumer-group
+    session-timeout / Delta CDF retention-TTL contract — while the
+    recovery path costs one snapshot copy plus the in-cap epochs,
+    never a feed-lifetime replay."""
+    import os
+    import re
+
+    from psd_project_spark.functions.caching import scratch_dir
+
+    feed_dir = scratch_dir("psd_cdfev_feed_")
+    view_fast = scratch_dir("psd_cdfev_vfast_")
+    view_lazy = scratch_dir("psd_cdfev_vlazy_")
+    view_dead = scratch_dir("psd_cdfev_vdead_")
+    register_feed_consumer(feed_dir, "fast")
+    register_feed_consumer(feed_dir, "lazy")
+    register_feed_consumer(feed_dir, "dead")
+
+    def on_epoch(i: int) -> None:
+        apply_feed_epoch(
+            spark, feed_dir, view_fast, i, consumer="fast", max_lag=2
+        )
+        if i >= 1:  # lazy consumes one epoch in arrears
+            apply_feed_epoch(
+                spark, feed_dir, view_lazy, i - 1, consumer="lazy",
+                max_lag=2,
+            )
+
+    run_change_feed(
+        spark,
+        sf_dir,
+        src=scratch_dir("psd_cdfev_src_"),
+        state_dir=scratch_dir("psd_cdfev_state_"),
+        feed_dir=feed_dir,
+        ckpt=scratch_dir("psd_cdfev_ckpt_"),
+        on_epoch=on_epoch,
+    )
+    # the lifecycle's point: the silent consumer WAS evicted (epoch 2
+    # put it 3 > max_lag behind) and GC advanced past its progress —
+    # fail loudly rather than return a row that proves nothing
+    if "dead" not in evicted_feed_consumers(feed_dir):
+        raise RuntimeError("dead consumer was not evicted at max_lag=2")
+    if os.path.isdir(os.path.join(feed_dir, "batch_id=0")):
+        raise RuntimeError("eviction did not release epoch 0 for GC")
+    # recovery: bootstrap from the lazy consumer's snapshot (applied
+    # epoch 1 — so the rejoined consumer still has an epoch to earn),
+    # rejoin at it, then both catch up from the retained feed
+    boot = bootstrap_view(view_lazy, view_dead)
+    rejoin_feed_consumer(feed_dir, "dead", boot)
+    apply_feed_epoch(
+        spark, feed_dir, view_lazy, 2, consumer="lazy", max_lag=2
+    )
+    owed = sorted(
+        int(m.group(1))
+        for d in os.listdir(feed_dir)
+        if (m := re.fullmatch(r"batch_id=(\d+)", d))
+        if int(m.group(1)) > boot
+    )
+    for i in owed:
+        apply_feed_epoch(
+            spark, feed_dir, view_dead, i, consumer="dead", max_lag=2
+        )
+    fast = _read_view_snapshot(spark, view_fast)
+    lazy = _read_view_snapshot(spark, view_lazy)
+    dead = _read_view_snapshot(spark, view_dead)
+    disagreement = (
+        fast.exceptAll(lazy)
+        .unionByName(lazy.exceptAll(fast))
+        .unionByName(fast.exceptAll(dead))
+        .unionByName(dead.exceptAll(fast))
+    )
+    return (
+        fast.unionByName(lazy)
+        .unionByName(dead)
         .distinct()
         .unionByName(disagreement)
         .orderBy("user_id")
@@ -1407,6 +1719,7 @@ QUERIES = {
     "cdf_materialized_view": (cdf_materialized_view, CDF_VIEW_ORACLE),
     "cdf_feed_retention": (cdf_feed_retention, CDF_VIEW_ORACLE),
     "cdf_multi_consumer": (cdf_multi_consumer, CDF_VIEW_ORACLE),
+    "cdf_consumer_eviction": (cdf_consumer_eviction, CDF_VIEW_ORACLE),
     "stream_asof_lookup": (stream_asof_lookup, ASOF_ORACLE),
     "stream_scd2_serve": (stream_scd2_serve, ASOF_ORACLE),
 }

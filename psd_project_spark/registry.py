@@ -47,9 +47,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # or re-earns a current-bytes driver row (tests/test_registry_order.py).
 _PRIORITY = (
     # -- round-14 new (front: day-one driver rows; the planned
-    #    additions cdf_consumer_eviction / stream_upsert_rename join
-    #    HERE on their landing commits, displacing the designated
-    #    yielders at the tail) ------------------------------------------
+    #    addition stream_upsert_rename joins HERE on its landing
+    #    commit, displacing the remaining designated yielder at the
+    #    tail) -----------------------------------------------------------
+    "cdf_consumer_eviction",
     # -- re-entering: operators/scd.py (module-level) ------------------
     "cdf_multi_consumer",
     "cdf_feed_retention",
@@ -114,7 +115,9 @@ _PRIORITY = (
     #    yield costs nothing against the "nothing older than r05"
     #    promise. ---------------------------------------------------------
     "token_freq",
-    "value_histogram",
+    # (value_histogram yielded to cdf_consumer_eviction on its landing
+    #  commit — its green r06 row stands over bytes untouched since,
+    #  and the round-14 in-session full-registry sweep covers it)
 )
 
 _MODULES = (

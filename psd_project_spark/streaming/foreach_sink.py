@@ -187,7 +187,16 @@ def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame
         return spark.read.parquet(base)
     entries, schema_json = load_manifest(manifest)
     if not entries:
-        raise ValueError(f"versioned state at {out_dir} has no buckets")
+        # a merge may legally delete EVERY bucket (all keys erased —
+        # ADVICE r13 #2): the view is then empty but still servable
+        # under the manifest's recorded schema; only a manifest with
+        # neither buckets nor schema is unreadable
+        if schema_json is None:
+            raise ValueError(
+                f"versioned state at {out_dir} has no buckets and no "
+                f"recorded schema"
+            )
+        return spark.createDataFrame([], StructType.fromJson(schema_json))
     paths = [os.path.join(out_dir, rel) for rel in sorted(entries.values())]
     if schema_json is None:
         return spark.read.parquet(*paths)

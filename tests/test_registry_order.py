@@ -36,6 +36,7 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 #: slot so it earns a current-bytes driver row this round. New queries
 #: are appended here by their landing commits.
 R14_FRONT = [
+    "cdf_consumer_eviction",
     "cdf_multi_consumer",
     "cdf_feed_retention",
     "cdf_materialized_view",
