@@ -46,11 +46,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # row over bytes untouched since. NO queue: every registry query holds
 # or re-earns a current-bytes driver row (tests/test_registry_order.py).
 _PRIORITY = (
-    # -- round-14 new (front: day-one driver rows; the planned
-    #    addition stream_upsert_rename joins HERE on its landing
-    #    commit, displacing the remaining designated yielder at the
-    #    tail) -----------------------------------------------------------
+    # -- round-14 new (front: day-one driver rows) ---------------------
     "cdf_consumer_eviction",
+    "stream_upsert_rename",
     # -- re-entering: operators/scd.py (module-level) ------------------
     "cdf_multi_consumer",
     "cdf_feed_retention",
@@ -114,7 +112,9 @@ _PRIORITY = (
     #    untouched since (token_freq r05, value_histogram r06), so the
     #    yield costs nothing against the "nothing older than r05"
     #    promise. ---------------------------------------------------------
-    "token_freq",
+    # (token_freq yielded to stream_upsert_rename on its landing
+    #  commit — its green r05 row stands over bytes untouched since,
+    #  and the round-14 in-session full-registry sweep covers it)
     # (value_histogram yielded to cdf_consumer_eviction on its landing
     #  commit — its green r06 row stands over bytes untouched since,
     #  and the round-14 in-session full-registry sweep covers it)

@@ -142,13 +142,97 @@ def load_manifest(mpath: str) -> tuple[dict[str, str], dict | None]:
     schema-versioned ``{"schema": ..., "buckets": ...}`` form and the
     legacy plain bucket map (pre-schema-evolution manifests carry no
     schema — readers fall back to parquet footers)."""
-    import json
-
-    with open(mpath) as fh:
-        m = json.load(fh)
+    m = _manifest_json(mpath)
     if "buckets" in m:  # legacy keys are str(bucket_id) — never "buckets"
         return m["buckets"], m.get("schema")
     return m, None
+
+
+def _manifest_json(mpath: str) -> dict:
+    import json
+
+    with open(mpath) as fh:
+        return json.load(fh)
+
+
+def _load_mapping(mpath: str) -> dict | None:
+    """The version's COLUMN MAPPING (VERDICT r13 #4 — the lakehouse
+    rename/drop story): ``{"fields": {logical name: {"id": stable
+    field id, "physical": the name the column is stored under in
+    parquet}}, "next_id": next unassigned id, "dropped": [tombstones
+    of dropped fields]}``. Present only once a rename/drop has touched
+    the table — mapping-free manifests (every pre-round-14 table)
+    read and write exactly as before, physical == logical."""
+    m = _manifest_json(mpath)
+    return m.get("mapping") if "buckets" in m else None
+
+
+def _synthesize_mapping(schema_json: dict) -> dict:
+    """Identity mapping for a table that never had one: stable ids in
+    recorded field order, physical == logical (which is exactly how
+    its standing generations were written)."""
+    fields = {
+        f["name"]: {"id": i, "physical": f["name"]}
+        for i, f in enumerate(schema_json["fields"], start=1)
+    }
+    return {"fields": fields, "next_id": len(fields) + 1, "dropped": []}
+
+
+def _extend_mapping(
+    prev_mapping: dict, merged_fields: list[dict]
+) -> dict:
+    """Assign ids/physical names to fields the merge introduced. A new
+    field's physical name is its logical name unless that name is
+    already claimed by a live field's physical or a DROPPED field's
+    physical — standing generation files still carry dropped/renamed
+    physicals, and reusing one would resurrect their old values at
+    read — in which case the id-suffixed form keeps it unique
+    forever."""
+    import copy
+
+    mapping = copy.deepcopy(prev_mapping)
+    used = {e["physical"] for e in mapping["fields"].values()}
+    used |= {d["physical"] for d in mapping.get("dropped", [])}
+    for f in merged_fields:
+        if f["name"] in mapping["fields"]:
+            continue
+        fid = mapping["next_id"]
+        mapping["next_id"] = fid + 1
+        phys = (
+            f["name"] if f["name"] not in used else f"{f['name']}__f{fid}"
+        )
+        used.add(phys)
+        mapping["fields"][f["name"]] = {"id": fid, "physical": phys}
+    return mapping
+
+
+def _physical_struct(schema_json: dict, mapping: dict) -> dict:
+    """The logical schema's on-disk shape: same fields, same types,
+    physical names."""
+    return {
+        "type": "struct",
+        "fields": [
+            {**f, "name": mapping["fields"][f["name"]]["physical"]}
+            for f in schema_json["fields"]
+        ],
+    }
+
+
+def _read_mapped(spark, paths, schema_json: dict, mapping: dict):
+    """Read generation files under their PHYSICAL schema and project
+    physical → logical — how a renamed column serves reads with zero
+    file rewrites: old generations still store the original physical
+    name; the mapping is the only thing that changed."""
+    from pyspark.sql.types import StructType
+
+    phys = StructType.fromJson(_physical_struct(schema_json, mapping))
+    df = spark.read.schema(phys).parquet(*paths)
+    return df.select(
+        *[
+            F.col(mapping["fields"][f["name"]]["physical"]).alias(f["name"])
+            for f in schema_json["fields"]
+        ]
+    )
 
 
 def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame:
@@ -174,7 +258,16 @@ def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame
     (``mergeSchema`` would re-derive at read time what the manifest
     already knows). A time-travel read of a pre-evolution version
     returns the OLD schema: its manifest recorded it. Legacy
-    schema-less manifests read plain, as they always did."""
+    schema-less manifests read plain, as they always did.
+
+    Column mapping (VERDICT r13 #4): a manifest carrying a mapping
+    (the table has been renamed/dropped at least once) is read under
+    its PHYSICAL schema and projected physical → logical, so a
+    renamed column serves under its new name — and a time-travel read
+    of a pre-rename version returns the version-pinned OLD name —
+    with every standing generation file byte-untouched. A dropped
+    column simply leaves the logical schema: its physical bytes stay
+    in old generations, unprojected."""
     from pyspark.sql.types import StructType
 
     base = (
@@ -200,6 +293,9 @@ def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame
     paths = [os.path.join(out_dir, rel) for rel in sorted(entries.values())]
     if schema_json is None:
         return spark.read.parquet(*paths)
+    mapping = _load_mapping(manifest)
+    if mapping is not None:
+        return _read_mapped(spark, paths, schema_json, mapping)
     return spark.read.schema(StructType.fromJson(schema_json)).parquet(
         *paths
     )
@@ -266,12 +362,81 @@ def _reconcile_fields(
             raise ValueError(
                 f"incompatible schema evolution for column "
                 f"{f['name']!r}: {f['type']!r} -> {m['type']!r} is not "
-                f"on the widening lattice (rename/drop/narrowing have "
-                f"no in-place story — rewrite the table)"
+                f"on the widening lattice (narrowing has no in-place "
+                f"story — rewrite the table; rename/drop go through "
+                f"rename_versioned_column / drop_versioned_column)"
             )
     have = {f["name"] for f in prev_fields}
     out += [f for f in merged_fields if f["name"] not in have]
     return out
+
+
+def _publish_version(out_dir: str, batch_id: int) -> None:
+    """Atomically repoint ``current`` at ``v<batch_id>`` (tmp symlink +
+    rename — readers never see a missing or half-written link)."""
+    current = os.path.join(out_dir, "current")
+    tmp = os.path.join(out_dir, f".swap{batch_id}")
+    if os.path.lexists(tmp):
+        os.unlink(tmp)
+    os.symlink(f"v{batch_id}", tmp)
+    os.replace(tmp, current)  # atomic repoint
+
+
+def _retain_versions(
+    out_dir: str, keep_versions: int, bucketed: bool
+) -> None:
+    """Prune version dirs beyond the newest ``keep_versions`` and (in
+    bucketed mode) any generation bucket-dir no kept manifest
+    references — the retention half of :func:`apply_versioned_epoch`,
+    shared by the metadata-only epochs (rename/drop)."""
+    import re
+    import shutil
+
+    if not keep_versions:
+        return
+    vers = sorted(
+        int(d[1:]) for d in os.listdir(out_dir) if re.fullmatch(r"v\d+", d)
+    )
+    for v in vers[:-keep_versions]:
+        shutil.rmtree(os.path.join(out_dir, f"v{v}"), ignore_errors=True)
+    if not bucketed:
+        return
+    # bucketed mode: drop generation bucket-dirs no kept manifest
+    # references (a bucket superseded in every retained version)
+    referenced: set[str] = set()
+    for v in vers[-keep_versions:]:
+        mpath = os.path.join(out_dir, f"v{v}", _MANIFEST)
+        if os.path.exists(mpath):
+            referenced |= set(load_manifest(mpath)[0].values())
+    for g in os.listdir(out_dir):
+        if not re.fullmatch(r"g\d+", g):
+            continue
+        gdir = os.path.join(out_dir, g)
+        for sub in os.listdir(gdir):
+            if sub.startswith("_bucket=") and f"{g}/{sub}" not in referenced:
+                shutil.rmtree(os.path.join(gdir, sub), ignore_errors=True)
+        if not any(s.startswith("_bucket=") for s in os.listdir(gdir)):
+            shutil.rmtree(gdir, ignore_errors=True)
+
+
+def _write_manifest(
+    out_dir: str,
+    batch_id: int,
+    schema: dict,
+    buckets: dict[str, str],
+    mapping: dict | None,
+) -> None:
+    import json
+
+    vdir = os.path.join(out_dir, f"v{batch_id}")
+    os.makedirs(vdir, exist_ok=True)
+    doc: dict = {"schema": schema, "buckets": buckets}
+    if mapping is not None:
+        doc["mapping"] = mapping
+    mtmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
+    with open(mtmp, "w") as fh:
+        json.dump(doc, fh, sort_keys=True)
+    os.replace(mtmp, os.path.join(vdir, _MANIFEST))
 
 
 def apply_versioned_epoch(
@@ -332,56 +497,22 @@ def apply_versioned_epoch(
     guard reads only the symlink's NUMBER (never old version
     contents) and readers only ever resolve ``current``; keeping ≥2
     means an in-flight reader of the previous version survives one
-    publish (the lakehouse snapshot-retention trade)."""
-    import json
-    import re
-    import shutil
+    publish (the lakehouse snapshot-retention trade).
 
-    def _publish(current: str) -> None:
-        tmp = os.path.join(out_dir, f".swap{batch_id}")
-        if os.path.lexists(tmp):
-            os.unlink(tmp)
-        os.symlink(f"v{batch_id}", tmp)
-        os.replace(tmp, current)  # atomic repoint
-
-    def _retain() -> None:
-        if not keep_versions:
-            return
-        vers = sorted(
-            int(d[1:])
-            for d in os.listdir(out_dir)
-            if re.fullmatch(r"v\d+", d)
-        )
-        for v in vers[:-keep_versions]:
-            shutil.rmtree(os.path.join(out_dir, f"v{v}"), ignore_errors=True)
-        if bucket_by is None:
-            return
-        # bucketed mode: drop generation bucket-dirs no kept manifest
-        # references (a bucket superseded in every retained version)
-        referenced: set[str] = set()
-        for v in vers[-keep_versions:]:
-            mpath = os.path.join(out_dir, f"v{v}", _MANIFEST)
-            if os.path.exists(mpath):
-                referenced |= set(load_manifest(mpath)[0].values())
-        for g in os.listdir(out_dir):
-            if not re.fullmatch(r"g\d+", g):
-                continue
-            gdir = os.path.join(out_dir, g)
-            for sub in os.listdir(gdir):
-                if (
-                    sub.startswith("_bucket=")
-                    and f"{g}/{sub}" not in referenced
-                ):
-                    shutil.rmtree(os.path.join(gdir, sub), ignore_errors=True)
-            if not any(s.startswith("_bucket=") for s in os.listdir(gdir)):
-                shutil.rmtree(gdir, ignore_errors=True)
+    Column mapping (VERDICT r13 #4): once the table carries a mapping
+    (a rename/drop happened), generation files are written under
+    PHYSICAL names and the state presented to ``merge_fn`` is
+    projected back to logical — ``merge_fn`` only ever sees logical
+    names, on both sides of any rename. A field the merge introduces
+    gets a fresh stable id, and a physical name that can never
+    collide with a renamed-away or dropped column's bytes."""
 
     def write_plain(cur_df, current) -> None:
         merged = merge_fn(cur_df, df, batch_id)
         merged.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"v{batch_id}")
         )
-        _publish(current)
+        _publish_version(out_dir, batch_id)
 
     def write_bucketed(current) -> None:
         spark = df.sparkSession
@@ -397,10 +528,11 @@ def apply_versioned_epoch(
             return
         prev: dict[str, str] = {}
         prev_schema: dict | None = None
+        prev_mapping: dict | None = None
         if os.path.lexists(current):
-            prev, prev_schema = load_manifest(
-                os.path.join(current, _MANIFEST)
-            )
+            mpath = os.path.join(current, _MANIFEST)
+            prev, prev_schema = load_manifest(mpath)
+            prev_mapping = _load_mapping(mpath)
         cur_paths = [
             os.path.join(out_dir, prev[str(b)])
             for b in affected
@@ -411,22 +543,41 @@ def apply_versioned_epoch(
         # fill, no footer merge): after an evolution, some affected
         # buckets may still sit in pre-evolution generations —
         # merge_fn must see one consistent frame regardless of which
-        # buckets the delta hit
+        # buckets the delta hit. With a mapping, files read under
+        # physical names and project to logical.
         from pyspark.sql.types import StructType
 
         cur_df = None
         if cur_paths:
-            rd = (
-                spark.read.schema(StructType.fromJson(prev_schema))
-                if prev_schema is not None
-                else spark.read
-            )
-            cur_df = rd.parquet(*cur_paths)
+            if prev_schema is None:
+                cur_df = spark.read.parquet(*cur_paths)
+            elif prev_mapping is None:
+                cur_df = spark.read.schema(
+                    StructType.fromJson(prev_schema)
+                ).parquet(*cur_paths)
+            else:
+                cur_df = _read_mapped(
+                    spark, cur_paths, prev_schema, prev_mapping
+                )
         merged = merge_fn(cur_df, df, batch_id)
+        merged_fields = [
+            f for f in merged.schema.jsonValue()["fields"]
+            if f["name"] != "_bucket"
+        ]
+        mapping = None
+        out_df = merged.withColumn("_bucket", bexpr)
+        if prev_mapping is not None:
+            mapping = _extend_mapping(prev_mapping, merged_fields)
+            renames = {
+                f["name"]: mapping["fields"][f["name"]]["physical"]
+                for f in merged_fields
+                if mapping["fields"][f["name"]]["physical"] != f["name"]
+            }
+            if renames:  # logical → physical for the generation files
+                out_df = out_df.withColumnsRenamed(renames)
         gen = f"g{batch_id}"
         (
-            merged.withColumn("_bucket", bexpr)
-            .repartition(len(affected), F.col("_bucket"))
+            out_df.repartition(len(affected), F.col("_bucket"))
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(os.path.join(out_dir, gen))
@@ -449,10 +600,6 @@ def apply_versioned_epoch(
                 buckets[str(b)] = f"{gen}/_bucket={b}"
             else:  # merge deleted the bucket's every key
                 buckets.pop(str(b), None)
-        merged_fields = [
-            f for f in merged.schema.jsonValue()["fields"]
-            if f["name"] != "_bucket"
-        ]
         if prev_schema is None:
             schema = {"type": "struct", "fields": merged_fields}
         else:
@@ -462,15 +609,8 @@ def apply_versioned_epoch(
                     prev_schema["fields"], merged_fields
                 ),
             }
-        vdir = os.path.join(out_dir, f"v{batch_id}")
-        os.makedirs(vdir, exist_ok=True)
-        mtmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
-        with open(mtmp, "w") as fh:
-            json.dump(
-                {"schema": schema, "buckets": buckets}, fh, sort_keys=True
-            )
-        os.replace(mtmp, os.path.join(vdir, _MANIFEST))
-        _publish(current)
+        _write_manifest(out_dir, batch_id, schema, buckets, mapping)
+        _publish_version(out_dir, batch_id)
 
     # an empty epoch changes nothing — skip the version write entirely
     # (the symlink simply stays at the last data epoch; a replay of
@@ -494,7 +634,143 @@ def apply_versioned_epoch(
         write_plain(cur_df, current)
     else:
         write_bucketed(current)
-    _retain()
+    _retain_versions(out_dir, keep_versions, bucket_by is not None)
+
+
+def _load_current_manifest_for_ddl(
+    out_dir: str, batch_id: int
+) -> tuple[dict[str, str], dict, dict, int] | None:
+    """Shared preamble of the metadata-only epochs: resolve the
+    current manifest, enforce the replay guard, and synthesize an
+    identity mapping for a table that never had one. Returns
+    ``(buckets, schema, mapping, applied)`` or None when the epoch is
+    an already-applied replay (guarded no-op)."""
+    current = os.path.join(out_dir, "current")
+    if not os.path.lexists(current):
+        raise FileNotFoundError(
+            f"{out_dir} has no published version to evolve"
+        )
+    applied = int(os.readlink(current).lstrip("v"))
+    if batch_id <= applied:
+        return None
+    mpath = os.path.join(current, _MANIFEST)
+    if not os.path.exists(mpath):
+        raise ValueError(
+            f"column mapping requires the bucket-aligned manifest "
+            f"layout — {out_dir} is a plain versioned table (rewrite it "
+            f"bucketed to rename/drop in place)"
+        )
+    buckets, schema = load_manifest(mpath)
+    if schema is None:
+        raise ValueError(
+            f"{out_dir}'s manifest records no schema (legacy layout) — "
+            f"apply one data epoch under the schema-recording kernel "
+            f"before renaming/dropping"
+        )
+    mapping = _load_mapping(mpath) or _synthesize_mapping(schema)
+    return buckets, schema, mapping, applied
+
+
+def rename_versioned_column(
+    out_dir: str,
+    batch_id: int,
+    renames: dict[str, str],
+    keep_versions: int = 2,
+) -> None:
+    """RENAME columns of a bucket-aligned versioned table as a
+    METADATA-ONLY epoch (VERDICT r13 #4 — the evolution step after
+    add/widen): the new version's manifest carries the SAME bucket →
+    generation map (no file is read or rewritten), a logical schema
+    with the new names, and a column mapping binding each logical
+    name to its stable field id and original PHYSICAL name — readers
+    project physical → logical, so standing generations stay
+    byte-untouched and a time-travel read of a pre-rename version
+    returns the version-pinned old name (pinned by
+    tests/test_round14_ops.py). Renaming a bucket key is safe: bucket
+    membership hashes VALUES, not names — subsequent epochs just pass
+    the new name in ``bucket_by``.
+
+    ``batch_id`` shares the version counter with data epochs (the
+    replay guard is the same symlink number), so the single-writer
+    discipline applies: a rename between stream runs must use an id
+    the stream's checkpoint has already passed, or the next data
+    epoch would be skipped as a replay. A replayed rename epoch is a
+    guarded no-op. Cost at 100 TB: one manifest write — never a
+    rewrite, backfill, or scan."""
+    out = _load_current_manifest_for_ddl(out_dir, batch_id)
+    if out is None:
+        return
+    buckets, schema, mapping, _ = out
+    names = [f["name"] for f in schema["fields"]]
+    for old, new in renames.items():
+        if old not in names:
+            raise ValueError(f"unknown column {old!r} (have {names})")
+        if new in set(names) - set(renames) or list(
+            renames.values()
+        ).count(new) > 1:
+            raise ValueError(
+                f"rename target {new!r} collides with an existing column"
+            )
+    new_fields = []
+    for f in schema["fields"]:
+        if f["name"] in renames:
+            new = renames[f["name"]]
+            mapping["fields"][new] = mapping["fields"].pop(f["name"])
+            new_fields.append({**f, "name": new})
+        else:
+            new_fields.append(f)
+    _write_manifest(
+        out_dir,
+        batch_id,
+        {"type": "struct", "fields": new_fields},
+        buckets,
+        mapping,
+    )
+    _publish_version(out_dir, batch_id)
+    _retain_versions(out_dir, keep_versions, bucketed=True)
+
+
+def drop_versioned_column(
+    out_dir: str,
+    batch_id: int,
+    name: str,
+    keep_versions: int = 2,
+) -> None:
+    """DROP a column of a bucket-aligned versioned table as a
+    manifest-tombstone epoch (VERDICT r13 #4): the field leaves the
+    logical schema and its (id, physical name) moves to the mapping's
+    ``dropped`` list — standing generation files keep their physical
+    bytes, which readers simply no longer project, and the tombstone
+    keeps the physical name reserved so a LATER field reusing the
+    logical name gets a fresh physical and can never resurrect the
+    dropped column's values (pinned by tests/test_round14_ops.py).
+    Dropping a column the table is bucketed by, or one a downstream
+    merge still orders on, is the caller's responsibility — the
+    manifest does not know key roles. Same version-counter discipline
+    and replay guard as :func:`rename_versioned_column`; cost is one
+    manifest write."""
+    out = _load_current_manifest_for_ddl(out_dir, batch_id)
+    if out is None:
+        return
+    buckets, schema, mapping, _ = out
+    names = [f["name"] for f in schema["fields"]]
+    if name not in names:
+        raise ValueError(f"unknown column {name!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the table's only column")
+    mapping.setdefault("dropped", []).append(
+        {**mapping["fields"].pop(name), "name": name, "at": batch_id}
+    )
+    new_fields = [f for f in schema["fields"] if f["name"] != name]
+    _write_manifest(
+        out_dir,
+        batch_id,
+        {"type": "struct", "fields": new_fields},
+        buckets,
+        mapping,
+    )
+    _publish_version(out_dir, batch_id)
+    _retain_versions(out_dir, keep_versions, bucketed=True)
 
 
 def run_foreachbatch_versioned(
@@ -541,7 +817,22 @@ def run_foreachbatch_upsert(
     Runs BUCKET-ALIGNED on ``key_cols`` (the rank merge is key-local
     by construction — every output row's key appears in state ∪
     delta), so an epoch rewrites only the buckets its keys hash into."""
+    run_foreachbatch_versioned(
+        result,
+        out_dir,
+        ckpt,
+        upsert_merge(key_cols, order_cols),
+        state_partitions,
+        bucket_by=key_cols,
+    )
 
+
+def upsert_merge(key_cols: list[str], order_cols: list[str]):
+    """The keep-latest-per-key merge callable — public so a BATCH
+    epoch (``apply_versioned_epoch``) can continue a table a stream
+    built with :func:`run_foreachbatch_upsert` under identical
+    semantics (the rename query applies its post-rename delta this
+    way)."""
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in order_cols]
     )
@@ -565,9 +856,7 @@ def run_foreachbatch_upsert(
             .drop("_rn")
         )
 
-    run_foreachbatch_versioned(
-        result, out_dir, ckpt, merge, state_partitions, bucket_by=key_cols
-    )
+    return merge
 
 
 # --- registry query ----------------------------------------------------------
@@ -770,6 +1059,113 @@ WHERE rn = 1
 """
 
 
+def stream_upsert_rename(spark, sf_dir: str) -> DataFrame:
+    """COLUMN RENAME + DROP via column mapping through the keyed
+    upsert (VERDICT r13 #4 — the evolution step after add/widen): the
+    events stream upserts in 3 epochs carrying ``qty`` (int) and
+    ``extra`` (string); then a METADATA-ONLY epoch renames ``qty`` →
+    ``quantity`` (one manifest write — every standing generation file
+    stays byte-untouched, pinned by tests/test_round14_ops.py, with
+    time travel returning the version-pinned old name); then a BATCH
+    epoch (the public ``apply_versioned_epoch`` + ``upsert_merge``,
+    the same kernel the stream ran) upserts a delta that arrives
+    under the NEW name — readers and the merge see only logical
+    names, while its generation files are written under the original
+    physical name; finally ``extra`` is DROPPED as a manifest
+    tombstone and the serving read no longer projects it. Oracle: the
+    batch keep-latest over base ∪ delta under the new name — a
+    hash-match proves the renamed column carries the right values
+    across pre-rename state, post-rename delta, and the bumped-ts
+    overwrite rule, and the row shape proves the drop.
+
+    At 100 TB: rename and drop each cost ONE manifest write — never a
+    rewrite, backfill, or scan of the standing table — which is the
+    entire point of column mapping (Iceberg/Delta name-mapping), and
+    why the widening lattice's loud rejection of in-place renames is
+    now a solved story instead of an instruction to rewrite."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.sources.registry import load_table
+
+    src = scratch_dir("psd_upren_src_")
+    out_dir = scratch_dir("psd_upren_")
+    ckpt = scratch_dir("psd_upren_ckpt_")
+    ev = load_table(spark, sf_dir, "events")
+    stage_stream_splits(
+        ev.select(
+            "user_id", "event_id", "ts", "value",
+            (F.col("event_id") % 1000).cast("int").alias("qty"),
+            F.col("event_type").alias("extra"),
+        ),
+        F.col("event_id") % 3,
+        src,
+        n=3,
+    )
+    run_foreachbatch_upsert(
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double, "
+            "qty int, extra string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        out_dir,
+        ckpt,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    # metadata-only rename epoch (id 3 — the stream's checkpoint is
+    # past 2, so the shared version counter stays single-writer-safe)
+    rename_versioned_column(out_dir, 3, {"qty": "quantity"})
+    # post-rename delta arrives under the NEW name, applied through
+    # the same public kernel + merge the stream used
+    delta = ev.filter(F.col("event_id") % 5 == 0).select(
+        "user_id",
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1000 DAYS")).alias("ts"),
+        "value",
+        ((F.col("event_id") % 1000) + 100000).cast("int").alias("quantity"),
+        F.col("event_type").alias("extra"),
+    )
+    apply_versioned_epoch(
+        delta, out_dir, 4, upsert_merge(["user_id"], ["ts", "event_id"]),
+        bucket_by=["user_id"],
+    )
+    # manifest-tombstone drop
+    drop_versioned_column(out_dir, 5, "extra")
+    served = current_upsert_table(spark, out_dir)
+    if "extra" in served.columns or "qty" in served.columns:
+        raise RuntimeError("rename/drop did not reach the serving read")
+    return served.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        "ts",
+        "value",
+        "quantity",
+    )
+
+
+STREAM_UPSERT_RENAME_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(event_id % 1000 AS INTEGER) AS quantity
+  FROM events
+), delta AS (
+  SELECT user_id, event_id, ts + INTERVAL 1000 DAY AS ts, value,
+         CAST(event_id % 1000 + 100000 AS INTEGER) AS quantity
+  FROM events WHERE event_id % 5 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM delta
+)
+SELECT user_id, event_id AS last_event_id, ts, value, quantity
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM u
+)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "stream_upsert_latest": (stream_upsert_latest, STREAM_UPSERT_ORACLE),
     "stream_upsert_evolving": (
@@ -779,5 +1175,9 @@ QUERIES = {
     "stream_upsert_widening": (
         stream_upsert_widening,
         STREAM_UPSERT_WIDENING_ORACLE,
+    ),
+    "stream_upsert_rename": (
+        stream_upsert_rename,
+        STREAM_UPSERT_RENAME_ORACLE,
     ),
 }

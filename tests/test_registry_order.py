@@ -37,6 +37,7 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 #: are appended here by their landing commits.
 R14_FRONT = [
     "cdf_consumer_eviction",
+    "stream_upsert_rename",
     "cdf_multi_consumer",
     "cdf_feed_retention",
     "cdf_materialized_view",
