@@ -325,3 +325,77 @@ def test_rename_drop_validation(spark, tmp_path):
     apply_versioned_epoch(e0, plain, 0, _union_merge)
     with pytest.raises(ValueError, match="bucket-aligned manifest"):
         rename_versioned_column(plain, 1, {"v": "w"})
+
+
+# --- purge-journal retirement (VERDICT r13 #5) -------------------------------
+
+def _li_like(spark, keys, day_of):
+    import datetime as dt
+
+    rows = [
+        (
+            int(k),
+            dt.datetime(1996, 1, 1) + dt.timedelta(days=int(day_of(k))),
+            "A",
+            1.0,
+            10.0,
+            0.0,
+        )
+        for k in keys
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_shipdate timestamp, l_returnflag string, "
+        "l_quantity double, l_extendedprice double, l_discount double",
+    )
+
+
+def test_purge_journal_retires_behind_commit_horizon(spark, tmp_path):
+    """VERDICT r13 #5 done-criteria: journal length stays bounded —
+    an entry drops once every epoch it covers is durably committed
+    (the stream commits batch N before starting N+1, so a sub-horizon
+    epoch can never replay) — while a REPLAY of a still-covered epoch
+    keeps re-applying its purge (the resurrection pin holds through
+    retirement)."""
+    import json
+
+    from psd_project_spark.operators.zorder import (
+        _ZONEMAP,
+        _build_zonemap_base,
+        _load_zpurges,
+        _purge_range_inplace,
+        _zonemap_ingest_batch_fn,
+    )
+
+    path = str(tmp_path / "layout")
+    _build_zonemap_base(spark, _li_like(spark, range(5), lambda k: k), path)
+    fn = _zonemap_ingest_batch_fn(path)
+    e0 = _li_like(spark, range(100, 120), lambda k: k % 100 - 80)  # 20..39
+    fn(e0, 0)
+    lo, hi = "1996-01-21 00:00:00", "1996-01-31 23:59:59"  # days 20..30
+    _purge_range_inplace(spark, path, lo, hi)
+    _purge_range_inplace(
+        spark, path, "1996-02-05 00:00:00", "1996-02-06 23:59:59"
+    )
+    assert len(_load_zpurges(path)) == 2
+    in_range = F.col("l_shipdate").between(lo, hi)
+
+    def live_rows():
+        with open(os.path.join(path, _ZONEMAP)) as fh:
+            names = sorted(json.load(fh))
+        return spark.read.parquet(*(os.path.join(path, n) for n in names))
+
+    # replaying epoch 0 (still at the horizon) re-applies the purges
+    # AND retains both entries — epoch 0 could replay again
+    fn(e0, 0)
+    assert live_rows().filter(in_range).count() == 0
+    assert len(_load_zpurges(path)) == 2
+    # epoch 1 starting proves epoch 0's commit is durable: both
+    # entries cover only epoch 0 and retire; its in-range rows live
+    fn(_li_like(spark, range(200, 210), lambda k: 25), 1)
+    assert _load_zpurges(path) == []
+    assert live_rows().filter(in_range).count() == 10
+    # purged epoch-0 rows stayed gone through the retirement
+    assert live_rows().filter(
+        in_range & (F.col("l_orderkey") < 200)
+    ).count() == 0
