@@ -337,6 +337,26 @@ SHOWCASE = [
         "what makes replay safe.",
     ),
     (
+        "cdf_consumer_eviction",
+        "Three consumers' convergence (one evicted mid-stream and "
+        "re-bootstrapped) as one plan: each snapshot read is a "
+        "manifest-resolved bucket-file scan, the union-distinct plus "
+        "two symmetric differences carry only view-sized aggregate "
+        "rows — eviction, tombstone, and rejoin are pure driver-side "
+        "metadata, invisible to the plan, and feed storage stays "
+        "bounded by max_lag × delta regardless of consumer crashes.",
+    ),
+    (
+        "stream_upsert_rename",
+        "The RENAMED + DROPPED state read: ONE scan over the "
+        "manifest-listed generations under their shared PHYSICAL "
+        "schema, with a Project aliasing physical → logical names — "
+        "rename and drop each cost one manifest write and zero file "
+        "rewrites, so the only plan trace of the whole evolution is "
+        "that alias projection (the dropped column simply is not "
+        "projected).",
+    ),
+    (
         "stream_zorder_resume",
         "The probe after delete-then-ingest: the file list LACKS the "
         "band-covered cells' pre-purge files, carries straddlers "
