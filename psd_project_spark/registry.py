@@ -49,6 +49,7 @@ _PRIORITY = (
     # -- round-14 new (front: day-one driver rows) ---------------------
     "cdf_consumer_eviction",
     "stream_upsert_rename",
+    "stream_upsert_rebucket",
     # -- re-entering: operators/scd.py (module-level) ------------------
     "cdf_multi_consumer",
     "cdf_feed_retention",
@@ -103,7 +104,12 @@ _PRIORITY = (
     "ngram_familiarity",
     "pack_sequences",
     "tfidf_top_terms",
-    "trigram_udtf_freq",
+    # (trigram_udtf_freq — the tail r05 spare — yielded to the
+    #  late-landing stream_upsert_rebucket, the r13 precedent of
+    #  yields coming from the stale block's tail when the designated
+    #  yielders are consumed; its r05 row stands over bytes untouched
+    #  since, and it is covered by this round's in-session
+    #  full-registry sweep)
     # -- designated yielders (tail): token_freq (r05) yields to
     #    stream_upsert_rename and value_histogram (r06, bench watch
     #    item — re-times under a driver row until it yields) to

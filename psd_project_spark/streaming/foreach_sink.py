@@ -425,6 +425,7 @@ def _write_manifest(
     schema: dict,
     buckets: dict[str, str],
     mapping: dict | None,
+    n_buckets: int | None = None,
 ) -> None:
     import json
 
@@ -433,10 +434,32 @@ def _write_manifest(
     doc: dict = {"schema": schema, "buckets": buckets}
     if mapping is not None:
         doc["mapping"] = mapping
+    if n_buckets is not None:
+        doc["n_buckets"] = n_buckets
     mtmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
     with open(mtmp, "w") as fh:
         json.dump(doc, fh, sort_keys=True)
     os.replace(mtmp, os.path.join(vdir, _MANIFEST))
+
+
+def _check_bucket_count(mpath: str, n_buckets: int, out_dir: str) -> None:
+    """Bucket membership is PART OF THE ON-DISK LAYOUT (the manifest's
+    bucket ids are ``hash(key) mod n_buckets``), so an epoch hashed
+    with a different modulus would resolve the wrong affected buckets
+    — reading the wrong state subset and splitting keys across
+    buckets, silent corruption. The manifest records its layout's
+    bucket count; a mismatched caller fails loudly (pre-round-14
+    manifests carry no count and are validated from their first
+    post-upgrade epoch on). Changing the count is a real maintenance
+    verb: :func:`rebucket_versioned`."""
+    recorded = _manifest_json(mpath).get("n_buckets")
+    if recorded is not None and recorded != n_buckets:
+        raise ValueError(
+            f"{out_dir} is laid out with n_buckets={recorded} but this "
+            f"epoch hashed with n_buckets={n_buckets} — a mismatched "
+            f"modulus resolves the wrong buckets (silent corruption); "
+            f"pass n_buckets={recorded} or run rebucket_versioned first"
+        )
 
 
 def apply_versioned_epoch(
@@ -531,6 +554,7 @@ def apply_versioned_epoch(
         prev_mapping: dict | None = None
         if os.path.lexists(current):
             mpath = os.path.join(current, _MANIFEST)
+            _check_bucket_count(mpath, n_buckets, out_dir)
             prev, prev_schema = load_manifest(mpath)
             prev_mapping = _load_mapping(mpath)
         cur_paths = [
@@ -609,7 +633,9 @@ def apply_versioned_epoch(
                     prev_schema["fields"], merged_fields
                 ),
             }
-        _write_manifest(out_dir, batch_id, schema, buckets, mapping)
+        _write_manifest(
+            out_dir, batch_id, schema, buckets, mapping, n_buckets
+        )
         _publish_version(out_dir, batch_id)
 
     # an empty epoch changes nothing — skip the version write entirely
@@ -773,6 +799,109 @@ def drop_versioned_column(
     _retain_versions(out_dir, keep_versions, bucketed=True)
 
 
+def rebucket_versioned(
+    spark,
+    out_dir: str,
+    batch_id: int,
+    bucket_by: list[str],
+    new_n_buckets: int,
+    keep_versions: int = 2,
+) -> None:
+    """RE-BUCKET a bucket-aligned versioned table — the maintenance
+    verb behind :func:`_check_bucket_count`'s loud mismatch guard:
+    bucket membership is ``hash(key) mod n_buckets``, so the count is
+    part of the on-disk layout and can only change by rewriting state
+    under the new modulus. One maintenance epoch: read every standing
+    bucket (under the mapping's physical projection when present),
+    re-hash into ``new_n_buckets``, write one new generation, publish
+    a manifest recording the new count — subsequent epochs pass the
+    new count and are delta-sized again immediately.
+
+    This is the lakehouse OPTIMIZE/rebucket trade at 100 TB: a
+    one-shot state-sized rewrite (one shuffle on the bucket id) that
+    buys finer per-epoch rewrites forever after — run it when buckets
+    outgrow a few HDFS blocks (the :data:`N_STATE_BUCKETS` sizing
+    note), not per epoch. Same version-counter discipline and replay
+    guard as the other maintenance epochs; a replayed rebucket is a
+    guarded no-op."""
+    from pyspark.sql.types import StructType
+
+    if new_n_buckets < 1:
+        raise ValueError(f"new_n_buckets must be >= 1: {new_n_buckets}")
+    current = os.path.join(out_dir, "current")
+    if not os.path.lexists(current):
+        raise FileNotFoundError(
+            f"{out_dir} has no published version to rebucket"
+        )
+    applied = int(os.readlink(current).lstrip("v"))
+    if batch_id <= applied:
+        return
+    mpath = os.path.join(current, _MANIFEST)
+    if not os.path.exists(mpath):
+        raise ValueError(
+            f"{out_dir} is a plain versioned table — only the "
+            f"bucket-aligned layout has buckets to change"
+        )
+    recorded = _manifest_json(mpath).get("n_buckets")
+    if recorded == new_n_buckets:
+        raise ValueError(
+            f"{out_dir} is already laid out with n_buckets="
+            f"{new_n_buckets} — a same-count rebucket is a pointless "
+            f"state-sized rewrite"
+        )
+    buckets, schema = load_manifest(mpath)
+    mapping = _load_mapping(mpath)
+    if not buckets:  # an emptied table rebuckets as metadata
+        _write_manifest(
+            out_dir, batch_id, schema, {}, mapping, new_n_buckets
+        )
+        _publish_version(out_dir, batch_id)
+        _retain_versions(out_dir, keep_versions, bucketed=True)
+        return
+    paths = [os.path.join(out_dir, rel) for rel in sorted(buckets.values())]
+    if schema is None:
+        df = spark.read.parquet(*paths)
+    elif mapping is None:
+        df = spark.read.schema(StructType.fromJson(schema)).parquet(*paths)
+    else:
+        df = _read_mapped(spark, paths, schema, mapping)
+    missing = [c for c in bucket_by if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"bucket_by columns {missing} not in the table's logical "
+            f"schema {df.columns}"
+        )
+    out_df = df.withColumn(
+        "_bucket", _bucket_expr(bucket_by, new_n_buckets)
+    )
+    if mapping is not None:
+        renames = {
+            logical: m["physical"]
+            for logical, m in mapping["fields"].items()
+            if m["physical"] != logical and logical in df.columns
+        }
+        if renames:
+            out_df = out_df.withColumnsRenamed(renames)
+    gen = f"g{batch_id}"
+    (
+        out_df.repartition(new_n_buckets, F.col("_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(os.path.join(out_dir, gen))
+    )
+    written = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(out_dir, gen))
+        if d.startswith("_bucket=")
+    )
+    new_buckets = {str(b): f"{gen}/_bucket={b}" for b in written}
+    _write_manifest(
+        out_dir, batch_id, schema, new_buckets, mapping, new_n_buckets
+    )
+    _publish_version(out_dir, batch_id)
+    _retain_versions(out_dir, keep_versions, bucketed=True)
+
+
 def run_foreachbatch_versioned(
     result: DataFrame,
     out_dir: str,
@@ -810,6 +939,7 @@ def run_foreachbatch_upsert(
     key_cols: list[str],
     order_cols: list[str],
     state_partitions: int | None = STATE_PARTITIONS,
+    n_buckets: int = N_STATE_BUCKETS,
 ) -> None:
     """Maintain latest-row-per-key across epochs with atomic version
     swap. ``order_cols`` must totally order rows within a key (e.g.
@@ -824,6 +954,7 @@ def run_foreachbatch_upsert(
         upsert_merge(key_cols, order_cols),
         state_partitions,
         bucket_by=key_cols,
+        n_buckets=n_buckets,
     )
 
 
@@ -1166,6 +1297,102 @@ WHERE rn = 1
 """
 
 
+def stream_upsert_rebucket(spark, sf_dir: str) -> DataFrame:
+    """BUCKET-COUNT EVOLUTION through the keyed upsert — the layout's
+    scale story completed: bucket membership is ``hash(key) mod
+    n_buckets``, so the count is part of the on-disk layout; the
+    manifest now RECORDS it and an epoch hashed with a different
+    modulus fails loudly instead of silently resolving the wrong
+    buckets (the corruption class ``_check_bucket_count`` exists to
+    kill). Lifecycle: the events stream upserts TWO epochs into a
+    coarse 4-bucket layout; ``rebucket_versioned`` rewrites the state
+    into 16 buckets as one maintenance epoch (the OPTIMIZE trade: one
+    state-sized shuffle buying finer per-epoch rewrites forever
+    after); a mismatched post-rebucket apply (still hashing mod 4) is
+    PROVEN to fail loudly; then the final epoch's delta applies under
+    the new count, rewriting only the new-layout buckets its keys hit
+    (pinned byte-identical for untouched buckets by
+    tests/test_round14_ops.py). Oracle: the plain batch keep-latest —
+    a hash-match proves re-hashing moved every row to its new bucket
+    with nothing lost, duplicated, or stale.
+
+    At 100 TB this is how the MERGE sink survives growth: start with
+    buckets sized to a few HDFS blocks, and when state outgrows them
+    rebucket once instead of letting every epoch rewrite
+    ever-larger buckets — with the modulus guard making the
+    mixed-layout corruption unrepresentable."""
+    from psd_project_spark.functions.caching import scratch_dir
+    from psd_project_spark.sources.registry import load_table
+    from psd_project_spark.streaming.jobs import stream_events
+
+    out_dir = scratch_dir("psd_uprb_")
+    ckpt = scratch_dir("psd_uprb_ckpt_")
+    ev = load_table(spark, sf_dir, "events")
+    src = stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_ns", "event_type", "value"
+    )
+    run_foreachbatch_upsert(
+        src, out_dir, ckpt,
+        key_cols=["user_id"], order_cols=["ts_ns", "event_id"],
+        n_buckets=4,
+    )
+    applied = int(
+        os.readlink(os.path.join(out_dir, "current")).lstrip("v")
+    )
+    rebucket_versioned(spark, out_dir, applied + 1, ["user_id"], 16)
+    # the guard the rebucket exists behind: an epoch still hashing
+    # mod 4 must fail loudly, never resolve wrong buckets
+    delta = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        "user_id",
+        (F.col("ts_ns") + F.lit(10**15)).alias("ts_ns"),
+        "event_type",
+        "value",
+    )
+    try:
+        apply_versioned_epoch(
+            delta, out_dir, applied + 2,
+            upsert_merge(["user_id"], ["ts_ns", "event_id"]),
+            bucket_by=["user_id"], n_buckets=4,
+        )
+        raise RuntimeError("mismatched n_buckets was not rejected")
+    except ValueError:
+        pass
+    apply_versioned_epoch(
+        delta, out_dir, applied + 2,
+        upsert_merge(["user_id"], ["ts_ns", "event_id"]),
+        bucket_by=["user_id"], n_buckets=16,
+    )
+    return current_upsert_table(spark, out_dir).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        "ts_ns",
+        "event_type",
+        "value",
+    )
+
+
+STREAM_UPSERT_REBUCKET_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type, value
+  FROM events
+), delta AS (
+  SELECT user_id, event_id, epoch_ns(ts) + 1000000000000000 AS ts_ns,
+         event_type, value
+  FROM events WHERE event_id % 7 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM delta
+)
+SELECT user_id, event_id AS last_event_id, ts_ns, event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts_ns DESC, event_id DESC) AS rn
+  FROM u
+)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "stream_upsert_latest": (stream_upsert_latest, STREAM_UPSERT_ORACLE),
     "stream_upsert_evolving": (
@@ -1179,5 +1406,9 @@ QUERIES = {
     "stream_upsert_rename": (
         stream_upsert_rename,
         STREAM_UPSERT_RENAME_ORACLE,
+    ),
+    "stream_upsert_rebucket": (
+        stream_upsert_rebucket,
+        STREAM_UPSERT_REBUCKET_ORACLE,
     ),
 }

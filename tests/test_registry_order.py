@@ -38,6 +38,7 @@ _REPO = pathlib.Path(__file__).resolve().parents[1]
 R14_FRONT = [
     "cdf_consumer_eviction",
     "stream_upsert_rename",
+    "stream_upsert_rebucket",
     "cdf_multi_consumer",
     "cdf_feed_retention",
     "cdf_materialized_view",
@@ -119,7 +120,10 @@ R14_STALE_REVERIFY = {
     "ngram_familiarity",
     "pack_sequences",
     "tfidf_top_terms",
-    "trigram_udtf_freq",
+    # (trigram_udtf_freq, the tail r05 spare, yielded to the
+    #  late-landing stream_upsert_rebucket per the r13 precedent —
+    #  designated yielders were consumed; asserted via the yielder
+    #  protocol below)
 }
 
 #: Designated yielders (tail spares): each holds a current green
@@ -131,6 +135,9 @@ R14_STALE_REVERIFY = {
 R14_YIELDERS = {
     "value_histogram": "cdf_consumer_eviction",
     "token_freq": "stream_upsert_rename",
+    # tail-of-stale-block yield (designated yielders consumed — the
+    # r13 precedent): its r05 row stands over bytes untouched since
+    "trigram_udtf_freq": "stream_upsert_rebucket",
 }
 
 

@@ -399,3 +399,114 @@ def test_purge_journal_retires_behind_commit_horizon(spark, tmp_path):
     assert live_rows().filter(
         in_range & (F.col("l_orderkey") < 200)
     ).count() == 0
+
+
+# --- bucket-count evolution (round-14 second half) ---------------------------
+
+def test_bucket_count_mismatch_fails_loudly(spark, tmp_path):
+    """Bucket membership is hash(key) mod n_buckets — part of the
+    on-disk layout. An epoch hashed with a different modulus must
+    fail loudly, never resolve the wrong buckets (silent
+    corruption)."""
+    from psd_project_spark.streaming.foreach_sink import (
+        apply_versioned_epoch,
+    )
+
+    out = str(tmp_path / "state")
+    e0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v int")
+    apply_versioned_epoch(e0, out, 0, _union_merge, bucket_by=["k"],
+                          n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        apply_versioned_epoch(e0, out, 1, _union_merge, bucket_by=["k"],
+                              n_buckets=8)
+
+
+def test_rebucket_preserves_rows_and_rebinds_modulus(spark, tmp_path):
+    """rebucket_versioned rewrites state under the new modulus: same
+    rows, new layout, manifest records the new count, old count then
+    fails loudly and the new count's epochs are delta-sized again
+    (untouched new-layout buckets byte-identical)."""
+    import json
+
+    from psd_project_spark.streaming.foreach_sink import (
+        _MANIFEST,
+        apply_versioned_epoch,
+        read_versioned,
+        rebucket_versioned,
+    )
+
+    out = str(tmp_path / "state")
+    e0 = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k long, v int"
+    )
+    apply_versioned_epoch(e0, out, 0, _union_merge, bucket_by=["k"],
+                          n_buckets=2)
+    before = sorted((r.k, r.v) for r in read_versioned(spark, out).collect())
+    rebucket_versioned(spark, out, 1, ["k"], 8)
+    with open(os.path.join(out, "v1", _MANIFEST)) as fh:
+        m = json.load(fh)
+    assert m["n_buckets"] == 8
+    assert len(m["buckets"]) > 2  # genuinely finer layout
+    after = sorted((r.k, r.v) for r in read_versioned(spark, out).collect())
+    assert after == before
+    # a same-count rebucket is refused (pointless state rewrite)
+    with pytest.raises(ValueError, match="already laid out"):
+        rebucket_versioned(spark, out, 2, ["k"], 8)
+    # a replayed rebucket is a guarded no-op
+    rebucket_versioned(spark, out, 1, ["k"], 4)
+    assert json.load(
+        open(os.path.join(out, "v1", _MANIFEST))
+    )["n_buckets"] == 8
+    # post-rebucket epoch under the new count touches only its keys'
+    # NEW buckets; untouched new buckets stay byte-identical
+    pre = _gen_file_hashes(out)
+    e2 = spark.createDataFrame([(0, 999)], "k long, v int")
+
+    def replace(current, df, batch_id):
+        keys = [r.k for r in df.select("k").distinct().collect()]
+        base = (
+            current.filter(~F.col("k").isin(keys))
+            if current is not None
+            else None
+        )
+        return df if base is None else base.unionByName(df)
+
+    apply_versioned_epoch(e2, out, 2, replace, bucket_by=["k"],
+                          n_buckets=8)
+    post = _gen_file_hashes(out)
+    overlap = set(pre) & set(post)
+    assert overlap and all(pre[f] == post[f] for f in overlap)
+    got = dict(
+        (r.k, r.v) for r in read_versioned(spark, out).collect()
+    )
+    assert got[0] == 999 and len(got) == 20
+
+
+def test_rebucket_composes_with_column_mapping(spark, tmp_path):
+    """Rebucket after a rename: the rewrite reads under the mapping's
+    physical projection and writes physical names back, so the
+    renamed column survives the re-hash byte-for-byte in values."""
+    from psd_project_spark.streaming.foreach_sink import (
+        apply_versioned_epoch,
+        read_versioned,
+        rebucket_versioned,
+        rename_versioned_column,
+    )
+
+    out = str(tmp_path / "state")
+    e0 = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "k long, qty int"
+    )
+    apply_versioned_epoch(e0, out, 0, _union_merge, bucket_by=["k"],
+                          n_buckets=2)
+    rename_versioned_column(out, 1, {"qty": "quantity"})
+    rebucket_versioned(spark, out, 2, ["k"], 8)
+    cur = read_versioned(spark, out)
+    assert [f.name for f in cur.schema.fields] == ["k", "quantity"]
+    assert sorted((r.k, r.quantity) for r in cur.collect()) == [
+        (i, i * 10) for i in range(10)
+    ]
+    # the rewritten generation stores the PHYSICAL name
+    gen_files = glob.glob(os.path.join(out, "g2", "_bucket=*", "*.parquet"))
+    raw_cols = spark.read.parquet(*gen_files).columns
+    assert "qty" in raw_cols and "quantity" not in raw_cols
