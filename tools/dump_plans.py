@@ -357,6 +357,16 @@ SHOWCASE = [
         "projected).",
     ),
     (
+        "stream_upsert_rebucket",
+        "The re-bucketed state read: ONE scan over the new layout's "
+        "generation dirs — the 4→16 rebucket rewrote state once "
+        "under the new modulus, the manifest records n_buckets so a "
+        "mismatched epoch fails loudly before planning anything, and "
+        "the final delta epoch's files sit beside the rebucket "
+        "generation's untouched buckets (delta-sized epochs again, "
+        "under finer buckets).",
+    ),
+    (
         "stream_zorder_resume",
         "The probe after delete-then-ingest: the file list LACKS the "
         "band-covered cells' pre-purge files, carries straddlers "
