@@ -990,6 +990,16 @@ def rejoin_feed_consumer(feed_dir: str, name: str, epoch: int) -> None:
         )
     with open(tomb) as fh:
         record = json.load(fh)
+    if epoch < 0 or epoch < record["progress"]:
+        # a rejoin below the evictee's own last progress (or at the
+        # registered-but-never-applied -1) would re-pin GC at the very
+        # lag that caused the eviction — the bootstrapped snapshot's
+        # epoch is necessarily at least that far along
+        raise ValueError(
+            f"rejoin epoch {epoch} is behind consumer {name!r}'s "
+            f"evicted progress {record['progress']} — bootstrap from a "
+            f"LIVE snapshot and rejoin at its applied epoch"
+        )
     record["rejoined_at_epoch"] = epoch
     rejoined = os.path.join(
         feed_dir, _CONSUMERS, f".rejoined.{name}.json"
@@ -1129,6 +1139,20 @@ def apply_feed_epoch(
     # honored too (it is recorded only after this view applied the
     # epoch, so marker ≥ epoch implies THIS view is past it) — but
     # never OTHER consumers' markers: those track different views.
+    if consumer is not None and os.path.exists(
+        _tombstone_path(feed_dir, consumer)
+    ):
+        # an evicted-but-alive consumer must not slip back in through
+        # an ordinary apply (its marker would re-pin GC while the
+        # tombstone still reports it evicted) — the same refusal
+        # register_feed_consumer gives, with the same way back
+        raise ValueError(
+            f"consumer {consumer!r} was evicted from {feed_dir} for "
+            f"lagging past the feed's max_lag — re-bootstrap its view "
+            f"from a live snapshot (bootstrap_view) and "
+            f"rejoin_feed_consumer at that snapshot's epoch before "
+            f"applying again"
+        )
     current_link = os.path.join(view_dir, "current")
     applied = (
         int(os.readlink(current_link).lstrip("v"))

@@ -278,7 +278,10 @@ def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame
     manifest = os.path.join(base, _MANIFEST)
     if not os.path.exists(manifest):
         return spark.read.parquet(base)
-    entries, schema_json = load_manifest(manifest)
+    doc = _manifest_json(manifest)
+    legacy = "buckets" not in doc  # legacy keys are bucket ids, never "buckets"
+    entries = doc if legacy else doc["buckets"]
+    schema_json = None if legacy else doc.get("schema")
     if not entries:
         # a merge may legally delete EVERY bucket (all keys erased —
         # ADVICE r13 #2): the view is then empty but still servable
@@ -293,7 +296,7 @@ def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame
     paths = [os.path.join(out_dir, rel) for rel in sorted(entries.values())]
     if schema_json is None:
         return spark.read.parquet(*paths)
-    mapping = _load_mapping(manifest)
+    mapping = None if legacy else doc.get("mapping")
     if mapping is not None:
         return _read_mapped(spark, paths, schema_json, mapping)
     return spark.read.schema(StructType.fromJson(schema_json)).parquet(
@@ -442,7 +445,7 @@ def _write_manifest(
     os.replace(mtmp, os.path.join(vdir, _MANIFEST))
 
 
-def _check_bucket_count(mpath: str, n_buckets: int, out_dir: str) -> None:
+def _check_bucket_count(doc: dict, n_buckets: int, out_dir: str) -> None:
     """Bucket membership is PART OF THE ON-DISK LAYOUT (the manifest's
     bucket ids are ``hash(key) mod n_buckets``), so an epoch hashed
     with a different modulus would resolve the wrong affected buckets
@@ -452,7 +455,7 @@ def _check_bucket_count(mpath: str, n_buckets: int, out_dir: str) -> None:
     manifests carry no count and are validated from their first
     post-upgrade epoch on). Changing the count is a real maintenance
     verb: :func:`rebucket_versioned`."""
-    recorded = _manifest_json(mpath).get("n_buckets")
+    recorded = doc.get("n_buckets") if "buckets" in doc else None
     if recorded is not None and recorded != n_buckets:
         raise ValueError(
             f"{out_dir} is laid out with n_buckets={recorded} but this "
@@ -553,10 +556,14 @@ def apply_versioned_epoch(
         prev_schema: dict | None = None
         prev_mapping: dict | None = None
         if os.path.lexists(current):
-            mpath = os.path.join(current, _MANIFEST)
-            _check_bucket_count(mpath, n_buckets, out_dir)
-            prev, prev_schema = load_manifest(mpath)
-            prev_mapping = _load_mapping(mpath)
+            doc = _manifest_json(os.path.join(current, _MANIFEST))
+            _check_bucket_count(doc, n_buckets, out_dir)
+            if "buckets" in doc:
+                prev = doc["buckets"]
+                prev_schema = doc.get("schema")
+                prev_mapping = doc.get("mapping")
+            else:  # legacy plain bucket map
+                prev = doc
         cur_paths = [
             os.path.join(out_dir, prev[str(b)])
             for b in affected
@@ -597,8 +604,15 @@ def apply_versioned_epoch(
                 for f in merged_fields
                 if mapping["fields"][f["name"]]["physical"] != f["name"]
             }
-            if renames:  # logical → physical for the generation files
-                out_df = out_df.withColumnsRenamed(renames)
+            if renames:  # logical → physical for the generation files —
+                # ONE atomic projection, not withColumnsRenamed (which
+                # rejects a target that exists, breaking swap renames)
+                out_df = out_df.select(
+                    *[
+                        F.col(c).alias(renames.get(c, c))
+                        for c in out_df.columns
+                    ]
+                )
         gen = f"g{batch_id}"
         (
             out_df.repartition(len(affected), F.col("_bucket"))
@@ -664,13 +678,18 @@ def apply_versioned_epoch(
 
 
 def _load_current_manifest_for_ddl(
-    out_dir: str, batch_id: int
-) -> tuple[dict[str, str], dict, dict, int] | None:
-    """Shared preamble of the metadata-only epochs: resolve the
-    current manifest, enforce the replay guard, and synthesize an
-    identity mapping for a table that never had one. Returns
-    ``(buckets, schema, mapping, applied)`` or None when the epoch is
-    an already-applied replay (guarded no-op)."""
+    out_dir: str,
+    batch_id: int,
+    require_schema: bool = True,
+    synthesize: bool = True,
+) -> dict | None:
+    """Shared preamble of the maintenance epochs (rename / drop /
+    rebucket): resolve the current manifest (ONE parse), enforce the
+    replay guard, and — for the mapping-consuming verbs — synthesize
+    an identity mapping for a table that never had one. Returns
+    ``{"buckets", "schema", "mapping", "applied", "n_buckets"}`` or
+    None when the epoch is an already-applied replay (guarded
+    no-op)."""
     current = os.path.join(out_dir, "current")
     if not os.path.lexists(current):
         raise FileNotFoundError(
@@ -682,19 +701,30 @@ def _load_current_manifest_for_ddl(
     mpath = os.path.join(current, _MANIFEST)
     if not os.path.exists(mpath):
         raise ValueError(
-            f"column mapping requires the bucket-aligned manifest "
+            f"maintenance epochs require the bucket-aligned manifest "
             f"layout — {out_dir} is a plain versioned table (rewrite it "
-            f"bucketed to rename/drop in place)"
+            f"bucketed first)"
         )
-    buckets, schema = load_manifest(mpath)
-    if schema is None:
+    doc = _manifest_json(mpath)
+    legacy = "buckets" not in doc
+    buckets = doc if legacy else doc["buckets"]
+    schema = None if legacy else doc.get("schema")
+    if schema is None and require_schema:
         raise ValueError(
             f"{out_dir}'s manifest records no schema (legacy layout) — "
             f"apply one data epoch under the schema-recording kernel "
             f"before renaming/dropping"
         )
-    mapping = _load_mapping(mpath) or _synthesize_mapping(schema)
-    return buckets, schema, mapping, applied
+    mapping = None if legacy else doc.get("mapping")
+    if mapping is None and synthesize:
+        mapping = _synthesize_mapping(schema)
+    return {
+        "buckets": buckets,
+        "schema": schema,
+        "mapping": mapping,
+        "applied": applied,
+        "n_buckets": None if legacy else doc.get("n_buckets"),
+    }
 
 
 def rename_versioned_column(
@@ -723,10 +753,10 @@ def rename_versioned_column(
     epoch would be skipped as a replay. A replayed rename epoch is a
     guarded no-op. Cost at 100 TB: one manifest write — never a
     rewrite, backfill, or scan."""
-    out = _load_current_manifest_for_ddl(out_dir, batch_id)
-    if out is None:
+    m = _load_current_manifest_for_ddl(out_dir, batch_id)
+    if m is None:
         return
-    buckets, schema, mapping, _ = out
+    buckets, schema, mapping = m["buckets"], m["schema"], m["mapping"]
     names = [f["name"] for f in schema["fields"]]
     for old, new in renames.items():
         if old not in names:
@@ -737,20 +767,33 @@ def rename_versioned_column(
             raise ValueError(
                 f"rename target {new!r} collides with an existing column"
             )
+        if new.startswith("_"):
+            # the sink's internal namespace: _bucket is the partition
+            # column every bucketed write adds (a user column by that
+            # name would be silently clobbered with bucket ids)
+            raise ValueError(
+                f"rename target {new!r} is reserved — leading-underscore "
+                f"names belong to the sink's internals (_bucket, _epoch)"
+            )
+    # rebuild name→entry bindings from the PRE-rename snapshot: a
+    # sequential pop/assign would corrupt swap or chained renames
+    # ({a: b, b: a} — assigning b would first destroy b's live entry)
+    old_entries = dict(mapping["fields"])
     new_fields = []
     for f in schema["fields"]:
-        if f["name"] in renames:
-            new = renames[f["name"]]
-            mapping["fields"][new] = mapping["fields"].pop(f["name"])
-            new_fields.append({**f, "name": new})
-        else:
-            new_fields.append(f)
+        target = renames.get(f["name"], f["name"])
+        if target != f["name"]:
+            mapping["fields"].pop(f["name"], None)
+        new_fields.append({**f, "name": target})
+    for old, new in renames.items():
+        mapping["fields"][new] = old_entries[old]
     _write_manifest(
         out_dir,
         batch_id,
         {"type": "struct", "fields": new_fields},
         buckets,
         mapping,
+        m["n_buckets"],  # a metadata epoch must not drop the layout record
     )
     _publish_version(out_dir, batch_id)
     _retain_versions(out_dir, keep_versions, bucketed=True)
@@ -775,10 +818,10 @@ def drop_versioned_column(
     manifest does not know key roles. Same version-counter discipline
     and replay guard as :func:`rename_versioned_column`; cost is one
     manifest write."""
-    out = _load_current_manifest_for_ddl(out_dir, batch_id)
-    if out is None:
+    m = _load_current_manifest_for_ddl(out_dir, batch_id)
+    if m is None:
         return
-    buckets, schema, mapping, _ = out
+    buckets, schema, mapping = m["buckets"], m["schema"], m["mapping"]
     names = [f["name"] for f in schema["fields"]]
     if name not in names:
         raise ValueError(f"unknown column {name!r} (have {names})")
@@ -794,6 +837,7 @@ def drop_versioned_column(
         {"type": "struct", "fields": new_fields},
         buckets,
         mapping,
+        m["n_buckets"],  # a metadata epoch must not drop the layout record
     )
     _publish_version(out_dir, batch_id)
     _retain_versions(out_dir, keep_versions, bucketed=True)
@@ -828,29 +872,18 @@ def rebucket_versioned(
 
     if new_n_buckets < 1:
         raise ValueError(f"new_n_buckets must be >= 1: {new_n_buckets}")
-    current = os.path.join(out_dir, "current")
-    if not os.path.lexists(current):
-        raise FileNotFoundError(
-            f"{out_dir} has no published version to rebucket"
-        )
-    applied = int(os.readlink(current).lstrip("v"))
-    if batch_id <= applied:
+    m = _load_current_manifest_for_ddl(
+        out_dir, batch_id, require_schema=False, synthesize=False
+    )
+    if m is None:
         return
-    mpath = os.path.join(current, _MANIFEST)
-    if not os.path.exists(mpath):
-        raise ValueError(
-            f"{out_dir} is a plain versioned table — only the "
-            f"bucket-aligned layout has buckets to change"
-        )
-    recorded = _manifest_json(mpath).get("n_buckets")
-    if recorded == new_n_buckets:
+    if m["n_buckets"] == new_n_buckets:
         raise ValueError(
             f"{out_dir} is already laid out with n_buckets="
             f"{new_n_buckets} — a same-count rebucket is a pointless "
             f"state-sized rewrite"
         )
-    buckets, schema = load_manifest(mpath)
-    mapping = _load_mapping(mpath)
+    buckets, schema, mapping = m["buckets"], m["schema"], m["mapping"]
     if not buckets:  # an emptied table rebuckets as metadata
         _write_manifest(
             out_dir, batch_id, schema, {}, mapping, new_n_buckets
@@ -876,12 +909,14 @@ def rebucket_versioned(
     )
     if mapping is not None:
         renames = {
-            logical: m["physical"]
-            for logical, m in mapping["fields"].items()
-            if m["physical"] != logical and logical in df.columns
+            logical: e["physical"]
+            for logical, e in mapping["fields"].items()
+            if e["physical"] != logical and logical in df.columns
         }
-        if renames:
-            out_df = out_df.withColumnsRenamed(renames)
+        if renames:  # atomic projection — see write_bucketed's note
+            out_df = out_df.select(
+                *[F.col(c).alias(renames.get(c, c)) for c in out_df.columns]
+            )
     gen = f"g{batch_id}"
     (
         out_df.repartition(new_n_buckets, F.col("_bucket"))

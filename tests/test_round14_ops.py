@@ -510,3 +510,92 @@ def test_rebucket_composes_with_column_mapping(spark, tmp_path):
     gen_files = glob.glob(os.path.join(out, "g2", "_bucket=*", "*.parquet"))
     raw_cols = spark.read.parquet(*gen_files).columns
     assert "qty" in raw_cols and "quantity" not in raw_cols
+
+
+# --- round-14 self-review fixes ----------------------------------------------
+
+def test_swap_rename_keeps_mapping_consistent(spark, tmp_path):
+    """A swap rename ({a: b, b: a}) must rebind BOTH mapping entries
+    from the pre-rename snapshot — sequential pop/assign would
+    destroy one live entry and serve one column's bytes under the
+    other's name."""
+    from psd_project_spark.streaming.foreach_sink import (
+        apply_versioned_epoch,
+        read_versioned,
+        rename_versioned_column,
+    )
+
+    out = str(tmp_path / "state")
+    e0 = spark.createDataFrame([(1, 10, 77)], "k long, a int, b int")
+    apply_versioned_epoch(e0, out, 0, _union_merge, bucket_by=["k"])
+    rename_versioned_column(out, 1, {"a": "b", "b": "a"})
+    row = read_versioned(spark, out).collect()[0]
+    assert (row.b, row.a) == (10, 77)  # values followed their columns
+    # and the table still accepts data epochs under the new names
+    e2 = spark.createDataFrame([(2, 20, 88)], "k long, b int, a int")
+    apply_versioned_epoch(e2, out, 2, _union_merge, bucket_by=["k"])
+    got = {r.k: (r.b, r.a) for r in read_versioned(spark, out).collect()}
+    assert got == {1: (10, 77), 2: (20, 88)}
+
+
+def test_metadata_epochs_preserve_bucket_count_record(spark, tmp_path):
+    """A rename/drop manifest must CARRY the recorded n_buckets —
+    dropping it would silently disarm the modulus-mismatch guard the
+    record exists for."""
+    from psd_project_spark.streaming.foreach_sink import (
+        apply_versioned_epoch,
+        drop_versioned_column,
+        rename_versioned_column,
+    )
+
+    out = str(tmp_path / "state")
+    e0 = spark.createDataFrame([(1, 10, "x")], "k long, v int, t string")
+    apply_versioned_epoch(e0, out, 0, _union_merge, bucket_by=["k"],
+                          n_buckets=4)
+    rename_versioned_column(out, 1, {"v": "w"})
+    drop_versioned_column(out, 2, "t")
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        apply_versioned_epoch(
+            e0.withColumnsRenamed({"v": "w"}), out, 3, _union_merge,
+            bucket_by=["k"], n_buckets=16,
+        )
+
+
+def test_rename_to_reserved_name_refused(spark, tmp_path):
+    from psd_project_spark.streaming.foreach_sink import (
+        apply_versioned_epoch,
+        rename_versioned_column,
+    )
+
+    out = str(tmp_path / "state")
+    e0 = spark.createDataFrame([(1, 10)], "k long, v int")
+    apply_versioned_epoch(e0, out, 0, _union_merge, bucket_by=["k"])
+    with pytest.raises(ValueError, match="reserved"):
+        rename_versioned_column(out, 1, {"v": "_bucket"})
+
+
+def test_evicted_consumer_cannot_apply_without_rejoin(spark, tmp_path):
+    """An evicted-but-alive consumer's ordinary apply must hit the
+    same loud refusal as re-registration — otherwise its recreated
+    marker re-pins GC while the tombstone still reports it evicted."""
+    from psd_project_spark.operators.scd import (
+        apply_feed_epoch,
+        register_feed_consumer,
+        rejoin_feed_consumer,
+    )
+
+    feed = str(tmp_path / "feed")
+    va, vd = str(tmp_path / "va"), str(tmp_path / "vd")
+    os.makedirs(feed)
+    register_feed_consumer(feed, "live")
+    register_feed_consumer(feed, "dead")
+    for i in range(4):
+        _write_change_epoch(spark, feed, i, range(5))
+    for i in range(3):
+        apply_feed_epoch(spark, feed, va, i, consumer="live", max_lag=2)
+    # dead is evicted; epoch 3 still exists — but the bypass is refused
+    with pytest.raises(ValueError, match="evicted"):
+        apply_feed_epoch(spark, feed, vd, 3, consumer="dead", max_lag=2)
+    # and a rejoin below the evictee's progress (or -1) is refused
+    with pytest.raises(ValueError, match="behind"):
+        rejoin_feed_consumer(feed, "dead", -1)
