@@ -599,3 +599,118 @@ def test_evicted_consumer_cannot_apply_without_rejoin(spark, tmp_path):
     # and a rejoin below the evictee's progress (or -1) is refused
     with pytest.raises(ValueError, match="behind"):
         rejoin_feed_consumer(feed, "dead", -1)
+
+
+# --- model-based evolution soak (deterministic, seeded) ----------------------
+
+def test_random_evolution_sequences_match_model(spark, tmp_path):
+    """Drive randomized sequences of data epochs / renames / drops /
+    rebuckets against the versioned sink and check the serve read
+    equals a plain dict model after EVERY step — the composition
+    surface (mapping × widening × bucket layout) has more interleavings
+    than the targeted pins above can enumerate. Seeded: failures
+    reproduce."""
+    import random
+
+    from psd_project_spark.streaming.foreach_sink import (
+        apply_versioned_epoch,
+        drop_versioned_column,
+        read_versioned,
+        rebucket_versioned,
+        rename_versioned_column,
+    )
+
+    rng = random.Random(1404)
+    for trial in range(3):
+        out = str(tmp_path / f"t{trial}")
+        model: dict[int, dict] = {}          # key -> {logical col -> val}
+        logical_cols = ["v0"]                # non-key columns, in order
+        n_buckets = 4
+        version = 0
+        next_col = 1
+
+        def apply_data_epoch():
+            nonlocal version
+            keys = rng.sample(range(30), rng.randint(1, 8))
+            cols = ["k", *logical_cols]
+            rows = []
+            for k in keys:
+                vals = {c: rng.randint(0, 999) for c in logical_cols}
+                model[k] = vals
+                rows.append((k, *[vals[c] for c in logical_cols]))
+            df = spark.createDataFrame(
+                rows, ", ".join([f"{c} long" for c in cols])
+            )
+
+            def replace(current, d, b):
+                base = (
+                    current.filter(~F.col("k").isin(keys))
+                    if current is not None
+                    else None
+                )
+                return d if base is None else base.unionByName(
+                    d, allowMissingColumns=True
+                )
+
+            apply_versioned_epoch(
+                df, out, version, replace, bucket_by=["k"],
+                n_buckets=n_buckets,
+            )
+            version += 1
+
+        def add_column():
+            nonlocal next_col
+            logical_cols.append(f"v{next_col}")
+            for vals in model.values():
+                vals[logical_cols[-1]] = None  # typed-NULL fill
+            next_col += 1
+            apply_data_epoch()  # the new column arrives with a delta
+
+        def rename_column():
+            nonlocal version, next_col
+            old = rng.choice(logical_cols)
+            new = f"r{next_col}"
+            next_col += 1
+            rename_versioned_column(out, version, {old: new})
+            version += 1
+            logical_cols[logical_cols.index(old)] = new
+            for vals in model.values():
+                vals[new] = vals.pop(old)
+
+        def drop_column():
+            nonlocal version
+            if len(logical_cols) < 2:
+                return
+            victim = rng.choice(logical_cols)
+            drop_versioned_column(out, version, victim)
+            version += 1
+            logical_cols.remove(victim)
+            for vals in model.values():
+                vals.pop(victim, None)
+
+        def rebucket():
+            nonlocal version, n_buckets
+            new_n = rng.choice([2, 3, 5, 8, 13])
+            if new_n == n_buckets:
+                return
+            rebucket_versioned(spark, out, version, ["k"], new_n)
+            version += 1
+            n_buckets = new_n
+
+        apply_data_epoch()  # seed state before any metadata verbs
+        steps = [apply_data_epoch] * 5 + [
+            add_column, rename_column, rename_column, drop_column,
+            rebucket,
+        ]
+        rng.shuffle(steps)
+        for step in steps:
+            step()
+            got = {
+                r["k"]: {c: r[c] for c in logical_cols}
+                for r in read_versioned(spark, out).collect()
+            }
+            want = {
+                k: {c: vals.get(c) for c in logical_cols}
+                for k, vals in model.items()
+            }
+            assert got == want, f"trial {trial} diverged after {step.__name__}"
