@@ -618,7 +618,10 @@ def run_time_travel(
     so the version/retention structure is testable)."""
     import os
 
-    from psd_project_spark.streaming.foreach_sink import read_versioned
+    from psd_project_spark.streaming.foreach_sink import (
+        parse_version,
+        read_versioned,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
     cuts = [
@@ -641,9 +644,9 @@ def run_time_travel(
             ckpt,
         )
         if i == 1:  # the snapshot as of T2
-            pinned = int(
-                os.readlink(os.path.join(out_dir, "current")).lstrip("v")
-            )
+            pinned = parse_version(
+                os.readlink(os.path.join(out_dir, "current"))
+            )[0]
     return (
         read_versioned(spark, out_dir, version=pinned)
         .select(
@@ -717,6 +720,7 @@ def run_change_feed(
     from psd_project_spark.streaming.foreach_sink import (
         _MANIFEST,
         load_manifest,
+        parse_version,
         write_epoch,
     )
 
@@ -739,9 +743,9 @@ def run_change_feed(
             state_dir,
             ckpt,
         )
-        applied = int(
-            os.readlink(os.path.join(state_dir, "current")).lstrip("v")
-        )
+        applied = parse_version(
+            os.readlink(os.path.join(state_dir, "current"))
+        )[0]
         cur_manifest, _ = load_manifest(
             os.path.join(state_dir, f"v{applied}", _MANIFEST)
         )
@@ -1033,9 +1037,11 @@ def bootstrap_view(src_view_dir: str, dst_view_dir: str) -> int:
     if os.path.isdir(dst_view_dir):
         shutil.rmtree(dst_view_dir)
     shutil.copytree(src_view_dir, dst_view_dir, symlinks=True)
-    return int(
-        os.readlink(os.path.join(dst_view_dir, "current")).lstrip("v")
-    )
+    from psd_project_spark.streaming.foreach_sink import parse_version
+
+    return parse_version(
+        os.readlink(os.path.join(dst_view_dir, "current"))
+    )[0]
 
 
 _VIEW_APPLIED = "_FEED_APPLIED"
@@ -1126,6 +1132,7 @@ def apply_feed_epoch(
 
     from psd_project_spark.streaming.foreach_sink import (
         apply_versioned_epoch,
+        parse_version,
     )
 
     # replay guard BEFORE touching the feed (a replayed apply's change
@@ -1155,7 +1162,7 @@ def apply_feed_epoch(
         )
     current_link = os.path.join(view_dir, "current")
     applied = (
-        int(os.readlink(current_link).lstrip("v"))
+        parse_version(os.readlink(current_link))[0]
         if os.path.lexists(current_link)
         else -1
     )

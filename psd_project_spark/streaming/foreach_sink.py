@@ -235,7 +235,9 @@ def _read_mapped(spark, paths, schema_json: dict, mapping: dict):
     )
 
 
-def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame:
+def read_versioned(
+    spark, out_dir: str, version: int | str | None = None
+) -> DataFrame:
     """Read a versioned sink — both layouts: a bucket-aligned version
     resolves its manifest to the per-bucket generation dirs (only the
     newest generation of each bucket is listed — readers never see a
@@ -270,6 +272,7 @@ def read_versioned(spark, out_dir: str, version: int | None = None) -> DataFrame
     in old generations, unprojected."""
     from pyspark.sql.types import StructType
 
+    # int = a data epoch's major; str ("3.1") = a metadata version
     base = (
         os.path.join(out_dir, "current")
         if version is None
@@ -374,14 +377,40 @@ def _reconcile_fields(
     return out
 
 
-def _publish_version(out_dir: str, batch_id: int) -> None:
-    """Atomically repoint ``current`` at ``v<batch_id>`` (tmp symlink +
+def parse_version(name: str) -> tuple[int, int]:
+    """Version id → ``(major, minor)``. Data epochs publish integer
+    MAJORS (``v3`` — the stream's batch id, the replay-guard
+    identity); metadata-only epochs (rename/drop/rebucket with
+    ``batch_id=None``) publish dotted MINORS on the standing major
+    (``v3.1``) so they never consume a batch id the stream's
+    checkpoint still owes — the decoupling that makes MID-STREAM
+    schema evolution safe (a metadata epoch between two availableNow
+    phases cannot cause the next data epoch to be skipped as a
+    replay)."""
+    body = name.lstrip("v")
+    if "." in body:
+        major, minor = body.split(".", 1)
+        return int(major), int(minor)
+    return int(body), 0
+
+
+def current_version(out_dir: str) -> tuple[int, int]:
+    """The published version's ``(major, minor)``; ``(-1, 0)`` when
+    nothing is published yet."""
+    current = os.path.join(out_dir, "current")
+    if not os.path.lexists(current):
+        return (-1, 0)
+    return parse_version(os.readlink(current))
+
+
+def _publish_version(out_dir: str, vname: str) -> None:
+    """Atomically repoint ``current`` at ``<vname>`` (tmp symlink +
     rename — readers never see a missing or half-written link)."""
     current = os.path.join(out_dir, "current")
-    tmp = os.path.join(out_dir, f".swap{batch_id}")
+    tmp = os.path.join(out_dir, f".swap{vname}")
     if os.path.lexists(tmp):
         os.unlink(tmp)
-    os.symlink(f"v{batch_id}", tmp)
+    os.symlink(vname, tmp)
     os.replace(tmp, current)  # atomic repoint
 
 
@@ -391,28 +420,35 @@ def _retain_versions(
     """Prune version dirs beyond the newest ``keep_versions`` and (in
     bucketed mode) any generation bucket-dir no kept manifest
     references — the retention half of :func:`apply_versioned_epoch`,
-    shared by the metadata-only epochs (rename/drop)."""
+    shared by the metadata-only epochs (rename/drop/rebucket).
+    Versions order by ``(major, minor)``, so a dotted metadata
+    version sorts between its major and the next data epoch."""
     import re
     import shutil
 
     if not keep_versions:
         return
     vers = sorted(
-        int(d[1:]) for d in os.listdir(out_dir) if re.fullmatch(r"v\d+", d)
+        (
+            d
+            for d in os.listdir(out_dir)
+            if re.fullmatch(r"v\d+(\.\d+)?", d)
+        ),
+        key=parse_version,
     )
     for v in vers[:-keep_versions]:
-        shutil.rmtree(os.path.join(out_dir, f"v{v}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, v), ignore_errors=True)
     if not bucketed:
         return
     # bucketed mode: drop generation bucket-dirs no kept manifest
     # references (a bucket superseded in every retained version)
     referenced: set[str] = set()
     for v in vers[-keep_versions:]:
-        mpath = os.path.join(out_dir, f"v{v}", _MANIFEST)
+        mpath = os.path.join(out_dir, v, _MANIFEST)
         if os.path.exists(mpath):
             referenced |= set(load_manifest(mpath)[0].values())
     for g in os.listdir(out_dir):
-        if not re.fullmatch(r"g\d+", g):
+        if not re.fullmatch(r"g\d+(\.\d+)?", g):
             continue
         gdir = os.path.join(out_dir, g)
         for sub in os.listdir(gdir):
@@ -424,7 +460,7 @@ def _retain_versions(
 
 def _write_manifest(
     out_dir: str,
-    batch_id: int,
+    vname: str,
     schema: dict,
     buckets: dict[str, str],
     mapping: dict | None,
@@ -432,7 +468,7 @@ def _write_manifest(
 ) -> None:
     import json
 
-    vdir = os.path.join(out_dir, f"v{batch_id}")
+    vdir = os.path.join(out_dir, vname)
     os.makedirs(vdir, exist_ok=True)
     doc: dict = {"schema": schema, "buckets": buckets}
     if mapping is not None:
@@ -538,7 +574,7 @@ def apply_versioned_epoch(
         merged.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"v{batch_id}")
         )
-        _publish_version(out_dir, batch_id)
+        _publish_version(out_dir, f"v{batch_id}")
 
     def write_bucketed(current) -> None:
         spark = df.sparkSession
@@ -648,9 +684,9 @@ def apply_versioned_epoch(
                 ),
             }
         _write_manifest(
-            out_dir, batch_id, schema, buckets, mapping, n_buckets
+            out_dir, f"v{batch_id}", schema, buckets, mapping, n_buckets
         )
-        _publish_version(out_dir, batch_id)
+        _publish_version(out_dir, f"v{batch_id}")
 
     # an empty epoch changes nothing — skip the version write entirely
     # (the symlink simply stays at the last data epoch; a replay of
@@ -664,8 +700,10 @@ def apply_versioned_epoch(
     if os.path.lexists(current):
         # Replay guard: if the swap for this (or a later) epoch
         # already happened, the epoch was fully applied — reapplying
-        # would read and clobber the same version directory.
-        applied = int(os.readlink(current).lstrip("v"))
+        # would read and clobber the same version directory. Only the
+        # MAJOR counts: a dotted metadata version (v1.1) on top of
+        # batch 1 must not swallow batch 2.
+        applied = parse_version(os.readlink(current))[0]
         if applied >= batch_id:
             return
         if bucket_by is None:
@@ -679,25 +717,38 @@ def apply_versioned_epoch(
 
 def _load_current_manifest_for_ddl(
     out_dir: str,
-    batch_id: int,
+    batch_id: int | None,
     require_schema: bool = True,
     synthesize: bool = True,
 ) -> dict | None:
     """Shared preamble of the maintenance epochs (rename / drop /
     rebucket): resolve the current manifest (ONE parse), enforce the
-    replay guard, and — for the mapping-consuming verbs — synthesize
-    an identity mapping for a table that never had one. Returns
-    ``{"buckets", "schema", "mapping", "applied", "n_buckets"}`` or
-    None when the epoch is an already-applied replay (guarded
-    no-op)."""
+    replay guard, assign the epoch's version name, and — for the
+    mapping-consuming verbs — synthesize an identity mapping for a
+    table that never had one.
+
+    ``batch_id=None`` (the mid-stream form) auto-assigns a dotted
+    MINOR on the standing major (``v3`` → ``v3.1`` → ``v3.2``): the
+    metadata epoch never consumes a batch id, so a stream continuing
+    the same checkpoint can never skip its next data epoch as a
+    replay. An explicit integer ``batch_id`` publishes that MAJOR
+    (the pre-dotted form — callers coordinating the id space by
+    hand), guarded against already-applied majors. Returns
+    ``{"buckets", "schema", "mapping", "applied", "n_buckets",
+    "vname"}`` or None when the epoch is an already-applied replay
+    (guarded no-op)."""
     current = os.path.join(out_dir, "current")
     if not os.path.lexists(current):
         raise FileNotFoundError(
             f"{out_dir} has no published version to evolve"
         )
-    applied = int(os.readlink(current).lstrip("v"))
-    if batch_id <= applied:
-        return None
+    major, minor = parse_version(os.readlink(current))
+    if batch_id is None:
+        vname = f"v{major}.{minor + 1}"
+    else:
+        if batch_id <= major:
+            return None
+        vname = f"v{batch_id}"
     mpath = os.path.join(current, _MANIFEST)
     if not os.path.exists(mpath):
         raise ValueError(
@@ -722,14 +773,15 @@ def _load_current_manifest_for_ddl(
         "buckets": buckets,
         "schema": schema,
         "mapping": mapping,
-        "applied": applied,
+        "applied": (major, minor),
         "n_buckets": None if legacy else doc.get("n_buckets"),
+        "vname": vname,
     }
 
 
 def rename_versioned_column(
     out_dir: str,
-    batch_id: int,
+    batch_id: int | None,
     renames: dict[str, str],
     keep_versions: int = 2,
 ) -> None:
@@ -789,19 +841,19 @@ def rename_versioned_column(
         mapping["fields"][new] = old_entries[old]
     _write_manifest(
         out_dir,
-        batch_id,
+        m["vname"],
         {"type": "struct", "fields": new_fields},
         buckets,
         mapping,
         m["n_buckets"],  # a metadata epoch must not drop the layout record
     )
-    _publish_version(out_dir, batch_id)
+    _publish_version(out_dir, m["vname"])
     _retain_versions(out_dir, keep_versions, bucketed=True)
 
 
 def drop_versioned_column(
     out_dir: str,
-    batch_id: int,
+    batch_id: int | None,
     name: str,
     keep_versions: int = 2,
 ) -> None:
@@ -833,20 +885,20 @@ def drop_versioned_column(
     new_fields = [f for f in schema["fields"] if f["name"] != name]
     _write_manifest(
         out_dir,
-        batch_id,
+        m["vname"],
         {"type": "struct", "fields": new_fields},
         buckets,
         mapping,
         m["n_buckets"],  # a metadata epoch must not drop the layout record
     )
-    _publish_version(out_dir, batch_id)
+    _publish_version(out_dir, m["vname"])
     _retain_versions(out_dir, keep_versions, bucketed=True)
 
 
 def rebucket_versioned(
     spark,
     out_dir: str,
-    batch_id: int,
+    batch_id: int | None,
     bucket_by: list[str],
     new_n_buckets: int,
     keep_versions: int = 2,
@@ -884,11 +936,10 @@ def rebucket_versioned(
             f"state-sized rewrite"
         )
     buckets, schema, mapping = m["buckets"], m["schema"], m["mapping"]
+    vname = m["vname"]
     if not buckets:  # an emptied table rebuckets as metadata
-        _write_manifest(
-            out_dir, batch_id, schema, {}, mapping, new_n_buckets
-        )
-        _publish_version(out_dir, batch_id)
+        _write_manifest(out_dir, vname, schema, {}, mapping, new_n_buckets)
+        _publish_version(out_dir, vname)
         _retain_versions(out_dir, keep_versions, bucketed=True)
         return
     paths = [os.path.join(out_dir, rel) for rel in sorted(buckets.values())]
@@ -917,7 +968,7 @@ def rebucket_versioned(
             out_df = out_df.select(
                 *[F.col(c).alias(renames.get(c, c)) for c in out_df.columns]
             )
-    gen = f"g{batch_id}"
+    gen = "g" + vname[1:]  # g3 for v3, g3.1 for the mid-stream form
     (
         out_df.repartition(new_n_buckets, F.col("_bucket"))
         .write.mode("overwrite")
@@ -931,9 +982,9 @@ def rebucket_versioned(
     )
     new_buckets = {str(b): f"{gen}/_bucket={b}" for b in written}
     _write_manifest(
-        out_dir, batch_id, schema, new_buckets, mapping, new_n_buckets
+        out_dir, vname, schema, new_buckets, mapping, new_n_buckets
     )
-    _publish_version(out_dir, batch_id)
+    _publish_version(out_dir, vname)
     _retain_versions(out_dir, keep_versions, bucketed=True)
 
 
@@ -1226,29 +1277,27 @@ WHERE rn = 1
 
 
 def stream_upsert_rename(spark, sf_dir: str) -> DataFrame:
-    """COLUMN RENAME + DROP via column mapping through the keyed
-    upsert (VERDICT r13 #4 — the evolution step after add/widen): the
-    events stream upserts in 3 epochs carrying ``qty`` (int) and
-    ``extra`` (string); then a METADATA-ONLY epoch renames ``qty`` →
-    ``quantity`` (one manifest write — every standing generation file
-    stays byte-untouched, pinned by tests/test_round14_ops.py, with
-    time travel returning the version-pinned old name); then a BATCH
-    epoch (the public ``apply_versioned_epoch`` + ``upsert_merge``,
-    the same kernel the stream ran) upserts a delta that arrives
-    under the NEW name — readers and the merge see only logical
-    names, while its generation files are written under the original
-    physical name; finally ``extra`` is DROPPED as a manifest
-    tombstone and the serving read no longer projects it. Oracle: the
-    batch keep-latest over base ∪ delta under the new name — a
-    hash-match proves the renamed column carries the right values
-    across pre-rename state, post-rename delta, and the bumped-ts
-    overwrite rule, and the row shape proves the drop.
+    """COLUMN RENAME + DROP via column mapping, MID-STREAM (VERDICT
+    r13 #4 — the evolution step after add/widen): the events stream
+    upserts TWO epochs carrying ``qty`` (int) and ``extra`` (string);
+    then a METADATA-ONLY epoch renames ``qty`` → ``quantity`` — it
+    publishes a DOTTED version (``v1.1``) on the standing major, so
+    it consumes no batch id and the SAME CHECKPOINT keeps working —
+    and the stream's third epoch then arrives UNDER THE NEW NAME
+    (with distinct values, so the hash-match proves the renamed
+    column carries the right data on both sides of the boundary);
+    finally ``extra`` is DROPPED as a manifest tombstone (``v2.1``)
+    and the serving read no longer projects it. Standing generation
+    files stay byte-untouched through both metadata epochs (pinned by
+    tests/test_round14_ops.py, with time travel returning the
+    version-pinned old name). Oracle: the batch keep-latest with
+    ``quantity`` computed by the same epoch rule.
 
     At 100 TB: rename and drop each cost ONE manifest write — never a
-    rewrite, backfill, or scan of the standing table — which is the
-    entire point of column mapping (Iceberg/Delta name-mapping), and
-    why the widening lattice's loud rejection of in-place renames is
-    now a solved story instead of an instruction to rewrite."""
+    rewrite, backfill, scan, or stream restart — which is the entire
+    point of column mapping (Iceberg/Delta name-mapping) plus the
+    dotted-version decoupling (a metadata commit can never make the
+    stream skip a data epoch as a replay)."""
     from psd_project_spark.functions.caching import scratch_dir
     from psd_project_spark.sources.registry import load_table
 
@@ -1256,48 +1305,51 @@ def stream_upsert_rename(spark, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir("psd_upren_")
     ckpt = scratch_dir("psd_upren_ckpt_")
     ev = load_table(spark, sf_dir, "events")
+    base = "user_id long, event_id long, ts timestamp, value double"
+
+    def maintain(schema: str) -> None:
+        run_foreachbatch_upsert(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            out_dir,
+            ckpt,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+        )
+
     stage_stream_splits(
-        ev.select(
+        ev.filter(F.col("event_id") % 3 < 2).select(
             "user_id", "event_id", "ts", "value",
             (F.col("event_id") % 1000).cast("int").alias("qty"),
             F.col("event_type").alias("extra"),
         ),
         F.col("event_id") % 3,
         src,
-        n=3,
+        n=2,
     )
-    run_foreachbatch_upsert(
-        spark.readStream.schema(
-            "user_id long, event_id long, ts timestamp, value double, "
-            "qty int, extra string"
+    maintain(base + ", qty int, extra string")
+    # MID-STREAM rename: a dotted metadata version on the standing
+    # major — the checkpoint's next batch id stays unconsumed
+    rename_versioned_column(out_dir, None, {"qty": "quantity"})
+    (
+        ev.filter(F.col("event_id") % 3 == 2)
+        .select(
+            "user_id", "event_id", "ts", "value",
+            ((F.col("event_id") % 1000) + 100000)
+            .cast("int")
+            .alias("quantity"),
+            F.col("event_type").alias("extra"),
         )
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(src),
-        out_dir,
-        ckpt,
-        key_cols=["user_id"],
-        order_cols=["ts", "event_id"],
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{src}/p2")
     )
-    # metadata-only rename epoch (id 3 — the stream's checkpoint is
-    # past 2, so the shared version counter stays single-writer-safe)
-    rename_versioned_column(out_dir, 3, {"qty": "quantity"})
-    # post-rename delta arrives under the NEW name, applied through
-    # the same public kernel + merge the stream used
-    delta = ev.filter(F.col("event_id") % 5 == 0).select(
-        "user_id",
-        "event_id",
-        (F.col("ts") + F.expr("INTERVAL 1000 DAYS")).alias("ts"),
-        "value",
-        ((F.col("event_id") % 1000) + 100000).cast("int").alias("quantity"),
-        F.col("event_type").alias("extra"),
-    )
-    apply_versioned_epoch(
-        delta, out_dir, 4, upsert_merge(["user_id"], ["ts", "event_id"]),
-        bucket_by=["user_id"],
-    )
-    # manifest-tombstone drop
-    drop_versioned_column(out_dir, 5, "extra")
+    # the SAME checkpoint continues: epoch 2 arrives under the NEW
+    # name and must NOT be skipped as a replay of the rename's version
+    maintain(base + ", quantity int, extra string")
+    drop_versioned_column(out_dir, None, "extra")
     served = current_upsert_table(spark, out_dir)
     if "extra" in served.columns or "qty" in served.columns:
         raise RuntimeError("rename/drop did not reach the serving read")
@@ -1311,22 +1363,14 @@ def stream_upsert_rename(spark, sf_dir: str) -> DataFrame:
 
 
 STREAM_UPSERT_RENAME_ORACLE = """
-WITH base AS (
-  SELECT user_id, event_id, ts, value,
-         CAST(event_id % 1000 AS INTEGER) AS quantity
-  FROM events
-), delta AS (
-  SELECT user_id, event_id, ts + INTERVAL 1000 DAY AS ts, value,
-         CAST(event_id % 1000 + 100000 AS INTEGER) AS quantity
-  FROM events WHERE event_id % 5 = 0
-), u AS (
-  SELECT * FROM base UNION ALL SELECT * FROM delta
-)
-SELECT user_id, event_id AS last_event_id, ts, value, quantity
+SELECT user_id, event_id AS last_event_id, ts, value,
+       CAST(CASE WHEN event_id % 3 = 2 THEN event_id % 1000 + 100000
+                 ELSE event_id % 1000 END AS INTEGER) AS quantity
 FROM (
-  SELECT *, row_number() OVER (PARTITION BY user_id
-                               ORDER BY ts DESC, event_id DESC) AS rn
-  FROM u
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
 )
 WHERE rn = 1
 """
@@ -1339,14 +1383,15 @@ def stream_upsert_rebucket(spark, sf_dir: str) -> DataFrame:
     manifest now RECORDS it and an epoch hashed with a different
     modulus fails loudly instead of silently resolving the wrong
     buckets (the corruption class ``_check_bucket_count`` exists to
-    kill). Lifecycle: the events stream upserts TWO epochs into a
-    coarse 4-bucket layout; ``rebucket_versioned`` rewrites the state
-    into 16 buckets as one maintenance epoch (the OPTIMIZE trade: one
-    state-sized shuffle buying finer per-epoch rewrites forever
-    after); a mismatched post-rebucket apply (still hashing mod 4) is
-    PROVEN to fail loudly; then the final epoch's delta applies under
-    the new count, rewriting only the new-layout buckets its keys hit
-    (pinned byte-identical for untouched buckets by
+    kill). Lifecycle: the events stream upserts into a coarse
+    4-bucket layout; ``rebucket_versioned`` rewrites the state into
+    16 buckets as one maintenance epoch publishing a DOTTED version
+    (the OPTIMIZE trade: one state-sized shuffle buying finer
+    per-epoch rewrites forever after, consuming no batch id); a
+    mismatched post-rebucket apply (still hashing mod 4) is PROVEN to
+    fail loudly; then the final epoch's delta applies under the new
+    count, rewriting only the new-layout buckets its keys hit (pinned
+    byte-identical for untouched buckets by
     tests/test_round14_ops.py). Oracle: the plain batch keep-latest —
     a hash-match proves re-hashing moved every row to its new bucket
     with nothing lost, duplicated, or stale.
@@ -1371,10 +1416,10 @@ def stream_upsert_rebucket(spark, sf_dir: str) -> DataFrame:
         key_cols=["user_id"], order_cols=["ts_ns", "event_id"],
         n_buckets=4,
     )
-    applied = int(
-        os.readlink(os.path.join(out_dir, "current")).lstrip("v")
-    )
-    rebucket_versioned(spark, out_dir, applied + 1, ["user_id"], 16)
+    applied = current_version(out_dir)[0]
+    # the mid-stream form: the rebucket publishes a dotted version on
+    # the standing major, consuming no batch id
+    rebucket_versioned(spark, out_dir, None, ["user_id"], 16)
     # the guard the rebucket exists behind: an epoch still hashing
     # mod 4 must fail loudly, never resolve wrong buckets
     delta = ev.filter(F.col("event_id") % 7 == 0).select(
@@ -1386,7 +1431,7 @@ def stream_upsert_rebucket(spark, sf_dir: str) -> DataFrame:
     )
     try:
         apply_versioned_epoch(
-            delta, out_dir, applied + 2,
+            delta, out_dir, applied + 1,
             upsert_merge(["user_id"], ["ts_ns", "event_id"]),
             bucket_by=["user_id"], n_buckets=4,
         )
@@ -1394,7 +1439,7 @@ def stream_upsert_rebucket(spark, sf_dir: str) -> DataFrame:
     except ValueError:
         pass
     apply_versioned_epoch(
-        delta, out_dir, applied + 2,
+        delta, out_dir, applied + 1,
         upsert_merge(["user_id"], ["ts_ns", "event_id"]),
         bucket_by=["user_id"], n_buckets=16,
     )

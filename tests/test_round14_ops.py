@@ -714,3 +714,79 @@ def test_random_evolution_sequences_match_model(spark, tmp_path):
                 for k, vals in model.items()
             }
             assert got == want, f"trial {trial} diverged after {step.__name__}"
+
+
+# --- dotted metadata versions (mid-stream evolution) -------------------------
+
+def test_parse_version():
+    from psd_project_spark.streaming.foreach_sink import parse_version
+
+    assert parse_version("v3") == (3, 0)
+    assert parse_version("v3.1") == (3, 1)
+    assert parse_version("v0.12") == (0, 12)
+
+
+def test_metadata_epoch_consumes_no_batch_id(spark, tmp_path):
+    """The mid-stream contract: a rename with batch_id=None publishes
+    a dotted version on the standing major, so the NEXT data epoch
+    (same batch-id sequence the checkpoint owes) is NOT skipped as a
+    replay — while a replay of an already-applied data epoch still
+    is."""
+    from psd_project_spark.streaming.foreach_sink import (
+        apply_versioned_epoch,
+        read_versioned,
+        rename_versioned_column,
+    )
+
+    out = str(tmp_path / "state")
+    mk = lambda k, v: spark.createDataFrame([(k, v)], "k long, qty int")
+    apply_versioned_epoch(mk(1, 10), out, 0, _union_merge, bucket_by=["k"])
+    apply_versioned_epoch(mk(2, 20), out, 1, _union_merge, bucket_by=["k"])
+    rename_versioned_column(out, None, {"qty": "quantity"})
+    assert os.readlink(os.path.join(out, "current")) == "v1.1"
+    # the stream's next batch (id 2) must still apply...
+    e2 = spark.createDataFrame([(3, 30)], "k long, quantity int")
+    apply_versioned_epoch(e2, out, 2, _union_merge, bucket_by=["k"])
+    got = sorted(
+        (r.k, r.quantity) for r in read_versioned(spark, out).collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # ...while a REPLAY of batch 1 is still a guarded no-op
+    apply_versioned_epoch(mk(2, 999), out, 1, _union_merge, bucket_by=["k"])
+    assert sorted(
+        (r.k, r.quantity) for r in read_versioned(spark, out).collect()
+    ) == got
+    # stacked metadata epochs keep minting minors on the new major
+    rename_versioned_column(out, None, {"quantity": "q2"})
+    assert os.readlink(os.path.join(out, "current")) == "v2.1"
+    rename_versioned_column(out, None, {"q2": "q3"})
+    assert os.readlink(os.path.join(out, "current")) == "v2.2"
+
+
+def test_dotted_versions_retain_and_time_travel(spark, tmp_path):
+    """Retention orders (major, minor) so a dotted version sorts
+    between its major and the next data epoch; a retained dotted
+    version is time-travel readable by its string id."""
+    import re
+
+    from psd_project_spark.streaming.foreach_sink import (
+        apply_versioned_epoch,
+        read_versioned,
+        rename_versioned_column,
+    )
+
+    out = str(tmp_path / "state")
+    mk = lambda k, v: spark.createDataFrame([(k, v)], "k long, qty int")
+    apply_versioned_epoch(mk(1, 10), out, 0, _union_merge, bucket_by=["k"])
+    rename_versioned_column(out, None, {"qty": "quantity"})  # v0.1
+    apply_versioned_epoch(
+        spark.createDataFrame([(2, 20)], "k long, quantity int"),
+        out, 1, _union_merge, bucket_by=["k"],
+    )
+    vers = sorted(
+        d for d in os.listdir(out) if re.fullmatch(r"v\d+(\.\d+)?", d)
+    )
+    assert vers == ["v0.1", "v1"]  # keep_versions=2 pruned v0
+    old = read_versioned(spark, out, version="0.1")
+    assert [f.name for f in old.schema.fields] == ["k", "quantity"]
+    assert [(r.k, r.quantity) for r in old.collect()] == [(1, 10)]
