@@ -390,3 +390,44 @@ def test_evolved_state_read_is_one_scan_no_extra_exchange(spark, tmp_path):
     assert plan.count("Scan parquet") == 1, plan
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_mapped_state_read_is_one_scan_one_projection(spark, tmp_path):
+    """Column mapping must be invisible to the read plan beyond one
+    alias projection: a renamed + dropped + rebucketed table reads as
+    ONE parquet scan under the physical schema plus a Project to
+    logical names — no exchange, no join, no per-generation union,
+    and the dropped column's physical bytes are not even in the
+    ReadSchema. Anything more would tax every 100 TB read for a
+    metadata-only evolution."""
+    from psd_project_spark.streaming.foreach_sink import (
+        apply_versioned_epoch,
+        drop_versioned_column,
+        read_versioned,
+        rebucket_versioned,
+        rename_versioned_column,
+    )
+
+    out = str(tmp_path / "state")
+    e0 = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("int").alias("qty"),
+        F.lit("x").alias("extra"),
+    )
+
+    def merge(current, df, batch_id):
+        return df if current is None else current.unionByName(df)
+
+    apply_versioned_epoch(e0, out, 0, merge, bucket_by=["k"], n_buckets=4)
+    rename_versioned_column(out, None, {"qty": "quantity"})
+    drop_versioned_column(out, None, "extra")
+    rebucket_versioned(spark, out, None, ["k"], 8)
+    served = read_versioned(spark, out)
+    plan = executed_plan(served)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    # the scan reads PHYSICAL names and only live columns: the
+    # dropped column's bytes stay on disk but never enter the plan
+    assert "qty" in plan and "extra" not in plan, plan
+    assert [f.name for f in served.schema.fields] == ["k", "quantity"]
