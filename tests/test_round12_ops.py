@@ -355,9 +355,14 @@ def test_stream_zorder_ingest_matches_batch_and_bounds_cells(spark):
         assert cell in box_cells, p
     # (c) every cell's live set is bounded, and compaction really ran
     compacted = 0
+    retain = manifest.get("retain") or {}
     for cell, files in manifest["cells"].items():
         assert len(files) <= ZORDER_MAX_CELL_FILES, (cell, files)
-        live = set(files)
+        # the one-epoch retain list (round 13) keeps the superseded
+        # manifest's dropped files on disk until the NEXT publish, so
+        # a reader of the previous manifest survives this one — those
+        # files are manifest-referenced, not sweep leftovers
+        live = set(files) | set(retain.get(cell, []))
         cdir = os.path.join(path, f"zcell={cell}")
         on_disk = {
             f for f in os.listdir(cdir) if f.endswith(".parquet")
