@@ -615,10 +615,17 @@ def run_time_travel(
     spark: SparkSession, sf_dir: str, src: str, out_dir: str, ckpt: str
 ) -> DataFrame:
     """The injectable half of :func:`scd2_time_travel` (dirs supplied
-    so the version/retention structure is testable)."""
+    so the version/retention structure is testable).
+
+    The three slice epochs fold through ``apply_versioned_epoch``
+    directly — same kernel, same versions/manifests/retention as the
+    streaming runner it replaces here (see :func:`run_change_feed`'s
+    optimization note); ``src`` and ``ckpt`` are accepted for
+    call-site compatibility and no longer used."""
     import os
 
     from psd_project_spark.streaming.foreach_sink import (
+        apply_versioned_epoch,
         parse_version,
         read_versioned,
     )
@@ -631,17 +638,8 @@ def run_time_travel(
     ]
     pinned = None
     for i, pred in enumerate(cuts):
-        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(
-            f"{src}/f{i}"
-        )
-        run_scd2_maintenance(
-            spark.readStream.schema(
-                "user_id long, event_id long, ts timestamp, value double"
-            )
-            .option("recursiveFileLookup", "true")
-            .parquet(src),
-            out_dir,
-            ckpt,
+        apply_versioned_epoch(
+            ev.filter(pred), out_dir, i, scd2_merge, bucket_by=["user_id"]
         )
         if i == 1:  # the snapshot as of T2
             pinned = parse_version(
@@ -676,9 +674,9 @@ def scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention window are GC'd, so the feed cannot be derived lazily —
     exactly why real CDFs persist change files per commit).
 
-    Three sequential runs merge the ``event_id % 3`` slices (the same
-    deterministic epoch composition the maintenance query stages), so
-    the oracle is closed-form: cumulative SCD2 states over the slice
+    Three sequential kernel epochs merge the ``event_id % 3`` slices
+    (the same deterministic epoch composition the maintenance query
+    stages), so the oracle is closed-form: cumulative SCD2 states over the slice
     prefixes, with each epoch's feed = EXCEPT between consecutive
     states (epoch 0 inserts everything). A hash-match proves
     manifest-diff + changed-bucket reads + set-difference emit exactly
@@ -714,13 +712,34 @@ def run_change_feed(
     ``on_epoch(i)``, when given, runs after epoch ``i``'s change file
     is durably written — the consumer hook the feed-retention query
     uses to apply-and-checkpoint each epoch (and GC it) while the
-    feed is still being produced."""
+    feed is still being produced.
+
+    The three maintenance epochs fold through
+    :func:`~psd_project_spark.streaming.foreach_sink.apply_versioned_epoch`
+    DIRECTLY — the same public kernel the streaming runner wraps, so
+    versions, manifests, replay guard, and retention are identical —
+    instead of staging each slice to parquet and restarting an
+    ``availableNow`` streaming query over a shared checkpoint per
+    epoch (optimization r14, guide §1.2: three stream startups plus
+    three single-file staging writes were pure per-epoch overhead for
+    a deterministic batch-id composition; the streaming-maintained
+    story lives unchanged in :func:`stream_scd2_maintain` /
+    :func:`stream_scd2_erase`). ``src`` and ``ckpt`` are accepted for
+    call-site compatibility and no longer used.
+
+    The per-epoch diff is ONE tagged aggregation over the changed
+    buckets' two generations (``op`` derived from which side a row
+    appears on) instead of two ``subtract`` passes — half the
+    exchanges and one read of each side (guide §2.3/§2.4); state rows
+    are distinct within a version by construction ((user_id,
+    event_id) is the interval key), so the group-by reproduces the
+    subtract's set semantics exactly."""
     import os
 
     from psd_project_spark.streaming.foreach_sink import (
         _MANIFEST,
+        apply_versioned_epoch,
         load_manifest,
-        parse_version,
         write_epoch,
     )
 
@@ -731,23 +750,15 @@ def run_change_feed(
     ]
     prev_manifest: dict[str, str] = {}
     for i in range(3):
-        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{src}/f{i}")
-        run_scd2_maintenance(
-            spark.readStream.schema(
-                "user_id long, event_id long, ts timestamp, value double"
-            )
-            .option("recursiveFileLookup", "true")
-            .parquet(src),
+        apply_versioned_epoch(
+            ev.filter(F.col("event_id") % 3 == i),
             state_dir,
-            ckpt,
+            i,
+            scd2_merge,
+            bucket_by=["user_id"],
         )
-        applied = parse_version(
-            os.readlink(os.path.join(state_dir, "current"))
-        )[0]
         cur_manifest, _ = load_manifest(
-            os.path.join(state_dir, f"v{applied}", _MANIFEST)
+            os.path.join(state_dir, "current", _MANIFEST)
         )
         changed = sorted(
             b
@@ -772,13 +783,23 @@ def run_change_feed(
             return spark.read.parquet(*paths).select(*state_cols)
 
         new_rows, old_rows = _side(cur_manifest), _side(prev_manifest)
+        # one-pass diff: new side tags 1, old side 2 — a row in both
+        # versions sums to 3 and cancels; 1 = inserted, 2 = deleted
         feed = (
-            new_rows.subtract(old_rows)
-            .withColumn("op", F.lit("I"))
+            new_rows.select(*state_cols, F.lit(1).alias("_side"))
             .unionByName(
-                old_rows.subtract(new_rows).withColumn("op", F.lit("D"))
+                old_rows.select(*state_cols, F.lit(2).alias("_side"))
             )
-            .select(F.lit(i).alias("epoch"), "op", *state_cols)
+            .groupBy(*state_cols)
+            .agg(F.sum("_side").alias("_s"))
+            .filter(F.col("_s") != 3)
+            .select(
+                F.lit(i).alias("epoch"),
+                F.when(F.col("_s") == 1, F.lit("I"))
+                .otherwise(F.lit("D"))
+                .alias("op"),
+                *state_cols,
+            )
         )
         # materialize NOW: the prev version's generations leave the
         # retention window on later epochs
@@ -1306,6 +1327,42 @@ def _read_view_snapshot(spark: SparkSession, view_dir: str) -> DataFrame:
     )
 
 
+def _views_with_disagreement(views: list[DataFrame]) -> DataFrame:
+    """Union-distinct of the final views PLUS, for each non-reference
+    view, its symmetric difference against ``views[0]`` (unioned in
+    again, row-duplicating any disagreement) — the convergence-proof
+    frame of :func:`cdf_multi_consumer` / :func:`cdf_consumer_eviction`,
+    computed in ONE tagged aggregation pass instead of
+    2·(len(views)−1) ``exceptAll`` passes plus a ``distinct``
+    (optimization r14, guide §2.3/§2.4: every exceptAll is its own
+    union+aggregate exchange re-reading both sides). Each view holds
+    at most one row per user (a per-user aggregate), so presence is
+    0/1 per view and the bitmask sum reconstructs every set op
+    exactly: a row emits once for the union-distinct plus once per
+    reference↔other disagreement — the same multiset the exceptAll
+    form produced (and the same oracle match: any disagreement still
+    lands as duplicate rows that break the count/hash)."""
+    cols = views[0].columns
+    tagged = views[0].select(*cols, F.lit(1).alias("_v"))
+    for k, v in enumerate(views[1:], start=1):
+        tagged = tagged.unionByName(
+            v.select(*cols, F.lit(1 << k).alias("_v"))
+        )
+    s = F.col("_vs")
+    in_ref = s.bitwiseAND(1) > 0
+    mult = F.lit(1)
+    for k in range(1, len(views)):
+        mult = mult + F.when(
+            in_ref != (s.bitwiseAND(1 << k) > 0), 1
+        ).otherwise(0)
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_v").alias("_vs"))
+        .select(*cols, F.explode(F.sequence(F.lit(1), mult)).alias("_i"))
+        .select(*cols)
+    )
+
+
 def cdf_multi_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-CONSUMER feed retention (VERDICT r12 #3 — the missing
     piece of the CDF lifecycle: real feeds retain to the MINIMUM
@@ -1372,13 +1429,7 @@ def cdf_multi_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_feed_epoch(spark, feed_dir, view_slow, i, consumer="slow")
     fast = _read_view_snapshot(spark, view_fast)
     slow = _read_view_snapshot(spark, view_slow)
-    disagreement = fast.exceptAll(slow).unionByName(slow.exceptAll(fast))
-    return (
-        fast.unionByName(slow)
-        .distinct()
-        .unionByName(disagreement)
-        .orderBy("user_id")
-    )
+    return _views_with_disagreement([fast, slow]).orderBy("user_id")
 
 
 def cdf_consumer_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1472,19 +1523,7 @@ def cdf_consumer_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     fast = _read_view_snapshot(spark, view_fast)
     lazy = _read_view_snapshot(spark, view_lazy)
     dead = _read_view_snapshot(spark, view_dead)
-    disagreement = (
-        fast.exceptAll(lazy)
-        .unionByName(lazy.exceptAll(fast))
-        .unionByName(fast.exceptAll(dead))
-        .unionByName(dead.exceptAll(fast))
-    )
-    return (
-        fast.unionByName(lazy)
-        .unionByName(dead)
-        .distinct()
-        .unionByName(disagreement)
-        .orderBy("user_id")
-    )
+    return _views_with_disagreement([fast, lazy, dead]).orderBy("user_id")
 
 
 #: The same view computed directly from the final SCD2 state — the

@@ -579,6 +579,13 @@ def apply_versioned_epoch(
     def write_bucketed(current) -> None:
         spark = df.sparkSession
         bexpr = _bucket_expr(bucket_by, n_buckets)
+        # the delta feeds TWO actions (the affected-buckets collect
+        # here and the generation write below) — persist it so the
+        # epoch computes its delta once, not twice (guide §5: cache
+        # exactly the reused-and-recomputation-expensive frame; at
+        # scale the delta is delta-sized, and the caller's epoch ends
+        # with the unpersist in apply_versioned_epoch's finally)
+        df.persist()
         # this collect doubles as the empty-batch check (≤ n_buckets
         # ints — bounded), so bucketed mode pays ONE job here, not an
         # isEmpty() job plus a distinct job
@@ -711,7 +718,10 @@ def apply_versioned_epoch(
     if bucket_by is None:
         write_plain(cur_df, current)
     else:
-        write_bucketed(current)
+        try:
+            write_bucketed(current)
+        finally:
+            df.unpersist()
     _retain_versions(out_dir, keep_versions, bucket_by is not None)
 
 
