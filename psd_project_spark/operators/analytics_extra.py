@@ -646,24 +646,32 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [*_PROFILE_NUMERIC, *_PROFILE_STRING]
     l = load_table(spark, sf_dir, "lineitem").select(*cols)
     one = l.agg(*_profile_base_aggs(cols))
-    pieces = []
-    for c in cols:
-        mean_col = (
-            F.col(f"avg_{c}") if c in _PROFILE_NUMERIC
-            else F.lit(None).cast("double")
-        )
-        pieces.append(
-            one.select(
-                F.lit(c).alias("column"),
-                F.col(f"nn_{c}").alias("n_nulls"),
-                F.col(f"mn_{c}").alias("min_str"),
-                F.col(f"mx_{c}").alias("max_str"),
-                mean_col.alias("mean"),
+    # ONE row → |cols| rows via a literal struct-array explode, NOT a
+    # per-column union of selects over ``one``: union branches do not
+    # share their common subtree, so the "one plain codegen aggregate"
+    # this docstring promises was actually planned (and scanned)
+    # |cols| times — measured 7 lineitem scans in the physical plan
+    # (optimization r14, guide §1.2/§7.2; plans/r14/table_profile_*).
+    out = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"nn_{c}").alias("n_nulls"),
+                        F.col(f"mn_{c}").alias("min_str"),
+                        F.col(f"mx_{c}").alias("max_str"),
+                        (
+                            F.col(f"avg_{c}")
+                            if c in _PROFILE_NUMERIC
+                            else F.lit(None).cast("double")
+                        ).alias("mean"),
+                    )
+                    for c in cols
+                ]
             )
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
+        ).alias("_p")
+    ).select("_p.*")
     est = _profile_distinct_sketch(l)
     return (
         out.join(est, out["column"] == est["colname"], "left")
@@ -693,26 +701,33 @@ def table_profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(c).alias(f"nd_{c}") for c in cols
     ]
     one = l.agg(*aggs)
-    pieces = []
-    for c in cols:
-        mean_col = (
-            F.col(f"avg_{c}") if c in _PROFILE_NUMERIC
-            else F.lit(None).cast("double")
+    # same explode-not-union shape as table_profile (r14): the union
+    # form re-planned the multi-distinct Expand aggregate per column
+    return (
+        one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(f"nn_{c}").alias("n_nulls"),
+                            F.col(f"nd_{c}").alias("n_distinct"),
+                            F.col(f"mn_{c}").alias("min_str"),
+                            F.col(f"mx_{c}").alias("max_str"),
+                            (
+                                F.col(f"avg_{c}")
+                                if c in _PROFILE_NUMERIC
+                                else F.lit(None).cast("double")
+                            ).alias("mean"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("_p")
         )
-        pieces.append(
-            one.select(
-                F.lit(c).alias("column"),
-                F.col(f"nn_{c}").alias("n_nulls"),
-                F.col(f"nd_{c}").alias("n_distinct"),
-                F.col(f"mn_{c}").alias("min_str"),
-                F.col(f"mx_{c}").alias("max_str"),
-                mean_col.alias("mean"),
-            )
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("column")
+        .select("_p.*")
+        .orderBy("column")
+    )
 
 
 def _profile_base_select(c: str, with_distinct: bool) -> str:

@@ -826,7 +826,11 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     roster = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
-    per_src = (
+    # cached: the ~|sources|-row rollup feeds BOTH the 1-row total and
+    # the final projection — without the cache the corpus-sized
+    # score+join+aggregate pass runs twice (guide §5: cache the tiny
+    # reused frame, pay one corpus pass)
+    per_src = transient_cache(
         feat.select("doc_id", "n_tokens", keep.alias("keep"))
         .join(roster, "doc_id")
         .groupBy("source")
@@ -978,7 +982,11 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     roster = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
-    kept = (
+    # cached: ``kept`` feeds the per-source budget rollup AND the
+    # sized probe side — one filter+join pass instead of two; ``flat``
+    # (~|sources| rows) feeds the 1-row total and the budget
+    # projection (guide §5)
+    kept = transient_cache(
         feat.filter(keep)
         .join(roster, "doc_id")
         .select("doc_id", "source", "n_tokens")
@@ -986,8 +994,10 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = kept.groupBy("source").agg(
         F.sum("n_tokens").cast("long").alias("kept_tokens")
     )
-    flat = per_src.withColumn(
-        "flat_mass", F.sqrt(F.col("kept_tokens").cast("double"))
+    flat = transient_cache(
+        per_src.withColumn(
+            "flat_mass", F.sqrt(F.col("kept_tokens").cast("double"))
+        )
     )
     tot = flat.agg(
         F.sum(F.col("flat_mass").cast("decimal(27,15)"))

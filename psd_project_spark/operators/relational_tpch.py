@@ -508,7 +508,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     view + scalar-max pattern. The per-supplier aggregate is computed
     once and reused for both the max (1-row broadcast) and the final
     equality filter — no re-scan, no correlated re-execution."""
-    rev = (
+    from psd_project_spark.functions.caching import transient_cache
+
+    # cached: without it the docstring's "computed once" is false in
+    # DAG terms — the max subquery and the equality filter would each
+    # re-run the lineitem scan+aggregate (guide §5)
+    rev = transient_cache(
         load_table(spark, sf_dir, "lineitem")
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))

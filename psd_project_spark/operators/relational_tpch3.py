@@ -207,7 +207,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey")
     )
-    per_part = (
+    from psd_project_spark.functions.caching import transient_cache
+
+    # cached: the per-part rollup feeds the 1-row global threshold AND
+    # the output filter — one lineitem join+aggregate pass instead of
+    # two (guide §5)
+    per_part = transient_cache(
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", _revenue().alias("rev"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))

@@ -786,7 +786,13 @@ def _pair_band_candidates(e: DataFrame) -> DataFrame:
     ``dedup_embedding_lsh``, exposed so recall tests can run the
     identical machinery over planted-duplicate corpora
     (tests/test_ann_quality.py)."""
-    sigs = e.select("vec_id", _pair_sig_udf(F.col("_v")).alias("sig"))
+    # cached: the band self-join reads the signed table on BOTH sides —
+    # uncached, the signature UDF runs twice over every distinct
+    # vector (the ann_lsh_cosine precedent, guide §5/§4; the cached
+    # frame is (vec_id, 32-char sig), far narrower than the vectors)
+    sigs = transient_cache(
+        e.select("vec_id", _pair_sig_udf(F.col("_v")).alias("sig"))
+    )
     bands = F.array(
         *[
             F.substring("sig", 1 + PAIR_BAND_BITS * b, PAIR_BAND_BITS)
