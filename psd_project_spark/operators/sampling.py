@@ -200,16 +200,9 @@ def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.md5("text").alias("_h")
     )
-    from psd_project_spark.functions.caching import transient_cache
-
-    # cached: the ≤|langs|-row scaled counts feed the 1-row feasible
-    # scale AND the target projection — one corpus count pass instead
-    # of two (guide §5)
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
-    scaled = transient_cache(
-        counts.join(F.broadcast(mix), "lang").withColumn(
-            "_cap", F.col("n_lang").cast("double") / F.col("w")
-        )
+    scaled = counts.join(F.broadcast(mix), "lang").withColumn(
+        "_cap", F.col("n_lang").cast("double") / F.col("w")
     )
     scale = scaled.agg(F.min("_cap").alias("_scale"))
     targets = scaled.crossJoin(F.broadcast(scale)).select(

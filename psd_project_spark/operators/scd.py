@@ -1234,9 +1234,19 @@ def apply_feed_epoch(
                 .filter(F.col("n_rows") != 0)
             )
 
-        apply_versioned_epoch(
-            delta, view_dir, epoch, fold, bucket_by=["user_id"]
-        )
+        # persist: the delta is an AGGREGATE (not a plain scan) and the
+        # kernel runs two actions over it (affected-buckets collect +
+        # generation write) — without the persist the signed aggregate
+        # over the change file runs twice per apply (guide §5; the
+        # kernel itself deliberately does not persist — see
+        # foreach_sink.write_bucketed's note)
+        delta.persist()
+        try:
+            apply_versioned_epoch(
+                delta, view_dir, epoch, fold, bucket_by=["user_id"]
+            )
+        finally:
+            delta.unpersist()
     # the view marker is recorded BEFORE the feed marker and GC: a
     # crash between them leaves the view provably applied (replay is
     # a guarded no-op) while the feed conservatively over-retains
