@@ -636,10 +636,23 @@ def run_time_travel(
         (F.col("ts") > _TT_T1) & (F.col("ts") <= _TT_T2),
         F.col("ts") > _TT_T2,
     ]
+    # one source pass for all three epochs' affected buckets (see
+    # run_change_feed's optimization note)
+    # the tag mirrors the epoch filters EXACTLY (no otherwise): a row
+    # matching no cut lands in no slice, same as the filters drop it
+    slice_buckets = _slice_bucket_sets(
+        ev,
+        F.when(cuts[0], F.lit(0))
+        .when(cuts[1], F.lit(1))
+        .when(cuts[2], F.lit(2)),
+        n_slices=3,
+    )
     pinned = None
     for i, pred in enumerate(cuts):
         apply_versioned_epoch(
-            ev.filter(pred), out_dir, i, scd2_merge, bucket_by=["user_id"]
+            ev.filter(pred), out_dir, i, scd2_merge,
+            bucket_by=["user_id"],
+            affected_buckets=slice_buckets[i],
         )
         if i == 1:  # the snapshot as of T2
             pinned = parse_version(
@@ -698,6 +711,35 @@ def scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _slice_bucket_sets(
+    ev: DataFrame, slice_tag, n_slices: int
+) -> dict[int, list[int]]:
+    """Affected-bucket set per epoch slice, in ONE distinct pass over
+    the source instead of one per epoch: ``slice_tag`` assigns each
+    row its epoch, the bucket expression is the versioned kernel's own
+    key→bucket mapping, and the ≤ ``n_slices × N_STATE_BUCKETS``-row
+    distinct is a bounded collect. A slice with no rows maps to ``[]``
+    (the kernel skips the epoch, exactly as its own collect would)."""
+    from psd_project_spark.streaming.foreach_sink import (
+        N_STATE_BUCKETS,
+        _bucket_expr,
+    )
+
+    pairs = (
+        ev.select(
+            slice_tag.alias("_s"),
+            _bucket_expr(["user_id"], N_STATE_BUCKETS).alias("_b"),
+        )
+        .distinct()
+        .collect()
+    )
+    out: dict[int, list[int]] = {i: [] for i in range(n_slices)}
+    for r in pairs:
+        if r["_s"] is not None:  # a row no epoch filter accepts
+            out[int(r["_s"])].append(int(r["_b"]))
+    return {i: sorted(bs) for i, bs in out.items()}
+
+
 def run_change_feed(
     spark: SparkSession,
     sf_dir: str,
@@ -748,6 +790,14 @@ def run_change_feed(
         "user_id", "event_id", "valid_from", "valid_to", "value",
         "is_current",
     ]
+    # ONE pass over events computes every epoch's affected-bucket set
+    # (the kernel would otherwise re-scan + filter the source once per
+    # epoch for its distinct-collect — optimization r14, guide §1.2:
+    # N epoch passes → 1; the kernel's key-local check still verifies
+    # each handed set)
+    slice_buckets = _slice_bucket_sets(
+        ev, (F.col("event_id") % 3).cast("int"), n_slices=3
+    )
     prev_manifest: dict[str, str] = {}
     for i in range(3):
         apply_versioned_epoch(
@@ -756,6 +806,7 @@ def run_change_feed(
             i,
             scd2_merge,
             bucket_by=["user_id"],
+            affected_buckets=slice_buckets[i],
         )
         cur_manifest, _ = load_manifest(
             os.path.join(state_dir, "current", _MANIFEST)
@@ -802,8 +853,14 @@ def run_change_feed(
             )
         )
         # materialize NOW: the prev version's generations leave the
-        # retention window on later epochs
-        write_epoch(feed, feed_dir, i)
+        # retention window on later epochs. Bucket-partitioned on the
+        # view consumers' own key→bucket mapping (write_epoch with
+        # bucket_by): apply_feed_epoch then reads the epoch's affected
+        # buckets off the directory names instead of paying a
+        # distinct-collect pass over the delta per consumer apply
+        # (optimization r14, guide §1.2 — at scale one produce-side
+        # exchange replaces one delta pass PER consumer)
+        write_epoch(feed, feed_dir, i, bucket_by=["user_id"])
         if on_epoch is not None:
             on_epoch(i)
         prev_manifest = cur_manifest
@@ -1234,19 +1291,39 @@ def apply_feed_epoch(
                 .filter(F.col("n_rows") != 0)
             )
 
-        # persist: the delta is an AGGREGATE (not a plain scan) and the
-        # kernel runs two actions over it (affected-buckets collect +
-        # generation write) — without the persist the signed aggregate
-        # over the change file runs twice per apply (guide §5; the
-        # kernel itself deliberately does not persist — see
-        # foreach_sink.write_bucketed's note)
-        delta.persist()
-        try:
+        # A feed epoch written bucket-partitioned (run_change_feed via
+        # write_epoch's bucket_by) carries its affected-bucket set in
+        # its directory names — the aggregation by user_id preserves
+        # the user set exactly, so the delta's buckets ARE the change
+        # file's buckets. Handing them to the kernel skips the
+        # distinct-collect job and leaves the delta consumed by ONE
+        # action, so no persist is needed either (optimization r14,
+        # guide §1.2/§5; the kernel's key-local check still verifies
+        # the handed set). Legacy/synthetic flat epochs (tests,
+        # pre-r14 feeds) keep the persist + kernel-collect path: there
+        # the aggregate feeds two actions.
+        feed_buckets = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(feed_path)
+            if d.startswith("_bucket=")
+        )
+        if feed_buckets:
             apply_versioned_epoch(
-                delta, view_dir, epoch, fold, bucket_by=["user_id"]
+                delta,
+                view_dir,
+                epoch,
+                fold,
+                bucket_by=["user_id"],
+                affected_buckets=feed_buckets,
             )
-        finally:
-            delta.unpersist()
+        else:
+            delta.persist()
+            try:
+                apply_versioned_epoch(
+                    delta, view_dir, epoch, fold, bucket_by=["user_id"]
+                )
+            finally:
+                delta.unpersist()
     # the view marker is recorded BEFORE the feed marker and GC: a
     # crash between them leaves the view provably applied (replay is
     # a guarded no-op) while the feed conservatively over-retains

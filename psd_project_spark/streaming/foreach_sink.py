@@ -97,13 +97,44 @@ def run_stream(
 _run = run_stream
 
 
-def write_epoch(df: DataFrame, out_dir: str, batch_id: int) -> None:
+def write_epoch(
+    df: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    bucket_by: list[str] | None = None,
+    n_buckets: int | None = None,
+) -> None:
     """The idempotent epoch-sink LAYOUT in one place: each micro-batch
     owns ``batch_id=N`` and a replayed epoch overwrites its own
     directory instead of duplicating rows — every custom epoch
     callable must write through this so the replay contract cannot
-    drift between copies."""
-    df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+    drift between copies.
+
+    With ``bucket_by`` set, the epoch is additionally laid out as
+    ``batch_id=N/_bucket=<b>/`` using the SAME deterministic
+    key→bucket mapping as the bucket-aligned versioned sink
+    (:func:`_bucket_expr`): a downstream bucket-aligned consumer
+    (``operators/scd.apply_feed_epoch``) then derives the epoch's
+    affected-bucket set from the directory names alone — no pass over
+    the delta — and hands it to :func:`apply_versioned_epoch` via
+    ``affected_buckets`` (optimization r14, guide §1.2: the distinct
+    is fused into the write the producer pays anyway; one delta-sized
+    exchange at produce time replaces one full delta pass per
+    consumer apply — and a feed has MANY consumers). The repartition
+    bounds the dynamic-partition write to ≤ ``n_buckets`` files
+    (guide §6 small-files rule). Rows are unchanged: ``_bucket`` is
+    a derived partition directory, never a data column."""
+    if bucket_by is None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        return
+    nb = N_STATE_BUCKETS if n_buckets is None else n_buckets
+    (
+        df.withColumn("_bucket", _bucket_expr(bucket_by, nb))
+        .repartition(nb, F.col("_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(f"{out_dir}/batch_id={batch_id}")
+    )
 
 
 def run_foreachbatch_append(
@@ -509,6 +540,7 @@ def apply_versioned_epoch(
     keep_versions: int = 2,
     bucket_by: list[str] | None = None,
     n_buckets: int = N_STATE_BUCKETS,
+    affected_buckets: list[int] | None = None,
 ) -> None:
     """Apply ONE epoch to a versioned state table — the kernel behind
     :func:`run_foreachbatch_versioned`, public so batch consumers
@@ -530,8 +562,11 @@ def apply_versioned_epoch(
     ``g<epoch>/_bucket=<b>/`` generation dirs plus per-version
     manifests ``v<epoch>/_MANIFEST.json`` mapping each bucket to its
     NEWEST generation. Per epoch: the delta's distinct bucket ids
-    (≤ ``n_buckets`` ints — a bounded collect) select which standing
-    buckets to read; ``merge_fn`` sees ONLY those buckets' state; the
+    (≤ ``n_buckets`` ints — a bounded collect, or the caller-supplied
+    ``affected_buckets`` when the delta's bucket set is already known
+    from its storage layout, which saves the collect's pass over the
+    delta — the key-local check still verifies it) select which
+    standing buckets to read; ``merge_fn`` sees ONLY those buckets' state; the
     merged rows are written back partitioned by bucket into a new
     generation; the new manifest repoints the affected buckets and
     carries every other bucket's entry UNCHANGED — untouched buckets'
@@ -588,14 +623,23 @@ def apply_versioned_epoch(
         # is expensive to recompute (an aggregate, e.g. the CDF view
         # fold in operators/scd.py) persists it around this call
         # (guide §5: cache exactly the reused-and-recompute-expensive
-        # frame, at the layer that knows which it is).
+        # frame, at the layer that knows which it is) — or, better,
+        # passes ``affected_buckets`` so the delta is consumed by ONE
+        # action total: a caller that already knows the delta's bucket
+        # set (e.g. from a bucket-partitioned change file's directory
+        # names — see write_epoch) skips this job outright. The
+        # key-local enforcement below (written ⊆ affected) still
+        # fails the epoch loudly if the handed set was wrong.
         # This collect doubles as the empty-batch check (≤ n_buckets
         # ints — bounded), so bucketed mode pays ONE job here, not an
         # isEmpty() job plus a distinct job.
-        affected = sorted(
-            r["_bucket"]
-            for r in df.select(bexpr.alias("_bucket")).distinct().collect()
-        )
+        if affected_buckets is not None:
+            affected = sorted(affected_buckets)
+        else:
+            affected = sorted(
+                r["_bucket"]
+                for r in df.select(bexpr.alias("_bucket")).distinct().collect()
+            )
         if not affected:
             return
         prev: dict[str, str] = {}

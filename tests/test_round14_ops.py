@@ -790,3 +790,80 @@ def test_dotted_versions_retain_and_time_travel(spark, tmp_path):
     old = read_versioned(spark, out, version="0.1")
     assert [f.name for f in old.schema.fields] == ["k", "quantity"]
     assert [(r.k, r.quantity) for r in old.collect()] == [(1, 10)]
+
+
+# --- bucketed change epochs + affected_buckets fast path (r14 opt) ----------
+
+def test_bucketed_feed_epoch_fast_path_matches_flat(spark, tmp_path):
+    """A change epoch written bucket-partitioned (write_epoch with
+    bucket_by) lets apply_feed_epoch derive the affected-bucket set
+    from directory names and skip the kernel's distinct-collect pass;
+    the resulting view must be identical to the flat-epoch path's."""
+    from psd_project_spark.operators.scd import (
+        _read_view_snapshot,
+        apply_feed_epoch,
+    )
+    from psd_project_spark.streaming.foreach_sink import write_epoch
+
+    flat_feed = str(tmp_path / "flat_feed")
+    bkt_feed = str(tmp_path / "bkt_feed")
+    view_flat = str(tmp_path / "view_flat")
+    view_bkt = str(tmp_path / "view_bkt")
+    epochs = [
+        [(1, "I", 1.25, True), (2, "I", 2.25, True), (1, "I", 1.50, True)],
+        [(1, "D", 1.25, False), (3, "I", 3.25, True)],
+    ]
+    schema = "user_id long, op string, value double, is_current boolean"
+    for i, rows in enumerate(epochs):
+        df = spark.createDataFrame(rows, schema)
+        write_epoch(df, flat_feed, i)
+        write_epoch(df, bkt_feed, i, bucket_by=["user_id"])
+        # the bucketed epoch carries its affected set in its layout
+        assert any(
+            d.startswith("_bucket=")
+            for d in os.listdir(os.path.join(bkt_feed, f"batch_id={i}"))
+        )
+        apply_feed_epoch(spark, flat_feed, view_flat, i)
+        apply_feed_epoch(spark, bkt_feed, view_bkt, i)
+    a = _read_view_snapshot(spark, view_flat).collect()
+    b = _read_view_snapshot(spark, view_bkt).collect()
+    assert a == b
+    assert len(a) > 0
+
+
+def test_affected_buckets_wrong_set_fails_loudly(spark, tmp_path):
+    """The key-local enforcement still guards a caller-supplied
+    affected set: a set missing a bucket the merge writes fails the
+    epoch instead of silently corrupting the manifest."""
+    from psd_project_spark.streaming.foreach_sink import (
+        N_STATE_BUCKETS,
+        _bucket_expr,
+        apply_versioned_epoch,
+    )
+
+    out = str(tmp_path / "state")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, qty int"
+    )
+    real = sorted(
+        r["_b"]
+        for r in df.select(
+            _bucket_expr(["k"], N_STATE_BUCKETS).alias("_b")
+        ).distinct().collect()
+    )
+    assert len(real) > 1
+    with pytest.raises(ValueError, match="key-local"):
+        apply_versioned_epoch(
+            df, out, 0, _union_merge, bucket_by=["k"],
+            affected_buckets=real[:1],
+        )
+    # and the correct set applies cleanly
+    apply_versioned_epoch(
+        df, out, 1, _union_merge, bucket_by=["k"], affected_buckets=real
+    )
+    from psd_project_spark.streaming.foreach_sink import read_versioned
+
+    got = sorted(
+        (r.k, r.qty) for r in read_versioned(spark, out).collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30), (4, 40)]
