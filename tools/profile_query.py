@@ -134,7 +134,8 @@ def main() -> None:
             os.path.join(root, f) for f in files if "events" in f
         ]
     for f in logfiles:
-        with open(f) as fh:
+        # event logs may be zstd-compressed or carry stray bytes
+        with open(f, errors="replace") as fh:
             starts = {}
             for line in fh:
                 try:
