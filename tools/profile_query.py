@@ -142,6 +142,8 @@ def main() -> None:
                     e = json.loads(line)
                 except Exception:
                     continue
+                if not isinstance(e, dict):
+                    continue
                 if e.get("Event") == "SparkListenerJobStart":
                     starts[e["Job ID"]] = e["Submission Time"]
                 elif e.get("Event") == "SparkListenerJobEnd":
