@@ -168,27 +168,40 @@ def stream_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.unix_micros(F.col("ts")).alias("us")
     )
     corpus_dir = scratch_dir("psd_range_corpus_")
-    # repartition by the partition column first: without it every
-    # write task emits one small file into every day dir it holds
-    # rows for (tasks × cells files — the partitioned-write smallfile
-    # trap, same discipline as bucketing._write_bucketed); with it
-    # each day cell lands as one file
-    (
-        home_buckets(ev)
-        .withColumn("pcell", F.floor(F.col("b_us") / PART_CELL_US))
-        .repartition(F.col("pcell"))
-        .write.partitionBy("pcell")
-        .mode("overwrite")
-        .parquet(corpus_dir)
-    )
-    lo_us, hi_us = ev.agg(F.min("us"), F.max("us")).collect()[0]
-    src = scratch_dir("psd_range_src_")
-    out_dir = scratch_dir("psd_range_out_")
-    ckpt = scratch_dir("psd_range_ckpt_")
-    third = (hi_us - lo_us) // 3 + 1
-    stage_stream_splits(
-        ev, F.floor((F.col("us") - lo_us) / third), src
-    )
+
+    def _build_corpus() -> None:
+        # repartition by the partition column first: without it every
+        # write task emits one small file into every day dir it holds
+        # rows for (tasks × cells files — the partitioned-write
+        # smallfile trap, same discipline as
+        # bucketing._write_bucketed); with it each day cell lands as
+        # one file
+        (
+            home_buckets(ev)
+            .withColumn("pcell", F.floor(F.col("b_us") / PART_CELL_US))
+            .repartition(F.col("pcell"))
+            .write.partitionBy("pcell")
+            .mode("overwrite")
+            .parquet(corpus_dir)
+        )
+
+    # the standing corpus and the probe staging are independent writes
+    # into disjoint dirs — build them concurrently (guide §2.6); both
+    # complete before the stream starts, so nothing about the epoch
+    # lifecycle changes
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _corpus_build = _pool.submit(_build_corpus)
+        lo_us, hi_us = ev.agg(F.min("us"), F.max("us")).collect()[0]
+        src = scratch_dir("psd_range_src_")
+        out_dir = scratch_dir("psd_range_out_")
+        ckpt = scratch_dir("psd_range_ckpt_")
+        third = (hi_us - lo_us) // 3 + 1
+        stage_stream_splits(
+            ev, F.floor((F.col("us") - lo_us) / third), src
+        )
+        _corpus_build.result()
     arriving = (
         spark.readStream.schema("event_id long, us long")
         .option("maxFilesPerTrigger", 1)

@@ -798,8 +798,8 @@ def run_change_feed(
     slice_buckets = _slice_bucket_sets(
         ev, (F.col("event_id") % 3).cast("int"), n_slices=3
     )
-    prev_manifest: dict[str, str] = {}
-    for i in range(3):
+
+    def _apply_slice(i: int) -> None:
         apply_versioned_epoch(
             ev.filter(F.col("event_id") % 3 == i),
             state_dir,
@@ -808,9 +808,23 @@ def run_change_feed(
             bucket_by=["user_id"],
             affected_buckets=slice_buckets[i],
         )
-        cur_manifest, _ = load_manifest(
-            os.path.join(state_dir, "current", _MANIFEST)
-        )
+
+    # Pipeline the producer with its consumers (guide §2.6 — overlap
+    # independent jobs): epoch i+1's STATE apply touches only
+    # state_dir's next generation, while ``on_epoch(i)`` reads feed
+    # epoch i and writes the consumers' own view dirs — disjoint
+    # trees, so they run concurrently and the consumer applies
+    # back-fill the cores the state merge's tail leaves idle. The
+    # ORDER guarantees stand: epoch i's diff is materialized BEFORE
+    # the i+1 apply starts (its publish prunes v(i-1)'s generations —
+    # the diff's old side), and ``on_epoch(i)`` still runs strictly
+    # after epoch i's change file is durable. With no ``on_epoch`` the
+    # submit/join collapses to the sequential order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _emit_feed(
+        i: int, prev_manifest: dict[str, str], cur_manifest: dict[str, str]
+    ) -> None:
         changed = sorted(
             b
             for b in set(cur_manifest) | set(prev_manifest)
@@ -861,9 +875,25 @@ def run_change_feed(
         # (optimization r14, guide §1.2 — at scale one produce-side
         # exchange replaces one delta pass PER consumer)
         write_epoch(feed, feed_dir, i, bucket_by=["user_id"])
-        if on_epoch is not None:
-            on_epoch(i)
-        prev_manifest = cur_manifest
+
+    prev_manifest: dict[str, str] = {}
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        _apply_slice(0)
+        for i in range(3):
+            cur_manifest, _ = load_manifest(
+                os.path.join(state_dir, "current", _MANIFEST)
+            )
+            # epoch i's diff must finish before epoch i+1's publish
+            # (retention prunes the diff's old side) — so the feed
+            # write stays in the foreground, and only then does the
+            # next state apply start in the background
+            _emit_feed(i, prev_manifest, cur_manifest)
+            nxt = pool.submit(_apply_slice, i + 1) if i + 1 < 3 else None
+            if on_epoch is not None:
+                on_epoch(i)
+            if nxt is not None:
+                nxt.result()
+            prev_manifest = cur_manifest
     return (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(feed_dir)
@@ -988,8 +1018,14 @@ def feed_consumer_progress(feed_dir: str) -> dict[str, int]:
         for name in os.listdir(cdir):
             if name.startswith("."):
                 continue
-            with open(os.path.join(cdir, name)) as fh:
-                out[name] = int(fh.read())
+            try:
+                with open(os.path.join(cdir, name)) as fh:
+                    out[name] = int(fh.read())
+            except FileNotFoundError:
+                # evicted between the listing and the read (distinct
+                # consumers may apply concurrently — guide §2.6): a
+                # vanished marker means the consumer no longer pins GC
+                continue
     return out
 
 
@@ -1030,6 +1066,7 @@ def _evict_lagging_consumers(
     the evictee's side too: its next apply of a GC'd epoch fails with
     the re-bootstrap instruction, and :func:`register_feed_consumer`
     refuses the tombstoned name until :func:`rejoin_feed_consumer`."""
+    import contextlib
     import json
     import os
 
@@ -1049,7 +1086,11 @@ def _evict_lagging_consumers(
                 sort_keys=True,
             )
         os.replace(tmp, tomb)
-        os.unlink(os.path.join(feed_dir, _CONSUMERS, name))
+        # two concurrent applies (distinct consumers — guide §2.6) may
+        # both see the same laggard and both evict it: both tombstones
+        # are valid records, only one unlink finds the marker
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(os.path.join(feed_dir, _CONSUMERS, name))
         del progress[name]
     return progress
 
@@ -1482,23 +1523,41 @@ def cdf_multi_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_feed_consumer(feed_dir, "fast")
     register_feed_consumer(feed_dir, "slow")
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+
     def on_epoch(i: int) -> None:
-        apply_feed_epoch(spark, feed_dir, view_fast, i, consumer="fast")
         if i % 2 == 1:  # slow consumes in arrears, two epochs at a time
+            # independent consumers apply concurrently (guide §2.6 —
+            # distinct names, distinct view dirs; GC cuts only advance
+            # monotonically under either interleaving): fast folds
+            # epoch i while slow catches up on i-1, then slow's own
+            # fold of i runs after both (it needs slow's i-1 state)
+            fut = pool.submit(
+                apply_feed_epoch,
+                spark, feed_dir, view_fast, i, consumer="fast",
+            )
             apply_feed_epoch(
                 spark, feed_dir, view_slow, i - 1, consumer="slow"
             )
+            fut.result()
             apply_feed_epoch(spark, feed_dir, view_slow, i, consumer="slow")
+        else:
+            apply_feed_epoch(spark, feed_dir, view_fast, i, consumer="fast")
 
-    run_change_feed(
-        spark,
-        sf_dir,
-        src=scratch_dir("psd_cdfmc_src_"),
-        state_dir=scratch_dir("psd_cdfmc_state_"),
-        feed_dir=feed_dir,
-        ckpt=scratch_dir("psd_cdfmc_ckpt_"),
-        on_epoch=on_epoch,
-    )
+    try:
+        run_change_feed(
+            spark,
+            sf_dir,
+            src=scratch_dir("psd_cdfmc_src_"),
+            state_dir=scratch_dir("psd_cdfmc_state_"),
+            feed_dir=feed_dir,
+            ckpt=scratch_dir("psd_cdfmc_ckpt_"),
+            on_epoch=on_epoch,
+        )
+    finally:
+        pool.shutdown(wait=True)
     # drain: the slow consumer applies whatever epochs it still owes
     # (everything after its recorded progress is still on disk — that
     # is exactly what minimum-progress GC guarantees)
@@ -1563,7 +1622,30 @@ def cdf_consumer_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_feed_consumer(feed_dir, "lazy")
     register_feed_consumer(feed_dir, "dead")
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+
     def on_epoch(i: int) -> None:
+        if i == 1:
+            # independent consumers apply concurrently (guide §2.6):
+            # no eviction can fire at frontier 1 (dead's lag is exactly
+            # the cap), so the pair is order-free. Epoch 2 — the
+            # eviction epoch — stays strictly sequential below: fast's
+            # apply must evict ``dead`` BEFORE lazy's GC computes the
+            # cut, so the epoch-0 deletion this lifecycle asserts on
+            # is deterministic.
+            fut = pool.submit(
+                apply_feed_epoch,
+                spark, feed_dir, view_fast, i, consumer="fast",
+                max_lag=2,
+            )
+            apply_feed_epoch(
+                spark, feed_dir, view_lazy, i - 1, consumer="lazy",
+                max_lag=2,
+            )
+            fut.result()
+            return
         apply_feed_epoch(
             spark, feed_dir, view_fast, i, consumer="fast", max_lag=2
         )
@@ -1573,15 +1655,19 @@ def cdf_consumer_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 max_lag=2,
             )
 
-    run_change_feed(
-        spark,
-        sf_dir,
-        src=scratch_dir("psd_cdfev_src_"),
-        state_dir=scratch_dir("psd_cdfev_state_"),
-        feed_dir=feed_dir,
-        ckpt=scratch_dir("psd_cdfev_ckpt_"),
-        on_epoch=on_epoch,
-    )
+    try:
+        run_change_feed(
+            spark,
+            sf_dir,
+            src=scratch_dir("psd_cdfev_src_"),
+            state_dir=scratch_dir("psd_cdfev_state_"),
+            feed_dir=feed_dir,
+            ckpt=scratch_dir("psd_cdfev_ckpt_"),
+            on_epoch=on_epoch,
+        )
+    except BaseException:
+        pool.shutdown(wait=True)
+        raise
     # the lifecycle's point: the silent consumer WAS evicted (epoch 2
     # put it 3 > max_lag behind) and GC advanced past its progress —
     # fail loudly rather than return a row that proves nothing
@@ -1594,19 +1680,28 @@ def cdf_consumer_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rejoin at it, then both catch up from the retained feed
     boot = bootstrap_view(view_lazy, view_dead)
     rejoin_feed_consumer(feed_dir, "dead", boot)
-    apply_feed_epoch(
-        spark, feed_dir, view_lazy, 2, consumer="lazy", max_lag=2
-    )
+    # the owed list is read BEFORE either catch-up starts: min-progress
+    # GC keeps every epoch > boot on disk (dead's rejoined marker pins
+    # them), so lazy's final apply and dead's catch-up are independent
+    # consumers again and run concurrently (guide §2.6)
     owed = sorted(
         int(m.group(1))
         for d in os.listdir(feed_dir)
         if (m := re.fullmatch(r"batch_id=(\d+)", d))
         if int(m.group(1)) > boot
     )
-    for i in owed:
-        apply_feed_epoch(
-            spark, feed_dir, view_dead, i, consumer="dead", max_lag=2
+    try:
+        fut = pool.submit(
+            apply_feed_epoch,
+            spark, feed_dir, view_lazy, 2, consumer="lazy", max_lag=2,
         )
+        for i in owed:
+            apply_feed_epoch(
+                spark, feed_dir, view_dead, i, consumer="dead", max_lag=2
+            )
+        fut.result()
+    finally:
+        pool.shutdown(wait=True)
     fast = _read_view_snapshot(spark, view_fast)
     lazy = _read_view_snapshot(spark, view_lazy)
     dead = _read_view_snapshot(spark, view_dead)
