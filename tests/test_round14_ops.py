@@ -867,3 +867,82 @@ def test_affected_buckets_wrong_set_fails_loudly(spark, tmp_path):
         (r.k, r.qty) for r in read_versioned(spark, out).collect()
     )
     assert got == [(1, 10), (2, 20), (3, 30), (4, 40)]
+
+
+def test_concurrent_distinct_consumer_applies_converge(spark, tmp_path):
+    """Optimization r14 (guide §2.6): the lifecycle queries now fold
+    INDEPENDENT consumers concurrently, so the registry's
+    distinct-names-progress-concurrently contract is load-bearing.
+    Two consumers race through the same 3-epoch feed from two driver
+    threads — every interleaving of their marker writes and GC passes
+    must (a) converge both views to the same state, (b) never delete
+    an epoch a registered consumer still needs, and (c) leave both
+    markers at the frontier. Epoch 0's deletion IS deterministic:
+    whichever final apply's GC runs last sees both markers ≥ 1 (each
+    thread recorded epoch 1 before starting epoch 2); epoch 1's
+    deletion is timing-dependent and deliberately not asserted."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from psd_project_spark.operators.scd import (
+        apply_feed_epoch,
+        feed_consumer_progress,
+        register_feed_consumer,
+    )
+    from psd_project_spark.streaming.foreach_sink import read_versioned
+
+    feed = str(tmp_path / "feed")
+    va, vb = str(tmp_path / "va"), str(tmp_path / "vb")
+    os.makedirs(feed)
+    register_feed_consumer(feed, "a")
+    register_feed_consumer(feed, "b")
+    for i in range(3):
+        _write_change_epoch(spark, feed, i, range(10 * i, 10 * i + 5))
+
+    def consume(name: str, view: str) -> None:
+        for i in range(3):
+            apply_feed_epoch(spark, feed, view, i, consumer=name)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(consume, "a", va)
+        fb = pool.submit(consume, "b", vb)
+        fa.result()
+        fb.result()
+
+    epochs = sorted(
+        d for d in os.listdir(feed) if d.startswith("batch_id=")
+    )
+    assert "batch_id=0" not in epochs  # paid for by both — GC'd
+    assert "batch_id=2" in epochs  # cut never exceeds the frontier
+    assert feed_consumer_progress(feed) == {"a": 2, "b": 2}
+    a = read_versioned(spark, va).orderBy("user_id").collect()
+    b = read_versioned(spark, vb).orderBy("user_id").collect()
+    assert a == b and len(a) == 15
+
+
+def test_double_eviction_race_is_idempotent(spark, tmp_path):
+    """Optimization r14 hardening: two concurrent applies may both see
+    the same laggard past max_lag and both evict it — the second
+    evictor finds the marker already unlinked and must treat that as
+    success (its tombstone is an equally valid eviction record), not
+    crash the epoch. Modeled deterministically: the eviction kernel is
+    invoked twice with the SAME stale progress snapshot."""
+    from psd_project_spark.operators.scd import (
+        _evict_lagging_consumers,
+        evicted_feed_consumers,
+        feed_consumer_progress,
+        register_feed_consumer,
+    )
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    register_feed_consumer(feed, "live")
+    register_feed_consumer(feed, "dead")
+    stale = feed_consumer_progress(feed)
+    stale["live"] = 3  # live is at the frontier; dead lags 4 > 2
+    out1 = _evict_lagging_consumers(feed, dict(stale), 3, 2)
+    assert "dead" not in out1
+    # the racing second evictor re-reads nothing — same stale snapshot
+    out2 = _evict_lagging_consumers(feed, dict(stale), 3, 2)
+    assert "dead" not in out2
+    assert "dead" in evicted_feed_consumers(feed)
+    assert feed_consumer_progress(feed) == {"live": -1}
