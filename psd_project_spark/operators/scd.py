@@ -998,6 +998,18 @@ def _record_consumer_progress(feed_dir: str, name: str, epoch: int) -> None:
     cdir = os.path.join(feed_dir, _CONSUMERS)
     os.makedirs(cdir, exist_ok=True)
     marker = os.path.join(cdir, name)
+    if not os.path.exists(marker) and os.path.exists(
+        _tombstone_path(feed_dir, name)
+    ):
+        # the consumer was EVICTED while this apply was in flight (a
+        # concurrent max_lag apply unlinked the marker and left a
+        # tombstone): re-creating the marker here would re-pin feed GC
+        # at the very lag that got it evicted — forever, since the
+        # tombstone blocks all its future applies. Drop the update;
+        # this consumer's next apply fails loudly with the
+        # re-bootstrap instruction. (A rejoin unlinks the tombstone
+        # BEFORE re-recording progress, so rejoins pass this guard.)
+        return
     if os.path.exists(marker):
         with open(marker) as fh:
             epoch = max(epoch, int(fh.read()))
@@ -1070,11 +1082,20 @@ def _evict_lagging_consumers(
     import json
     import os
 
+    import threading
+
     for name, p in list(progress.items()):
         if frontier - p <= max_lag:
             continue
         tomb = _tombstone_path(feed_dir, name)
-        tmp = tomb + ".tmp"
+        # two concurrent applies (distinct consumers — guide §2.6) may
+        # both see the same laggard and both evict it: each writes its
+        # (equally valid) tombstone under a WRITER-UNIQUE tmp name — a
+        # shared tmp would let one evictor replace the file out from
+        # under the other mid-write (torn JSON at the tombstone, and
+        # an unhandled FileNotFoundError on the loser's replace) — and
+        # only one unlink finds the marker
+        tmp = f"{tomb}.{os.getpid()}.{threading.get_ident()}.tmp"
         with open(tmp, "w") as fh:
             json.dump(
                 {
@@ -1086,9 +1107,6 @@ def _evict_lagging_consumers(
                 sort_keys=True,
             )
         os.replace(tmp, tomb)
-        # two concurrent applies (distinct consumers — guide §2.6) may
-        # both see the same laggard and both evict it: both tombstones
-        # are valid records, only one unlink finds the marker
         with contextlib.suppress(FileNotFoundError):
             os.unlink(os.path.join(feed_dir, _CONSUMERS, name))
         del progress[name]
@@ -1665,32 +1683,33 @@ def cdf_consumer_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ckpt=scratch_dir("psd_cdfev_ckpt_"),
             on_epoch=on_epoch,
         )
-    except BaseException:
-        pool.shutdown(wait=True)
-        raise
-    # the lifecycle's point: the silent consumer WAS evicted (epoch 2
-    # put it 3 > max_lag behind) and GC advanced past its progress —
-    # fail loudly rather than return a row that proves nothing
-    if "dead" not in evicted_feed_consumers(feed_dir):
-        raise RuntimeError("dead consumer was not evicted at max_lag=2")
-    if os.path.isdir(os.path.join(feed_dir, "batch_id=0")):
-        raise RuntimeError("eviction did not release epoch 0 for GC")
-    # recovery: bootstrap from the lazy consumer's snapshot (applied
-    # epoch 1 — so the rejoined consumer still has an epoch to earn),
-    # rejoin at it, then both catch up from the retained feed
-    boot = bootstrap_view(view_lazy, view_dead)
-    rejoin_feed_consumer(feed_dir, "dead", boot)
-    # the owed list is read BEFORE either catch-up starts: min-progress
-    # GC keeps every epoch > boot on disk (dead's rejoined marker pins
-    # them), so lazy's final apply and dead's catch-up are independent
-    # consumers again and run concurrently (guide §2.6)
-    owed = sorted(
-        int(m.group(1))
-        for d in os.listdir(feed_dir)
-        if (m := re.fullmatch(r"batch_id=(\d+)", d))
-        if int(m.group(1)) > boot
-    )
-    try:
+        # the lifecycle's point: the silent consumer WAS evicted (epoch
+        # 2 put it 3 > max_lag behind) and GC advanced past its
+        # progress — fail loudly rather than return a row that proves
+        # nothing
+        if "dead" not in evicted_feed_consumers(feed_dir):
+            raise RuntimeError(
+                "dead consumer was not evicted at max_lag=2"
+            )
+        if os.path.isdir(os.path.join(feed_dir, "batch_id=0")):
+            raise RuntimeError("eviction did not release epoch 0 for GC")
+        # recovery: bootstrap from the lazy consumer's snapshot
+        # (applied epoch 1 — so the rejoined consumer still has an
+        # epoch to earn), rejoin at it, then both catch up from the
+        # retained feed
+        boot = bootstrap_view(view_lazy, view_dead)
+        rejoin_feed_consumer(feed_dir, "dead", boot)
+        # the owed list is read BEFORE either catch-up starts:
+        # min-progress GC keeps every epoch > boot on disk (dead's
+        # rejoined marker pins them), so lazy's final apply and dead's
+        # catch-up are independent consumers again and run
+        # concurrently (guide §2.6)
+        owed = sorted(
+            int(m.group(1))
+            for d in os.listdir(feed_dir)
+            if (m := re.fullmatch(r"batch_id=(\d+)", d))
+            if int(m.group(1)) > boot
+        )
         fut = pool.submit(
             apply_feed_epoch,
             spark, feed_dir, view_lazy, 2, consumer="lazy", max_lag=2,
@@ -1701,6 +1720,10 @@ def cdf_consumer_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         fut.result()
     finally:
+        # ONE cleanup for every path out of the lifecycle (the loud
+        # mid-lifecycle RuntimeErrors included) — a leaked pool thread
+        # per failed invocation would accumulate in a long bench
+        # session
         pool.shutdown(wait=True)
     fast = _read_view_snapshot(spark, view_fast)
     lazy = _read_view_snapshot(spark, view_lazy)

@@ -946,3 +946,12 @@ def test_double_eviction_race_is_idempotent(spark, tmp_path):
     assert "dead" not in out2
     assert "dead" in evicted_feed_consumers(feed)
     assert feed_consumer_progress(feed) == {"live": -1}
+    # an evictee whose apply was IN FLIGHT when it was evicted finishes
+    # by recording its progress — that must NOT resurrect the marker
+    # (it would re-pin feed GC forever, since the tombstone blocks all
+    # its future applies)
+    from psd_project_spark.operators.scd import _record_consumer_progress
+
+    _record_consumer_progress(feed, "dead", 2)
+    assert feed_consumer_progress(feed) == {"live": -1}
+    assert "dead" in evicted_feed_consumers(feed)
