@@ -127,9 +127,17 @@ def main() -> None:
             baseline = raw_base if baseline_sf_ok else {}
 
     def stalled(name: str) -> bool:
+        # Floor lowered 1.5 → 0.3 s (round-15 harness change, VERDICT
+        # r14 #5): sub-1.5 s queries were exempt from the gate, so a
+        # sub-second query could quietly drift to 1.9× baseline with
+        # no retry and no flag. The ratio test is unchanged; the floor
+        # only excludes the handful of <0.3 s queries whose absolute
+        # noise band exceeds 2× (scheduling jitter on a ~0.1 s plan).
+        # Additive: queries can only get MORE retries/flags, never
+        # fewer, so numbers remain comparable with prior rounds.
         ref = baseline.get(name)
         return (
-            timings[name] > 1.5
+            timings[name] > 0.3
             and ref is not None
             and timings[name] > 2.0 * ref
         )
