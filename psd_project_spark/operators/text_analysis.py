@@ -72,12 +72,49 @@ def _score_sql(toks: str, words: tuple[str, ...]) -> str:
 
 # --- doc_stats ---------------------------------------------------------------
 
-def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread_small(load_table(spark, sf_dir, "documents"), spark)
-    d = d.withColumn("_toks", F.expr(T.tokens_expr()))
+#: Punctuation-count expression over ``text`` — factored so the fused
+#: quality_features base (operators/text_curation.py) precomputes the
+#: SAME count once into its cached base and the formulas cannot drift.
+_N_PUNCT_EXPR = "CAST(length(regexp_replace(text, '[^.,!?;:]', '')) AS LONG)"
+
+
+def doc_surface_cols() -> dict[str, "F.Column"]:
+    """The surface-stat expressions over a frame carrying ``_toks``
+    (token array), ``_n_punct`` (long) and ``_text_len`` (int) —
+    shared by :func:`doc_stats` and the fused ``quality_features``
+    base so the ttr/punct/quality formulas exist exactly once. Every
+    value is the identical IEEE op sequence either way (the punct and
+    length counts are integers; where they are computed does not
+    change the later divisions)."""
     n_tok = F.size("_toks").cast("long")
     n_dist = F.size(F.array_distinct(F.col("_toks"))).cast("long")
     ttr = n_dist.cast("double") / n_tok.cast("double")
+    punct_ratio = (
+        F.col("_n_punct").cast("double") / F.col("_text_len").cast("double")
+    )
+    quality = (
+        F.least(F.lit(1.0), n_tok.cast("double") / F.lit(50.0))
+        * (F.lit(0.3) + F.lit(0.7) * ttr)
+        * (F.lit(1.0) - punct_ratio)
+    )
+    return {
+        "n_tokens": n_tok,
+        "n_distinct_tokens": n_dist,
+        "ttr": ttr,
+        "punct_ratio": punct_ratio,
+        "quality_score": quality,
+    }
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small(load_table(spark, sf_dir, "documents"), spark)
+    d = (
+        d.withColumn("_toks", F.expr(T.tokens_expr()))
+        .withColumn("_n_punct", F.expr(_N_PUNCT_EXPR))
+        .withColumn("_text_len", F.length("text"))
+    )
+    c = doc_surface_cols()
+    n_tok = c["n_tokens"]
     char_sum = F.expr("aggregate(_toks, 0, (acc, x) -> acc + length(x))")
     avg_len = char_sum.cast("double") / n_tok.cast("double")
     # BPE-ish subword segmentation: letter runs / digit runs / single
@@ -85,24 +122,17 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     subword = F.size(
         F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
     ).cast("long")
-    punct = F.length(F.regexp_replace(F.col("text"), "[^.,!?;:]", "")).cast("long")
-    punct_ratio = punct.cast("double") / F.length("text").cast("double")
-    quality = (
-        F.least(F.lit(1.0), n_tok.cast("double") / F.lit(50.0))
-        * (F.lit(0.3) + F.lit(0.7) * ttr)
-        * (F.lit(1.0) - punct_ratio)
-    )
     return d.select(
         "doc_id",
         "lang",
         "source",
         n_tok.alias("n_tokens"),
         subword.alias("n_subword_tokens"),
-        n_dist.alias("n_distinct_tokens"),
-        F.round(ttr, 6).alias("ttr"),
+        c["n_distinct_tokens"].alias("n_distinct_tokens"),
+        F.round(c["ttr"], 6).alias("ttr"),
         F.round(avg_len, 6).alias("avg_token_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(quality, 6).alias("quality_score"),
+        F.round(c["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(c["quality_score"], 6).alias("quality_score"),
     )
 
 
@@ -619,6 +649,15 @@ def ngram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(T.tokens_expr()).alias("_toks")
     )
+    return ngram_familiarity_frame(d)
+
+
+def ngram_familiarity_frame(d: DataFrame) -> DataFrame:
+    """:func:`ngram_familiarity` over an already-tokenized
+    ``(doc_id, _toks)`` frame — the injectable half, so the fused
+    ``quality_features`` base (operators/text_curation.py) feeds its
+    ONE cached tokenized scan here instead of re-reading and
+    re-tokenizing the corpus (optimization r15, guide §1.2)."""
     db = (
         d.select(
             "doc_id", F.explode(F.expr(_bigrams_expr("_toks"))).alias("bigram")

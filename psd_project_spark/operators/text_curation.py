@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from psd_project_spark.functions.text import tokens_expr, tokens_sql
 from psd_project_spark.functions.caching import transient_cache
-from psd_project_spark.sources.registry import load_table
+from psd_project_spark.sources.registry import load_table, spread_small
 
 # --- doc_chunking ------------------------------------------------------------
 
@@ -85,6 +85,56 @@ FROM (
 
 # --- repetition_metrics ------------------------------------------------------
 
+def _repetition_scalar_cols(toks: str = "toks") -> dict[str, "F.Column"]:
+    """The per-row repetition counts over a token-array column — INT
+    casts exactly as :func:`repetition_metrics` always computed them
+    (the later int/int divisions promote to the identical doubles).
+    Shared with the fused ``quality_features`` base so the count
+    expressions exist exactly once."""
+    bigrams = (
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+    )
+    return {
+        "n_tokens": F.expr(f"cast(size({toks}) as int)"),
+        "n_distinct": F.expr(f"cast(size(array_distinct({toks})) as int)"),
+        "n_bigrams": F.expr(f"cast(size({bigrams}) as int)"),
+        "n_distinct_bigrams": F.expr(
+            f"cast(size(array_distinct({bigrams})) as int)"
+        ),
+    }
+
+
+def _top_token_counts(base: DataFrame, toks: str = "toks") -> DataFrame:
+    """(doc_id, top_tok_count): explode → two-level groupBy (map-side
+    partial combine) — the one repetition signal that needs a shuffle.
+    Shared with the fused ``quality_features`` base."""
+    return (
+        base.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_count"))
+    )
+
+
+def _repetition_fracs() -> dict[str, "F.Column"]:
+    """The exact int/int fraction expressions over the scalar counts
+    plus ``top_tok_count`` — shared by :func:`repetition_metrics` and
+    the fused ``quality_features``."""
+    return {
+        "dup_token_frac": (
+            (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")
+        ),
+        "top_token_frac": F.col("top_tok_count") / F.col("n_tokens"),
+        "dup_bigram_frac": F.when(
+            F.col("n_bigrams") > 0,
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+            / F.col("n_bigrams"),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
 def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetitiousness: duplicate-token, top-token and
     duplicate-bigram fractions (all exact int/int divisions)."""
@@ -92,42 +142,25 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(toks).alias("toks")
     )
-    bigrams = (
-        "transform(sequence(1, size(toks) - 1), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-    )
+    c = _repetition_scalar_cols("toks")
     per_doc = base.select(
         "doc_id",
-        F.expr("cast(size(toks) as int)").alias("n_tokens"),
-        F.expr("cast(size(array_distinct(toks)) as int)").alias("n_distinct"),
-        F.expr(f"cast(size({bigrams}) as int)").alias("n_bigrams"),
-        F.expr(f"cast(size(array_distinct({bigrams})) as int)").alias(
-            "n_distinct_bigrams"
-        ),
+        c["n_tokens"].alias("n_tokens"),
+        c["n_distinct"].alias("n_distinct"),
+        c["n_bigrams"].alias("n_bigrams"),
+        c["n_distinct_bigrams"].alias("n_distinct_bigrams"),
     )
-    top = (
-        base.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_tok_count"))
-    )
+    top = _top_token_counts(base, "toks")
+    fr = _repetition_fracs()
     out = (
         per_doc.join(top, "doc_id")
         .select(
             "doc_id",
             "n_tokens",
             "top_tok_count",
-            ((F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"))
-            .alias("dup_token_frac"),
-            (F.col("top_tok_count") / F.col("n_tokens")).alias(
-                "top_token_frac"
-            ),
-            F.when(
-                F.col("n_bigrams") > 0,
-                (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
-                / F.col("n_bigrams"),
-            ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+            fr["dup_token_frac"].alias("dup_token_frac"),
+            fr["top_token_frac"].alias("top_token_frac"),
+            fr["dup_bigram_frac"].alias("dup_bigram_frac"),
         )
     )
     return out
@@ -239,6 +272,15 @@ def boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(tokens_expr()).alias("_toks")
     )
+    return boilerplate_frame(d)
+
+
+def boilerplate_frame(d: DataFrame) -> DataFrame:
+    """:func:`boilerplate_screen` over an already-tokenized
+    ``(doc_id, _toks)`` frame — the injectable half, so the fused
+    ``quality_features`` base feeds its ONE cached tokenized scan here
+    instead of re-reading and re-tokenizing the corpus (optimization
+    r15, guide §1.2)."""
     # CASE guard: Spark's sequence(0, -1) counts DOWN, so a 0-token
     # doc would explode to phantom chunks without it.
     chunk_expr = (
@@ -305,37 +347,83 @@ def quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier trains on (the fastText/logistic filter step of a
     pretraining pipeline): surface statistics, Gopher repetition
     signals, corpus-LM familiarity, and boilerplate fraction, one wide
-    row per document. Pure composition — each feature family is the
-    already-oracle-verified operator, joined on doc_id, so the feature
-    extraction pipeline is exactly as trustworthy as its parts.
+    row per document. Every formula is the already-oracle-verified
+    operator's own expression (imported from it, never re-typed), so
+    the feature extraction stays exactly as trustworthy as its parts —
+    and the composed frame is re-proven against the SAME composed
+    oracle.
 
-    Plan shape for 100 TB: four scan-parallel feature passes joined on
-    the same key; Catalyst prunes each pass to the columns this frame
-    keeps. Docs with < 2 tokens have no bigram features — LEFT JOIN +
-    COALESCE 0, never dropped (a classifier must see short docs)."""
+    Plan shape for 100 TB (optimization r15, guide §1.2 — remove
+    duplicate passes): ONE tokenized corpus scan, transient-cached,
+    feeds all four feature families. Before this round the composition
+    re-read and re-tokenized the corpus once per feature family (5
+    parquet scans of ``documents`` in the physical plan); now the scan
+    + tokenize + punct regex run once, the per-row scalar features are
+    a projection of the cached base, and only the three aggregation
+    passes that fundamentally need their own shuffle key (top-token,
+    bigram LM, boilerplate chunk frequency) re-read the CACHE. Docs
+    with < 2 tokens have no bigram features — LEFT JOIN + COALESCE 0,
+    never dropped (a classifier must see short docs)."""
     from psd_project_spark.operators.text_analysis import (
-        doc_stats,
-        ngram_familiarity,
+        _N_PUNCT_EXPR,
+        doc_surface_cols,
+        ngram_familiarity_frame,
     )
 
-    ds = doc_stats(spark, sf_dir).select(
-        "doc_id", "lang", "n_tokens", "ttr", "punct_ratio", "quality_score"
+    d = spread_small(load_table(spark, sf_dir, "documents"), spark)
+    base = transient_cache(
+        d.select(
+            "doc_id",
+            "lang",
+            F.expr(tokens_expr()).alias("_toks"),
+            F.expr(_N_PUNCT_EXPR).alias("_n_punct"),
+            F.length("text").alias("_text_len"),
+        )
     )
-    rm = repetition_metrics(spark, sf_dir).select(
-        "doc_id", "dup_token_frac", "top_token_frac", "dup_bigram_frac"
+    sc = doc_surface_cols()
+    rc = _repetition_scalar_cols("_toks")
+    # the repetition fractions read their INT-cast counts under the
+    # operator-local names; the surface n_tokens (LONG — the declared
+    # output type) rides along under a scratch name until the final
+    # projection restores it
+    per_doc = base.select(
+        "doc_id",
+        "lang",
+        sc["n_tokens"].alias("_surface_n_tokens"),
+        F.round(sc["ttr"], 6).alias("ttr"),
+        F.round(sc["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(sc["quality_score"], 6).alias("quality_score"),
+        rc["n_tokens"].alias("n_tokens"),
+        rc["n_distinct"].alias("n_distinct"),
+        rc["n_bigrams"].alias("n_bigrams"),
+        rc["n_distinct_bigrams"].alias("n_distinct_bigrams"),
     )
-    nf = ngram_familiarity(spark, sf_dir).select(
+    top = _top_token_counts(base, "_toks")
+    fr = _repetition_fracs()
+    nf = ngram_familiarity_frame(base.select("doc_id", "_toks")).select(
         "doc_id", "avg_corpus_freq", "rare_frac"
     )
-    bs = boilerplate_screen(spark, sf_dir).select("doc_id", "boiler_frac")
+    bs = boilerplate_frame(base.select("doc_id", "_toks")).select(
+        "doc_id", "boiler_frac"
+    )
+    rm = per_doc.join(top, "doc_id").select(
+        "doc_id",
+        "lang",
+        "_surface_n_tokens",
+        "ttr",
+        "punct_ratio",
+        "quality_score",
+        fr["dup_token_frac"].alias("dup_token_frac"),
+        fr["top_token_frac"].alias("top_token_frac"),
+        fr["dup_bigram_frac"].alias("dup_bigram_frac"),
+    )
     return (
-        ds.join(rm, "doc_id")
-        .join(nf, "doc_id", "left")
+        rm.join(nf, "doc_id", "left")
         .join(bs, "doc_id")
         .select(
             "doc_id",
             "lang",
-            "n_tokens",
+            F.col("_surface_n_tokens").alias("n_tokens"),
             "ttr",
             "punct_ratio",
             "quality_score",
