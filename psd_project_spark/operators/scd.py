@@ -257,14 +257,16 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from psd_project_spark.functions.caching import scratch_dir
 
     from psd_project_spark.streaming.foreach_sink import (
-        stage_stream_splits,
+        stage_stream_splits_bucketed,
     )
 
     src = scratch_dir("psd_scd2_src_")
     out_dir = scratch_dir("psd_scd2_")
     ckpt = scratch_dir("psd_scd2_ckpt_")
     ev = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
-    stage_stream_splits(ev, F.col("event_id") % 3, src)
+    stage_stream_splits_bucketed(
+        ev, F.col("event_id") % 3, src, bucket_by=["user_id"]
+    )
     arriving = (
         spark.readStream.schema(
             "user_id long, event_id long, ts timestamp, value double"
@@ -371,9 +373,11 @@ def scd2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta/Iceberg ``mergeSchema`` contract on plain parquet)."""
     from psd_project_spark.functions.caching import scratch_dir
     from psd_project_spark.streaming.foreach_sink import (
+        N_STATE_BUCKETS,
         read_versioned,
         run_foreachbatch_versioned,
-        stage_stream_splits,
+        stage_stream_splits_bucketed,
+        write_split_with_buckets,
     )
 
     src = scratch_dir("psd_scd2ev_src_")
@@ -394,21 +398,23 @@ def scd2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket_by=["user_id"],
         )
     # phase 1: epochs 0-1, the original narrow schema
-    stage_stream_splits(
+    stage_stream_splits_bucketed(
         ev.filter(F.col("event_id") % 3 < 2).select(*_EVENT_COLS),
         F.col("event_id") % 3,
         src,
+        bucket_by=["user_id"],
         n=2,
     )
     maintain(narrow)
     # phase 2: epoch 2 arrives WIDENED — same source dir + checkpoint
     # (consumed offsets skip the narrow files), wider source schema
-    (
-        ev.filter(F.col("event_id") % 3 == 2)
-        .select(*_EVENT_COLS, F.col("event_type").alias("etype"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{src}/p2")
+    write_split_with_buckets(
+        ev.filter(F.col("event_id") % 3 == 2).select(
+            *_EVENT_COLS, F.col("event_type").alias("etype")
+        ),
+        f"{src}/p2",
+        ["user_id"],
+        N_STATE_BUCKETS,
     )
     maintain(narrow + ", etype string")
     return (
@@ -491,9 +497,11 @@ def stream_scd2_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     version can linger)."""
     from psd_project_spark.functions.caching import scratch_dir
     from psd_project_spark.streaming.foreach_sink import (
+        N_STATE_BUCKETS,
         read_versioned,
         run_foreachbatch_versioned,
-        stage_stream_splits,
+        stage_stream_splits_bucketed,
+        write_split_with_buckets,
     )
 
     src = scratch_dir("psd_scd2er_src_")
@@ -518,13 +526,14 @@ def stream_scd2_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # phase 1: the event stream, 3 real epochs of op=I rows
-    stage_stream_splits(
-        ev.withColumn("op", F.lit("I")), F.col("event_id") % 3, src
+    stage_stream_splits_bucketed(
+        ev.withColumn("op", F.lit("I")), F.col("event_id") % 3, src,
+        bucket_by=["user_id"],
     )
     maintain(arriving())
     # phase 2: the takedown epoch — op=D rows land in the SAME source
     # dir, and the SAME checkpoint continues the epoch numbering
-    (
+    write_split_with_buckets(
         ev.filter(F.col("user_id") % 5 == 2)
         .select("user_id")
         .distinct()
@@ -534,10 +543,10 @@ def stream_scd2_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("timestamp").alias("ts"),
             F.lit(None).cast("double").alias("value"),
             F.lit("D").alias("op"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{src}/erase")
+        ),
+        f"{src}/erase",
+        ["user_id"],
+        N_STATE_BUCKETS,
     )
     maintain(arriving())
     return (
@@ -876,24 +885,47 @@ def run_change_feed(
         # exchange replaces one delta pass PER consumer)
         write_epoch(feed, feed_dir, i, bucket_by=["user_id"])
 
-    prev_manifest: dict[str, str] = {}
+    def _produce(i: int, prev: dict[str, str]) -> dict[str, str]:
+        # one producer epoch: state apply + manifest load + feed emit,
+        # CHAINED so epoch i's diff is always materialized before
+        # epoch i+1's publish (retention prunes v(i-1)'s generations —
+        # the diff's old side)
+        _apply_slice(i)
+        cur, _ = load_manifest(
+            os.path.join(state_dir, "current", _MANIFEST)
+        )
+        _emit_feed(i, prev, cur)
+        return cur
+
+    # Pipeline the WHOLE producer epoch (state apply + feed emit, r15;
+    # r14 overlapped only the state apply) one epoch ahead of its
+    # consumers: _produce(i+1) writes state_dir's next generation and
+    # feed epoch i+1's directory, while ``on_epoch(i)`` reads feed
+    # epoch ≤ i and writes the consumers' own view dirs — disjoint
+    # trees (consumer GC deletes only epochs < its cut ≤ i, never the
+    # in-flight i+1 dir). ``on_epoch(i)`` still runs strictly after
+    # epoch i's change file is durable; consumers may now OBSERVE
+    # epoch i+1 already existing while they fold epoch i — exactly a
+    # real CDF's producer-runs-ahead behavior (the r12 retention pin
+    # asserts the GC property, not producer lockstep).
     with ThreadPoolExecutor(max_workers=1) as pool:
-        _apply_slice(0)
+        cur_manifest = _produce(0, {})
         for i in range(3):
-            cur_manifest, _ = load_manifest(
-                os.path.join(state_dir, "current", _MANIFEST)
+            nxt = (
+                pool.submit(_produce, i + 1, cur_manifest)
+                if i + 1 < 3
+                else None
             )
-            # epoch i's diff must finish before epoch i+1's publish
-            # (retention prunes the diff's old side) — so the feed
-            # write stays in the foreground, and only then does the
-            # next state apply start in the background
-            _emit_feed(i, prev_manifest, cur_manifest)
-            nxt = pool.submit(_apply_slice, i + 1) if i + 1 < 3 else None
-            if on_epoch is not None:
-                on_epoch(i)
-            if nxt is not None:
-                nxt.result()
-            prev_manifest = cur_manifest
+            try:
+                if on_epoch is not None:
+                    on_epoch(i)
+            finally:
+                # the background producer's exception must never be
+                # silently dropped behind a consumer-side error
+                # (ADVICE r14 #2); if both legs raised, the consumer
+                # error rides along as __context__
+                if nxt is not None:
+                    cur_manifest = nxt.result()
     return (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(feed_dir)
@@ -1011,12 +1043,31 @@ def _record_consumer_progress(feed_dir: str, name: str, epoch: int) -> None:
         # BEFORE re-recording progress, so rejoins pass this guard.)
         return
     if os.path.exists(marker):
-        with open(marker) as fh:
-            epoch = max(epoch, int(fh.read()))
+        try:
+            with open(marker) as fh:
+                epoch = max(epoch, int(fh.read()))
+        except FileNotFoundError:
+            # unlinked by a concurrent eviction between the exists()
+            # check and the read (ADVICE r14 #1) — fall back to the
+            # caller's epoch; the post-replace tombstone re-check
+            # below decides whether the write may stand
+            pass
     tmp = os.path.join(cdir, f".{name}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(epoch))
     os.replace(tmp, marker)
+    # Eviction wins deterministically (ADVICE r14 #1): a concurrent
+    # max_lag apply may have tombstoned this consumer between the
+    # guard above and the replace — the just-written marker would
+    # resurrect it and re-pin feed GC forever (the tombstone blocks
+    # all its future applies). Re-check and retract. (A rejoin unlinks
+    # the tombstone BEFORE re-recording progress, so rejoin markers
+    # stand.)
+    if os.path.exists(_tombstone_path(feed_dir, name)):
+        import contextlib
+
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(marker)
 
 
 def feed_consumer_progress(feed_dir: str) -> dict[str, int]:
@@ -1556,10 +1607,14 @@ def cdf_multi_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 apply_feed_epoch,
                 spark, feed_dir, view_fast, i, consumer="fast",
             )
-            apply_feed_epoch(
-                spark, feed_dir, view_slow, i - 1, consumer="slow"
-            )
-            fut.result()
+            try:
+                apply_feed_epoch(
+                    spark, feed_dir, view_slow, i - 1, consumer="slow"
+                )
+            finally:
+                # never drop the concurrent fast-apply's exception
+                # behind a slow-side error (ADVICE r14 #2)
+                fut.result()
             apply_feed_epoch(spark, feed_dir, view_slow, i, consumer="slow")
         else:
             apply_feed_epoch(spark, feed_dir, view_fast, i, consumer="fast")
@@ -1658,11 +1713,15 @@ def cdf_consumer_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, feed_dir, view_fast, i, consumer="fast",
                 max_lag=2,
             )
-            apply_feed_epoch(
-                spark, feed_dir, view_lazy, i - 1, consumer="lazy",
-                max_lag=2,
-            )
-            fut.result()
+            try:
+                apply_feed_epoch(
+                    spark, feed_dir, view_lazy, i - 1, consumer="lazy",
+                    max_lag=2,
+                )
+            finally:
+                # never drop the concurrent fast-apply's exception
+                # behind a lazy-side error (ADVICE r14 #2)
+                fut.result()
             return
         apply_feed_epoch(
             spark, feed_dir, view_fast, i, consumer="fast", max_lag=2
@@ -1714,11 +1773,16 @@ def cdf_consumer_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
             apply_feed_epoch,
             spark, feed_dir, view_lazy, 2, consumer="lazy", max_lag=2,
         )
-        for i in owed:
-            apply_feed_epoch(
-                spark, feed_dir, view_dead, i, consumer="dead", max_lag=2
-            )
-        fut.result()
+        try:
+            for i in owed:
+                apply_feed_epoch(
+                    spark, feed_dir, view_dead, i, consumer="dead",
+                    max_lag=2,
+                )
+        finally:
+            # never drop the concurrent lazy-apply's exception behind
+            # a catch-up-side error (ADVICE r14 #2)
+            fut.result()
     finally:
         # ONE cleanup for every path out of the lifecycle (the loud
         # mid-lifecycle RuntimeErrors included) — a leaked pool thread
@@ -1915,9 +1979,11 @@ def run_read_while_maintain(
     """The injectable half of :func:`stream_scd2_serve` (dirs supplied
     so the epoch/version structure is testable)."""
     from psd_project_spark.streaming.foreach_sink import (
+        N_STATE_BUCKETS,
         read_versioned,
         run_stream,
         write_epoch,
+        write_split_with_buckets,
     )
 
     ev = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
@@ -1955,6 +2021,13 @@ def run_read_while_maintain(
     def _stage(df: DataFrame, path: str) -> None:
         df.coalesce(1).write.mode("overwrite").parquet(path)
 
+    def _stage_feat(df: DataFrame, path: str) -> None:
+        # feature epochs feed the bucket-aligned maintenance sink: the
+        # staged-sidecar fast path hands each micro-batch its bucket
+        # set, removing the per-epoch delta distinct-collect job
+        # (optimization r15, VERDICT r14 #2)
+        write_split_with_buckets(df, path, ["user_id"], N_STATE_BUCKETS)
+
     # The maintain-i → serve-i interleaving IS the demonstrated
     # contract and stays exactly as it was; what overlaps (guide §2.6)
     # is only the staging of inputs the CURRENT stream run does not
@@ -1962,40 +2035,54 @@ def run_read_while_maintain(
     # reads src_f; serve i starts strictly after both complete), and
     # feature epoch i+1 stages while serve i runs (serve reads src_p +
     # state_dir; maintenance i+1 starts strictly after both complete).
+    # SHUFFLE-FREE STAGING INVARIANT (ADVICE r14 #3): these staged
+    # frames must stay narrow filter + coalesce(1) + observe — the
+    # overlapped stagings run while run_scd2_maintenance mutates the
+    # session-global spark.sql.shuffle.partitions, so a shuffle in the
+    # staging lineage would run under an unintended partition count.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=1) as pool:
-        _stage(feats.filter(epoch_pred(0)), f"{src_f}/f0")
+        _stage_feat(feats.filter(epoch_pred(0)), f"{src_f}/f0")
         for i in range(3):
             staging = pool.submit(
                 _stage, probes.filter(epoch_pred(i)), f"{src_p}/f{i}"
             )
-            run_scd2_maintenance(
-                spark.readStream.schema(
-                    "user_id long, event_id long, ts timestamp, value double"
+            try:
+                run_scd2_maintenance(
+                    spark.readStream.schema(
+                        "user_id long, event_id long, ts timestamp, "
+                        "value double"
+                    )
+                    .option("recursiveFileLookup", "true")
+                    .parquet(src_f),
+                    state_dir,
+                    ckpt_m,
                 )
-                .option("recursiveFileLookup", "true")
-                .parquet(src_f),
-                state_dir,
-                ckpt_m,
-            )
-            staging.result()
+            finally:
+                # the background staging's exception must never be
+                # dropped behind a stream-run error (ADVICE r14 #2)
+                staging.result()
             if i + 1 < 3:
                 staging = pool.submit(
-                    _stage, feats.filter(epoch_pred(i + 1)), f"{src_f}/f{i + 1}"
+                    _stage_feat,
+                    feats.filter(epoch_pred(i + 1)),
+                    f"{src_f}/f{i + 1}",
                 )
-            run_stream(
-                spark.readStream.schema(
-                    "user_id long, probe_id long, ts timestamp"
+            try:
+                run_stream(
+                    spark.readStream.schema(
+                        "user_id long, probe_id long, ts timestamp"
+                    )
+                    .option("recursiveFileLookup", "true")
+                    .parquet(src_p),
+                    serve_epoch,
+                    ckpt_s,
+                    state_partitions=None,
                 )
-                .option("recursiveFileLookup", "true")
-                .parquet(src_p),
-                serve_epoch,
-                ckpt_s,
-                state_partitions=None,
-            )
-            if i + 1 < 3:
-                staging.result()
+            finally:
+                if i + 1 < 3:
+                    staging.result()
     return spark.read.parquet(out_dir).select(
         "user_id", "probe_id", "ts", "asof_event_id", "asof_value"
     )

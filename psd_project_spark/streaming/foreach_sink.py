@@ -68,6 +68,132 @@ def stage_stream_splits(df: DataFrame, part_col, src: str, n: int = 3) -> str:
     return src
 
 
+#: Per-split sidecar naming the split's affected-bucket set under the
+#: downstream versioned sink's own key→bucket mapping. Underscore
+#: prefix: Spark's file listing ignores it, so the staged dirs read
+#: back byte-identically with or without it.
+_BUCKETS_SIDECAR = "_BUCKETS.json"
+
+
+def write_split_with_buckets(
+    df: DataFrame, path: str, bucket_by: list[str], n_buckets: int
+) -> None:
+    """One staged split (same single-file write as
+    :func:`stage_stream_splits`) plus its ``_BUCKETS.json`` sidecar —
+    the split's distinct bucket set under ``_bucket_expr(bucket_by,
+    n_buckets)``, collected by an ``observe`` ON THE STAGING WRITE
+    ITSELF, so the sidecar costs zero extra jobs (optimization r15,
+    VERDICT r14 #2: the r14 affected-buckets-from-layout fast path
+    extended to the streaming stagings)."""
+    import json
+    import os
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        df.observe(
+            obs,
+            F.collect_set(
+                _bucket_expr(bucket_by, n_buckets)
+            ).alias("buckets"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    doc = {
+        "bucket_by": list(bucket_by),
+        "n_buckets": int(n_buckets),
+        "buckets": sorted(int(b) for b in obs.get["buckets"]),
+    }
+    tmp = os.path.join(path, f".{_BUCKETS_SIDECAR}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _BUCKETS_SIDECAR))
+
+
+def stage_stream_splits_bucketed(
+    df: DataFrame,
+    part_col,
+    src: str,
+    bucket_by: list[str],
+    n: int = 3,
+    n_buckets: int | None = None,
+) -> str:
+    """:func:`stage_stream_splits` for splits that feed a
+    BUCKET-ALIGNED versioned sink: identical staged files plus a
+    ``_BUCKETS.json`` sidecar per split (see
+    :func:`write_split_with_buckets`). ``run_foreachbatch_versioned``
+    then derives each micro-batch's ``affected_buckets`` from its
+    input files' sidecars, so the per-epoch delta distinct-collect
+    job disappears from the stream — the remaining per-epoch job
+    floor is the generation write alone (guide §1.2/§6). The kernel's
+    written ⊆ affected enforcement still validates every handed set,
+    so a wrong or stale sidecar fails the epoch loudly instead of
+    corrupting a manifest."""
+    nb = N_STATE_BUCKETS if n_buckets is None else n_buckets
+    for i in range(n):
+        write_split_with_buckets(
+            df.filter(part_col == i), f"{src}/p{i}", bucket_by, nb
+        )
+    return src
+
+
+def staged_affected_buckets(
+    ckpt: str, batch_id: int, bucket_by: list[str], n_buckets: int
+) -> list[int] | None:
+    """The micro-batch's affected-bucket set read off its staged input
+    files' ``_BUCKETS.json`` sidecars — or ``None`` when any input
+    file lacks one (or was staged under a different key/bucket-count),
+    which falls back to the kernel's distinct-collect path.
+
+    The batch's file list comes from the checkpoint's own
+    file-stream source log (``<ckpt>/sources/0/<batch_id>`` — the
+    FileStreamSourceLog entry Structured Streaming commits BEFORE the
+    batch runs, which is also what makes this replay-correct: a
+    replayed epoch reads the identical entry). The micro-batch
+    DataFrame itself cannot answer this (``df.inputFiles()`` is empty
+    on the internal batch relation). Reads only tiny local JSON;
+    never touches the data."""
+    import json
+    import os
+
+    src_log = os.path.join(ckpt, "sources", "0", str(batch_id))
+    if not os.path.exists(src_log):
+        return None
+    files: list[str] = []
+    try:
+        with open(src_log) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
+                entry = json.loads(line)
+                p = entry.get("path")
+                if p:
+                    files.append(p)
+    except (OSError, ValueError):
+        return None
+    if not files:
+        return None
+    buckets: set[int] = set()
+    for f in files:
+        p = f[len("file:"):] if f.startswith("file:") else f
+        side = os.path.join(os.path.dirname(p), _BUCKETS_SIDECAR)
+        if not os.path.exists(side):
+            return None
+        with open(side) as fh:
+            doc = json.load(fh)
+        if (
+            doc.get("bucket_by") != list(bucket_by)
+            or doc.get("n_buckets") != int(n_buckets)
+        ):
+            return None
+        buckets.update(int(b) for b in doc["buckets"])
+    return sorted(buckets)
+
+
 def run_stream(
     result: DataFrame, batch_fn, ckpt: str, state_partitions
 ) -> None:
@@ -1059,14 +1185,29 @@ def run_foreachbatch_versioned(
     :func:`apply_versioned_epoch` (see there for the merge contract,
     replay guard, bucket alignment, schema evolution, and retention).
     At scale the same pattern is a lakehouse MERGE (Delta/Iceberg)
-    keyed by the same idempotent epoch id."""
+    keyed by the same idempotent epoch id.
+
+    Bucketed mode: a micro-batch whose input files all carry staged
+    ``_BUCKETS.json`` sidecars (:func:`stage_stream_splits_bucketed`)
+    hands the kernel its affected-bucket set directly and skips the
+    per-epoch delta distinct-collect job — the per-epoch job floor
+    drops to the generation write alone (optimization r15, VERDICT
+    r14 #2; guide §1.2). Unstaged sources fall back to the collect,
+    and the kernel's written ⊆ affected check validates every handed
+    set either way."""
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
+        affected = (
+            staged_affected_buckets(ckpt, batch_id, bucket_by, n_buckets)
+            if bucket_by is not None
+            else None
+        )
         apply_versioned_epoch(
             df, out_dir, batch_id, merge_fn,
             keep_versions=keep_versions,
             bucket_by=bucket_by,
             n_buckets=n_buckets,
+            affected_buckets=affected,
         )
 
     _run(result, write_batch, ckpt, state_partitions)
@@ -1207,24 +1348,24 @@ def stream_upsert_evolving(spark, sf_dir: str) -> DataFrame:
             order_cols=["ts", "event_id"],
         )
 
-    stage_stream_splits(
+    stage_stream_splits_bucketed(
         ev.filter(F.col("event_id") % 3 < 2).select(
             "user_id", "event_id", "ts", "value"
         ),
         F.col("event_id") % 3,
         src,
+        bucket_by=["user_id"],
         n=2,
     )
     maintain(narrow)
-    (
-        ev.filter(F.col("event_id") % 3 == 2)
-        .select(
+    write_split_with_buckets(
+        ev.filter(F.col("event_id") % 3 == 2).select(
             "user_id", "event_id", "ts", "value",
             F.col("event_type").alias("etype"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{src}/p2")
+        ),
+        f"{src}/p2",
+        ["user_id"],
+        N_STATE_BUCKETS,
     )
     maintain(narrow + ", etype string")
     return current_upsert_table(spark, out_dir).select(
@@ -1286,25 +1427,25 @@ def stream_upsert_widening(spark, sf_dir: str) -> DataFrame:
             order_cols=["ts", "event_id"],
         )
 
-    stage_stream_splits(
+    stage_stream_splits_bucketed(
         ev.filter(F.col("event_id") % 3 < 2).select(
             "user_id", "event_id", "ts", "value",
             (F.col("event_id") % 1000).cast("int").alias("qty"),
         ),
         F.col("event_id") % 3,
         src,
+        bucket_by=["user_id"],
         n=2,
     )
     maintain(cols + ", qty int")
-    (
-        ev.filter(F.col("event_id") % 3 == 2)
-        .select(
+    write_split_with_buckets(
+        ev.filter(F.col("event_id") % 3 == 2).select(
             "user_id", "event_id", "ts", "value",
             F.col("event_id").alias("qty"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{src}/p2")
+        ),
+        f"{src}/p2",
+        ["user_id"],
+        N_STATE_BUCKETS,
     )
     maintain(cols + ", qty long")
     return current_upsert_table(spark, out_dir).select(
@@ -1373,7 +1514,7 @@ def stream_upsert_rename(spark, sf_dir: str) -> DataFrame:
             order_cols=["ts", "event_id"],
         )
 
-    stage_stream_splits(
+    stage_stream_splits_bucketed(
         ev.filter(F.col("event_id") % 3 < 2).select(
             "user_id", "event_id", "ts", "value",
             (F.col("event_id") % 1000).cast("int").alias("qty"),
@@ -1381,24 +1522,24 @@ def stream_upsert_rename(spark, sf_dir: str) -> DataFrame:
         ),
         F.col("event_id") % 3,
         src,
+        bucket_by=["user_id"],
         n=2,
     )
     maintain(base + ", qty int, extra string")
     # MID-STREAM rename: a dotted metadata version on the standing
     # major — the checkpoint's next batch id stays unconsumed
     rename_versioned_column(out_dir, None, {"qty": "quantity"})
-    (
-        ev.filter(F.col("event_id") % 3 == 2)
-        .select(
+    write_split_with_buckets(
+        ev.filter(F.col("event_id") % 3 == 2).select(
             "user_id", "event_id", "ts", "value",
             ((F.col("event_id") % 1000) + 100000)
             .cast("int")
             .alias("quantity"),
             F.col("event_type").alias("extra"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{src}/p2")
+        ),
+        f"{src}/p2",
+        ["user_id"],
+        N_STATE_BUCKETS,
     )
     # the SAME checkpoint continues: epoch 2 arrives under the NEW
     # name and must NOT be skipped as a replay of the rename's version

@@ -237,9 +237,15 @@ def test_cdf_feed_retention_gcs_applied_epochs_and_replays(spark):
     )
     from psd_project_spark.streaming.foreach_sink import read_versioned
 
-    # (a) after epoch i applies, only epoch i's change file remains
-    assert seen[1] == ["batch_id=1"]
-    assert seen[2] == ["batch_id=2"]
+    # (a) after epoch i applies, every epoch the consumer has paid for
+    # (strictly older than its progress) is deleted while epoch i
+    # itself remains. The producer pipelines one epoch ahead since
+    # r15 (run_change_feed._produce), so epoch i+1 MAY already exist
+    # when on_epoch(i) runs — the retention contract is the GC
+    # property, not producer lockstep.
+    assert "batch_id=0" not in seen[1] and "batch_id=1" in seen[1]
+    assert set(seen[1]) <= {"batch_id=1", "batch_id=2"}
+    assert seen[2] == ["batch_id=2"]  # no epoch 3 exists to run ahead
     # (b) the previous snapshot version survives alongside the newest
     # (the snapshot is a bucket-aligned versioned table since r13 —
     # VERDICT r12 #6 — so versions are the kernel's v<epoch> dirs)
