@@ -16,41 +16,31 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness driver only checks the FIRST 50 registry entries (in
 # iteration order), so ordering is part of the verification contract.
-# Round-14 rotation (VERDICT r13 "Next round" #1, rotated FIRST): the
-# re-entering queries of the modules round 14 functionally touches
-# lead the window — operators/scd.py (dead-consumer eviction for CDF
-# feed retention, VERDICT r13 #2; ADVICE r13 replay-guard
-# progress-marker fallback + single-owner consumer docstring),
-# streaming/foreach_sink.py (column rename/drop via column mapping on
-# the versioned MERGE sink, VERDICT r13 #4; ADVICE r13 empty-bucket
-# manifest read), and operators/zorder.py (purge-journal retirement,
-# VERDICT r13 #5) — per the module-level precedent every query those
-# three modules register re-windows, plus the changed-dependency
-# consumer stream_value_quantiles_sink (freq_sketch.py consumes
-# run_foreachbatch_upsert + current_upsert_table, which flow through
-# the changed versioned manifest/reader). run_stream / write_epoch /
-# stage_stream_splits stay byte-identical, so the foreachBatch streams
-# that only run through those (bucketing, index_delete, minhash_stream,
-# exact_substr, quality_classifier, similarity, range_join) keep their
-# r10-r13 rows. Round-14 additions join the very front on their
-# landing commits with staged by-name yields from the TAIL (annotated
-# inline). Spares: the stale-row burn-down VERDICT r13 #1 prescribes —
-# the 8 remaining r04 rows lead (doc_chunking, pii_redact,
-# value_outliers, weighted_median, part_price_quartiles,
-# repetition_metrics, table_profile_exact, vector_quantize_int8 — the
-# first four plus part_price_quartiles independently judge-verified
-# bit-exact on 2026-08-16, windowed anyway to retire the r04 block),
-# then the 16 r05 rows, then value_histogram (r06, the bench watch
-# item). After this round no driver row is older than r05 — except a
-# designated yielder consumed by a landing query, which keeps its r05
-# row over bytes untouched since. NO queue: every registry query holds
+# Round-15 rotation (optimization round 2): the re-entering queries of
+# the modules round 15 functionally touches lead the window —
+# operators/scd.py (CDF producer pipelining, bucketed stagings, ADVICE
+# r14 hardenings), streaming/foreach_sink.py (staged-bucket sidecars +
+# run_foreachbatch_versioned fast path), operators/text_curation.py +
+# operators/text_analysis.py (the fused one-pass quality-feature
+# extraction, VERDICT r14 #1) — per the module-level precedent every
+# query those modules register re-windows — plus the
+# changed-dependency consumers: the 8 quality_classifier.py queries
+# (every one flows through the changed quality_features bytes) and
+# stream_value_quantiles_sink (freq_sketch.py flows through the
+# changed run_foreachbatch_versioned). run_stream / write_epoch /
+# stage_stream_splits / apply_versioned_epoch stay byte-identical, so
+# the foreachBatch streams that only run through those (bucketing,
+# index_delete, minhash_stream, exact_substr, similarity, range_join,
+# zorder) keep their r10-r14 rows. Spares: the stale-row burn-down —
+# the 5 alphabetically-first of the 12 remaining r06 rows
+# (cross_dedup_minhash, decontaminate_ngrams, dedup_canonical,
+# dedup_components, dedup_embedding_1nn); the other 7 r06 rows stand
+# over modules untouched since and are covered by this round's
+# in-session full-registry sweep. NO queue: every registry query holds
 # or re-earns a current-bytes driver row (tests/test_registry_order.py).
 _PRIORITY = (
-    # -- round-14 new (front: day-one driver rows) ---------------------
-    "cdf_consumer_eviction",
-    "stream_upsert_rename",
-    "stream_upsert_rebucket",
     # -- re-entering: operators/scd.py (module-level) ------------------
+    "cdf_consumer_eviction",
     "cdf_multi_consumer",
     "cdf_feed_retention",
     "cdf_materialized_view",
@@ -64,66 +54,51 @@ _PRIORITY = (
     "stream_scd2_erase",
     "stream_scd2_serve",
     # -- re-entering: streaming/foreach_sink.py (module-level) ---------
+    "stream_upsert_rename",
+    "stream_upsert_rebucket",
     "stream_upsert_widening",
     "stream_upsert_latest",
     "stream_upsert_evolving",
-    # -- re-entering: operators/zorder.py (module-level) ---------------
-    "stream_zorder_resume",
-    "stream_zonemap_resume",
-    "stream_zorder_ingest",
-    "stream_zorder_delete",
-    "zorder_delete",
-    "zorder_pruned_scan",
-    "zonemap_delete",
-    "zonemap_pruned_scan",
-    "stream_zonemap_ingest",
-    # -- re-entering: changed-dependency consumer (freq_sketch.py) -----
-    "stream_value_quantiles_sink",
-    # -- spares: the 8 remaining r04 rows (VERDICT r13 #1 — retires
-    #    the r04 block entirely) ----------------------------------------
+    # -- re-entering: operators/text_curation.py (module-level) --------
+    "quality_features",
+    "boilerplate_screen",
+    "repetition_metrics",
     "doc_chunking",
     "pii_redact",
-    "value_outliers",
-    "weighted_median",
-    "part_price_quartiles",
-    "repetition_metrics",
-    "table_profile_exact",
-    "vector_quantize_int8",
-    # -- spares: the 16 r05 rows ----------------------------------------
-    "bm25_rank",
-    "bpe_encode_stats",
-    "bpe_vocab_train",
+    # -- re-entering: operators/text_analysis.py (module-level) --------
+    "doc_stats",
+    "ngram_familiarity",
     "corpus_quality_filter",
     "curation_pipeline",
-    "doc_fingerprint",
-    "doc_stats",
-    "dsir_weights",
-    "embedding_pq_quantize",
-    "frame_sample",
     "lang_id",
-    "ngram_familiarity",
-    "pack_sequences",
+    "token_freq",
+    "trigram_udtf_freq",
     "tfidf_top_terms",
-    # (trigram_udtf_freq — the tail r05 spare — yielded to the
-    #  late-landing stream_upsert_rebucket, the r13 precedent of
-    #  yields coming from the stale block's tail when the designated
-    #  yielders are consumed; its r05 row stands over bytes untouched
-    #  since, and it is covered by this round's in-session
-    #  full-registry sweep)
-    # -- designated yielders (tail): token_freq (r05) yields to
-    #    stream_upsert_rename and value_histogram (r06, bench watch
-    #    item — re-times under a driver row until it yields) to
-    #    cdf_consumer_eviction, each on that query's landing commit.
-    #    A consumed yielder keeps its current green row over bytes
-    #    untouched since (token_freq r05, value_histogram r06), so the
-    #    yield costs nothing against the "nothing older than r05"
-    #    promise. ---------------------------------------------------------
-    # (token_freq yielded to stream_upsert_rename on its landing
-    #  commit — its green r05 row stands over bytes untouched since,
-    #  and the round-14 in-session full-registry sweep covers it)
-    # (value_histogram yielded to cdf_consumer_eviction on its landing
-    #  commit — its green r06 row stands over bytes untouched since,
-    #  and the round-14 in-session full-registry sweep covers it)
+    "bm25_rank",
+    "dsir_weights",
+    "doc_fingerprint",
+    "bpe_vocab_train",
+    "bpe_encode_stats",
+    # -- re-entering: changed-dependency consumers ----------------------
+    # (quality_classifier.py — every query flows through the fused
+    #  quality_features bytes)
+    "quality_classifier_train",
+    "quality_classifier_score",
+    "quality_classifier_eval",
+    "quality_calibration",
+    "stream_quality_score",
+    "quality_store_incremental",
+    "domain_mixture_weights",
+    "mixture_resample",
+    # (freq_sketch.py — flows through run_foreachbatch_versioned)
+    "stream_value_quantiles_sink",
+    # -- spares: stale-row burn-down (5 of the 12 remaining r06 rows,
+    #    alphabetically first) ------------------------------------------
+    "cross_dedup_minhash",
+    "decontaminate_ngrams",
+    "dedup_canonical",
+    "dedup_components",
+    "dedup_embedding_1nn",
 )
 
 _MODULES = (

